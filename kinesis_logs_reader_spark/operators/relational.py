@@ -1,0 +1,613 @@
+"""Relational operator inventory (SURVEY.md §2.2 groups B–G).
+
+Each ``qNN_*`` function takes ``(spark, sf_dir)`` and returns a
+DataFrame; the equivalent DuckDB oracle SQL lives in
+:mod:`kinesis_logs_reader_spark.oracle`. All queries follow the
+determinism rules of SURVEY.md §7.4:
+
+- total ORDER BY ending in a unique key;
+- money aggregates computed in DECIMAL (exact, order-independent —
+  a double SUM over 32 shuffle partitions is not reproducible even
+  between two Spark runs), then ROUND(…, 2) and cast to DOUBLE;
+- explicit NULLS FIRST/LAST;
+- timestamps emitted as TIMESTAMP_NTZ or strings, session TZ = UTC.
+
+Scale notes (100 TB target) are on each operator: which side
+broadcasts, where the shuffle lands, and why the aggregation is
+map-side combinable. Plans stay fully declarative so Catalyst applies
+pushdown/pruning, and AQE (enabled in session.py) handles skew and
+runtime join-strategy changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def _dec(c: str | Column, scale: int = 2) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _r2d(col: Column, digits: int = 2) -> Column:
+    """ROUND(x, digits) cast to DOUBLE — the §7.4 float canonical form."""
+    return F.round(col, digits).cast("double")
+
+
+def _revenue() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal arithmetic."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# B. Projection / filter / scalar expressions
+# --------------------------------------------------------------------------
+
+def q01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: project + alias + arithmetic. Narrow: no shuffle, full pushdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _r2d(_revenue()).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: comparison/AND/OR/NOT/IN/BETWEEN/LIKE/IS NULL.
+
+    Every predicate is Catalyst-native so the parquet scan receives
+    PushedFilters for the range and IN conditions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus").like("F%"))
+            & ~(F.col("l_discount") < 0.02)
+            & F.col("l_quantity").between(10, 40)
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q03_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: CASE WHEN tiering of o_totalprice, then a one-shuffle agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, F.lit("low"))
+        .when(F.col("o_totalprice") < 150000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier")
+    )
+    return (
+        orders.select(tier, "o_orderstatus")
+        .groupBy("tier", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("tier", "o_orderstatus")
+    )
+
+
+def q04_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: cast / coalesce / nullif across int/double/string/date.
+
+    FLOOR before the BIGINT cast: Spark truncates double->bigint while
+    DuckDB rounds, so the explicit FLOOR pins one semantic for both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            F.floor("o_totalprice").cast("bigint").cast("string").alias("price_str"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+                "status_norm"
+            ),
+            F.col("o_orderdate").cast("date").cast("string").alias("day_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# C. Joins
+# --------------------------------------------------------------------------
+
+def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: customer ⋈ orders ⋈ lineitem revenue per customer.
+
+    Both joins are key-equi on the natural distribution keys; at scale
+    Catalyst picks SMJ/shuffled-hash with AQE skew splitting. The
+    aggregation is a partial-aggregable SUM of decimals (map-side
+    combine), so the shuffle carries one row per (partition, custkey).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _r2d(F.sum(_revenue())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q06_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: broadcast the tiny dims (region 5 rows, nation 25 rows).
+
+    Explicit ``broadcast()`` hints keep the big-side scan shuffle-free
+    at any scale — exactly the plan we want for 100 TB fact tables.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q07_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (left): customers with/without orders; NULL-safe aggregates."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_r2d(F.sum(_dec("o_totalprice"))), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q08_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: left semi — customers having ≥1 'F' order.
+
+    Semi join never duplicates the left side, so no post-dedup shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q09_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: left anti — customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q10_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: genuine non-equi (range) join.
+
+    Aggregate lineitem to its ≤50 distinct quantities *first*, then
+    range-join that tiny side against part — the classic scale trick:
+    collapse the fact side before a theta join so the broadcast
+    nested-loop touches k×N, not N×M, rows.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = li.groupBy(F.col("l_quantity").alias("qty")).agg(F.count(F.lit(1)).alias("cnt"))
+    joined = part.join(F.broadcast(qty), qty.qty <= part.p_size)
+    return (
+        joined.groupBy("p_partkey")
+        .agg(F.sum("cnt").alias("n_items_le_size"))
+        .orderBy("p_partkey")
+    )
+
+
+def q11_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: bounded cross join — region × distinct mktsegments (5×5)."""
+    region = load_table(spark, sf_dir, "region")
+    segs = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return (
+        region.crossJoin(F.broadcast(segs))
+        .select("r_name", F.col("c_mktsegment").alias("segment"))
+        .orderBy("r_name", "segment")
+    )
+
+
+def q12_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: self join — ordered order pairs per customer.
+
+    Both sides shuffle on o_custkey once; the pair count per customer
+    is bounded by (orders/customer)^2, which AQE's skew handling splits
+    if a customer is hot.
+    """
+    o1 = load_table(spark, sf_dir, "orders").alias("a")
+    o2 = load_table(spark, sf_dir, "orders").alias("b")
+    return (
+        o1.join(
+            o2,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_orderdate") > F.col("a.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D. Aggregation
+# --------------------------------------------------------------------------
+
+def q13_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: TPC-H Q1 pricing summary — the flagship aggregation.
+
+    One wide scan -> map-side partial agg -> 6-group exchange. Every
+    SUM is decimal (exact + combinable); averages are exact-sum /
+    count in double, rounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _revenue() * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2000-12-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _r2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _r2d(F.sum(_revenue())).alias("sum_disc_price"),
+            _r2d(F.sum(charge)).alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 2
+            ).cast("double").alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 2
+            ).cast("double").alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q14_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: exact COUNT(DISTINCT) per group (expand + two-phase agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: ROLLUP(n_name, c_mktsegment) + GROUPING() flags."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        )
+        .orderBy(
+            F.col("g_nation"),
+            F.col("g_segment"),
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: HAVING — post-aggregation filter on the exact decimal sum."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(_dec("o_totalprice")).alias("_total"))
+    )
+    return (
+        agg.filter(F.col("_total") > 1000000)
+        .select("c_mktsegment", _r2d(F.col("_total")).alias("total_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q17_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: global (no-group) aggregate over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _r2d(F.sum(_dec("l_extendedprice"))).alias("total_price"),
+        _r2d(F.min("l_quantity")).alias("min_qty"),
+        _r2d(F.max("l_quantity")).alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E. Window functions
+# --------------------------------------------------------------------------
+
+def q18_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: row_number/rank/dense_rank/ntile — top-3 orders per customer.
+
+    Partition by customer: the sort is per-key within a shuffle
+    partition, never a global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q19_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: lag — day gap between consecutive orders per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.datediff(F.col("o_orderdate").cast("date"), prev)
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+def q20_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: running revenue per customer (rows frame, exact decimal)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            _r2d(F.sum(_dec("o_totalprice")).over(w)).alias("running_total"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F. Sort / limit / set ops
+# --------------------------------------------------------------------------
+
+def q21_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: desc sort with explicit NULLS LAST, validated via row_number.
+
+    The global rank column freezes the NULL placement into values so
+    the order-insensitive hash still checks ordering semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri")
+    w = Window.orderBy(F.col("pri").desc_nulls_last(), F.col("o_orderkey"))
+    return (
+        orders.select("o_orderkey", pri)
+        .withColumn("rnk", F.row_number().over(w))
+        .orderBy("rnk")
+    )
+
+
+def q22_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: top-10 parts by exact revenue (TakeOrderedAndProject)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.sum(_revenue()).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("p_partkey"))
+        .limit(10)
+        .select("p_partkey", "p_name", _r2d(F.col("_rev")).alias("revenue"))
+        .orderBy("p_partkey")
+    )
+
+
+def q23_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: UNION ALL of two slices + duplicate accounting."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        a.unionByName(b)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+def q24_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: INTERSECT and EXCEPT (distinct semantics), tagged + unioned."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    both = a.intersect(b).select("c_custkey", F.lit("both").alias("tag"))
+    only_a = a.subtract(b).select("c_custkey", F.lit("only_rich").alias("tag"))
+    return both.unionByName(only_a).orderBy("tag", "c_custkey")
+
+
+def q25_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: DISTINCT pairs (one exchange on the pair key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .orderBy("nationkey", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# G. Scalar function families
+# --------------------------------------------------------------------------
+
+def q26a_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: substr/upper/lower/trim/concat/split/regexp/length on part."""
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.substring("p_name", 1, 4).alias("prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.trim(F.col("p_type")).alias("type_trim"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word_re"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("devowel"),
+            F.size(toks).alias("n_words"),
+            toks.getItem(0).alias("word0"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q26b_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: year/month/day, date_add, datediff, date_trunc, to_timestamp."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_add(od, 30).cast("string").alias("plus30"),
+            F.datediff(od, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+                "days_since_epoch0"
+            ),
+            F.date_trunc("month", "o_orderdate").cast("string").alias("month_start"),
+            F.to_timestamp(F.lit("2024-01-01 12:34:56")).cast("timestamp_ntz")
+            .cast("string")
+            .alias("const_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q26c_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: round/floor/ceil/abs/mod/power/ln/sqrt on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("r1"),
+            F.floor("l_extendedprice").cast("bigint").alias("fl"),
+            F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).cast("double").alias("ab"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("md"),
+            F.round(F.pow(F.col("l_quantity"), 2), 2).cast("double").alias("pw"),
+            F.round(F.log(F.col("l_extendedprice")), 6).cast("double").alias("lnp"),
+            F.round(F.sqrt(F.col("l_quantity")), 6).cast("double").alias("sq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q26d_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: size/element_at/array_min/array_max/sort_array on embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
+            F.round(F.array_min("embedding").cast("double"), 4).alias("emin"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("emax"),
+            F.round(
+                F.element_at(F.sort_array("embedding"), 2).cast("double"), 4
+            ).alias("second_smallest"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q26e_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: JSON extraction from events.props ('{"k": N}') + agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            _r2d(F.sum(_dec("s_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

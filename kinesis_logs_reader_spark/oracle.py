@@ -1,0 +1,360 @@
+"""DuckDB oracle SQL for every declared query (SURVEY.md §2.2).
+
+One ANSI-SQL string per ``queries()`` key, runnable by DuckDB against
+the same parquet tables (views: region nation customer supplier part
+orders lineitem events documents embeddings). Column aliases match the
+Spark DataFrames exactly — the driver sorts columns by name before
+hashing values.
+
+Dialect notes encoded here (vs the Spark side):
+- money aggregates use the same DECIMAL(18,2) exact arithmetic;
+- double->bigint casts always go through FLOOR (DuckDB rounds, Spark
+  truncates);
+- ``regexp_replace(..., 'g')`` (DuckDB replaces first match only by
+  default; Spark replaces all);
+- lists are 1-indexed in DuckDB vs ``getItem(0)`` in Spark;
+- ``date_diff('day', a, b)`` == Spark ``datediff(b, a)``.
+"""
+
+from __future__ import annotations
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["q01_project_arith"] = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE["q02_filter_predicates"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus LIKE 'F%'
+  AND NOT (l_discount < 0.02)
+  AND l_quantity BETWEEN 10 AND 40
+  AND l_extendedprice IS NOT NULL
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE["q03_case_when"] = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       o_orderstatus,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY tier, o_orderstatus
+ORDER BY tier, o_orderstatus
+"""
+
+ORACLE["q04_cast_coalesce"] = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+       CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) AS price_str,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day_str
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLE["q05_join_inner"] = f"""
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+ORACLE["q06_join_broadcast"] = """
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+ORACLE["q07_join_left_outer"] = """
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE), 0.0)
+         AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+ORACLE["q08_join_semi"] = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+ORACLE["q09_join_anti"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+ORACLE["q10_join_range"] = """
+SELECT p_partkey, SUM(cnt) AS n_items_le_size
+FROM part
+JOIN (SELECT l_quantity AS qty, COUNT(*) AS cnt FROM lineitem GROUP BY l_quantity) q
+  ON q.qty <= p_size
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+ORACLE["q11_join_cross"] = """
+SELECT r_name, segment
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment AS segment FROM customer) s
+ORDER BY r_name, segment
+"""
+
+ORACLE["q12_join_self"] = """
+SELECT a.o_custkey AS custkey, COUNT(*) AS pair_cnt
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey AND b.o_orderdate > a.o_orderdate
+GROUP BY a.o_custkey
+ORDER BY custkey
+"""
+
+ORACLE["q13_tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS DOUBLE) AS avg_qty,
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS DOUBLE) AS avg_price,
+       CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["q14_count_distinct"] = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_custkey) AS n_cust,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE["q15_rollup"] = """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+"""
+
+ORACLE["q16_having"] = """
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
+ORDER BY c_mktsegment
+"""
+
+ORACLE["q17_global_agg"] = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(ROUND(MIN(l_quantity), 2) AS DOUBLE) AS min_qty,
+       CAST(ROUND(MAX(l_quantity), 2) AS DOUBLE) AS max_qty
+FROM lineitem
+"""
+
+ORACLE["q18_window_rank"] = """
+SELECT o_custkey, o_orderkey, rn, rk, drk, quartile
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rk,
+         DENSE_RANK() OVER w AS drk,
+         NTILE(4) OVER w AS quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLE["q19_window_lag"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(date_diff('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+FROM orders
+ORDER BY custkey, orderkey
+"""
+
+ORACLE["q20_window_running_sum"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS running_total
+FROM orders
+ORDER BY custkey, orderkey
+"""
+
+ORACLE["q21_sort_nulls"] = """
+SELECT o_orderkey, pri, rnk
+FROM (
+  SELECT o_orderkey,
+         NULLIF(o_orderpriority, '1-URGENT') AS pri,
+         ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderpriority, '1-URGENT') DESC NULLS LAST,
+                            o_orderkey) AS rnk
+  FROM orders
+) t
+ORDER BY rnk
+"""
+
+ORACLE["q22_topk"] = f"""
+SELECT p_partkey, p_name, CAST(ROUND(_rev, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT p_partkey, p_name, SUM({_REV}) AS _rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_partkey, p_name
+  ORDER BY _rev DESC, p_partkey
+  LIMIT 10
+) t
+ORDER BY p_partkey
+"""
+
+ORACLE["q23_union"] = """
+SELECT c_custkey, COUNT(*) AS dup_cnt
+FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) u
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+ORACLE["q24_intersect_except"] = """
+SELECT c_custkey, tag FROM (
+  SELECT c_custkey, 'both' AS tag FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  ) i
+  UNION ALL
+  SELECT c_custkey, 'only_rich' AS tag FROM (
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  ) e
+) t
+ORDER BY tag, c_custkey
+"""
+
+ORACLE["q25_distinct"] = """
+SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS segment
+FROM customer
+ORDER BY nationkey, segment
+"""
+
+ORACLE["q26a_string_funcs"] = """
+SELECT p_partkey,
+       UPPER(p_name) AS up,
+       LOWER(p_brand) AS lo,
+       SUBSTR(p_name, 1, 4) AS prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT(p_brand, '/', p_type) AS brand_type,
+       TRIM(p_type) AS type_trim,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word_re,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devowel,
+       CAST(len(str_split(p_name, ' ')) AS INT) AS n_words,
+       str_split(p_name, ' ')[1] AS word0
+FROM part
+ORDER BY p_partkey
+"""
+
+ORACLE["q26b_datetime_funcs"] = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dy,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_epoch0,
+       CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS month_start,
+       CAST(TIMESTAMP '2024-01-01 12:34:56' AS VARCHAR) AS const_ts
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLE["q26c_math_funcs"] = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS r1,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
+       CAST(ROUND(ABS(l_discount - 0.05), 4) AS DOUBLE) AS ab,
+       CAST(l_orderkey % 7 AS BIGINT) AS md,
+       CAST(ROUND(POWER(l_quantity, 2), 2) AS DOUBLE) AS pw,
+       CAST(ROUND(LN(l_extendedprice), 6) AS DOUBLE) AS lnp,
+       CAST(ROUND(SQRT(l_quantity), 6) AS DOUBLE) AS sq
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE["q26d_array_funcs"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS e1,
+       CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) AS emin,
+       CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) AS emax,
+       CAST(ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS DOUBLE) AS second_smallest
+FROM embeddings
+ORDER BY vec_id
+"""
+
+ORACLE["q26e_json_funcs"] = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE["q36_supplier_nation"] = """
+SELECT n_name, COUNT(*) AS n_supp,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""

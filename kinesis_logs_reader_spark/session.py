@@ -1,0 +1,69 @@
+"""SparkSession construction and runtime configuration.
+
+Scale posture (100 TB / 1000-executor target, tested on local[32]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast-join demotion/promotion replace hand-tuning.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down, so a large default is safe at scale and cheap locally.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (SURVEY.md §7.4 rule 5).
+- Arrow enabled for any Python <-> JVM transfer (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Conf that are safe (and required) to set on an already-running session,
+# e.g. the driver-provided session handed to __spark_entry__ callables.
+_RUNTIME_CONF = {
+    # Determinism vs the DuckDB oracle (SURVEY.md §7.4).
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: coalesce shuffle partitions, split skewed
+    # partitions, convert to broadcast joins at runtime.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable on this build; builder path covers it.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "kinesis-logs-reader-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    ``master=None`` defers to the environment (spark-submit / cluster
+    manager); tests pass ``local[32]``.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.config("spark.master", master)
+    builder = (
+        builder
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)

@@ -1,0 +1,60 @@
+"""Batch table sources: the driver-generated Parquet star schema.
+
+Loads /root/testdata/sf*/ tables (TESTDATA.md) as typed DataFrames.
+Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+pushdown, column pruning, and partition planning for free — at 100 TB
+these tables would be directories of many files and the same code holds.
+
+The only special case: ``events.ts`` is parquet TIMESTAMP(NANOS), which
+Spark's parquet reader rejects outright. We read it as a long
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert to microsecond
+TIMESTAMP_NTZ, which matches DuckDB's read of the same file (DuckDB
+truncates ns -> us and yields a naive TIMESTAMP).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.session import configure_runtime
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet`` as a typed DataFrame."""
+    configure_runtime(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ns since epoch (long) -> us TIMESTAMP_NTZ; `div` truncates like
+        # DuckDB's ns->us truncation, so both engines see identical values.
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
