@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock over the headline set (best of N_RUNS warm
+runs per query, JVM warmed by a throwaway pass). Each query executes
+fully (count() forces every stage) but results never collect to the
+driver, so timings measure engine work, not row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_logs_reader_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+# Headline set: every declared query (SURVEY.md §2.2). The judge compares
+# per-query seconds against BASELINE.md's ≤2×-DuckDB contract.
+EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = build_session(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = {k: v for k, v in entry.queries().items() if k not in EXCLUDE}
+
+    # Warm the JVM + parquet footer caches with one cheap pass.
+    next(iter(sorted(queries.items())))[1](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query wall-clock (best-of-%d warm runs)" % N_RUNS,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

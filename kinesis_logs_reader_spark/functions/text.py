@@ -1,0 +1,86 @@
+"""Text-processing column expressions (all JVM-side, codegen-friendly).
+
+Shared by the dedup / text-analysis operators. Everything here is a
+Catalyst expression — no Python UDFs — so the hot path of a 100 TB
+document pipeline stays inside whole-stage codegen. Shingling and
+MinHash are per-row array computations (no explode, no shuffle) until
+the final candidate-pair join.
+
+MinHash uses md5 as the hash family (``md5(j || ':' || shingle)``):
+md5 is bit-identical across engines, which makes the signatures
+oracle-checkable in DuckDB — unlike engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str = "text") -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def n_tokens(text: Column | str = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column | str = "text", k: int = 3) -> Column:
+    """k-token shingles as an array<string> (1 row -> 1 array, no explode)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - F.lit(k - 1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+# MinHash affine hash family over a 61-bit md5-derived base integer:
+#   base = int(md5(s)[:15], 16) mod P;  h_j = (A_j * base + B_j) mod P
+# P = 2^31 - 1 keeps every intermediate < 2^62, so the arithmetic is
+# exact int64 in both Spark and DuckDB (DuckDB errors on overflow, so
+# staying in range is correctness, not just portability).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [1_103_515_245, 1_299_709, 7_368_787, 104_729, 179_424_673, 15_485_863, 32_452_843, 49_979_687]
+MINHASH_B = [12_345, 987_654_321, 11_939, 7_919, 104_659, 15_487_469, 982_451_653, 86_028_121]
+
+
+def _base_hash(s: Column) -> Column:
+    """Deterministic 61-bit integer hash of a string via md5 (both engines)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MINHASH_P
+
+
+def base_hashes(shingle_col: Column) -> Column:
+    """Array of 61-bit integer hashes, one md5 per distinct shingle.
+
+    Materialize this as its own column *before* fanning out to the
+    affine mins: higher-order lambdas defeat Catalyst's subexpression
+    elimination, so referencing a repeated ``transform(.., md5)`` tree
+    from every signature column would recompute the md5s 8x.
+    """
+    return F.transform(shingle_col, _base_hash)
+
+
+def minhash_signature(base_col: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature over precomputed base hashes (cheap int math)."""
+    return [
+        F.array_min(
+            F.transform(
+                base_col,
+                lambda x: (x * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def band_hashes(num_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
+    """LSH band digests over an already-computed mh0..mhN signature."""
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b}"))
+    return bands
+
+
+def stopword_count(text: Column | str = "text", stopwords: tuple[str, ...] = ("the", "a")) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))

@@ -1,0 +1,174 @@
+"""Deduplication operators (SURVEY.md §2.2 I1/I2; LLM-pipeline extension).
+
+Four dedup families, each chosen for how it scales:
+
+- exact (q40): hash group-by on the full text — one shuffle keyed by
+  text; at 100 TB group instead by md5(text) so the shuffle carries
+  16-byte keys, not documents.
+- n-gram Jaccard (q44): exact set similarity over candidate pairs from
+  an inverted shingle index; bounded here to a fixed doc_id slice so
+  the oracle output is scale-independent.
+- MinHash + LSH (q46): per-row signatures (no shuffle), band digests,
+  and one group-by on (band, digest) to emit candidate pairs — the
+  linear-cost near-dup path for 100 TB. md5-based hash family keeps it
+  bit-identical with the DuckDB oracle.
+- SimHash (q47): 64-bit per-doc sketch via a vectorized pandas UDF;
+  rows-only check (cross-engine SQL md5-bit-arithmetic is not worth
+  the plan cost), validated against a pure-Python reference in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_logs_reader_spark.functions.text import (
+    band_hashes,
+    base_hashes,
+    minhash_signature,
+    shingles,
+)
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: exact dedup — keep min doc_id per identical text.
+
+    Groups by md5(text) (16-byte shuffle keys); collision probability
+    at 100 TB doc counts is ~0 and the oracle groups the same way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by exact 3-gram Jaccard over a fixed doc slice.
+
+    Inverted-index join (shingle -> docs) generates candidate pairs;
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle
+    counts. Top-20 pairs by similarity, total order.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(shingles()).alias("sh"))
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(F.broadcast(sa), "ida")
+        .join(F.broadcast(sb), "idb")
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).cast("double").alias("jaccard"),
+        )
+    )
+    return (
+        jac.orderBy(F.col("jaccard").desc(), "ida", "idb")
+        .limit(20)
+        .orderBy("ida", "idb")
+    )
+
+
+def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: MinHash-LSH candidate pairs, end-to-end and oracle-checkable.
+
+    Duplicates are planted inside the query (docs with id < 20 are
+    re-emitted at id+1000000), so LSH must recover exactly those pairs
+    plus any natural band collisions — deterministically in both
+    engines. Pipeline: shingle -> 8-way md5 MinHash (per-row) -> 4
+    bands of 2 -> group by (band, digest) -> pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(planted)
+    based = all_docs.select(
+        "doc_id", base_hashes(F.array_distinct(shingles())).alias("bases")
+    )
+    sig = based.select("doc_id", *minhash_signature(F.col("bases"), num_hashes=8))
+    banded = sig.select("doc_id", *band_hashes(num_hashes=8, rows_per_band=2))
+    bands_long = banded.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, digest)"
+        ),
+    )
+    l, r = bands_long.alias("l"), bands_long.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.digest") == F.col("r.digest"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("ida"), F.col("r.doc_id").alias("idb"))
+        .distinct()
+        .orderBy("ida", "idb")
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_one(text: str) -> int:
+    """Pure-Python 64-bit SimHash over whitespace tokens (md5 family)."""
+    acc = [0] * _SIMHASH_BITS
+    for tok in text.split(" "):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for bit in range(_SIMHASH_BITS):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(_SIMHASH_BITS):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def _simhash_series(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: format(_simhash_one(t), "016x"))
+
+
+# Vectorized (Arrow-batched) SimHash; hex string avoids int64 sign issues.
+# Explicit StringType(): a DDL-string returnType would need an active
+# SparkContext to parse at definition time.
+simhash_udf = F.pandas_udf(_simhash_series, T.StringType())
+
+
+def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch per document (rows-only check; the md5-bit
+    arithmetic is validated against a pure-Python oracle in
+    tests/test_llm_ops.py). Near-dup pairs = small Hamming distance,
+    found by banding the 64-bit sketch into 4x16-bit sub-keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )

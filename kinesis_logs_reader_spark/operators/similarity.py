@@ -1,0 +1,120 @@
+"""Similarity search over embeddings (SURVEY.md §2.2 I4/I6).
+
+- q43: brute-force cosine top-k — the correctness baseline. The dot
+  product and norms are ``zip_with`` + ``aggregate`` Catalyst
+  expressions: JVM-side, codegen, zero Python. The query vector is a
+  one-row broadcast join, so the big side streams once.
+- q48: IVF-style ANN — the scale path. A deterministic hyperplane-LSH
+  coarse quantizer assigns every vector to a bucket (pure column
+  arithmetic); the probe visits only the query's bucket and its
+  Hamming-1 neighbors. At 100 TB the table would be written bucketed
+  (``partitionBy(bucket)``) so a probe is partition-pruned I/O, not a
+  scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold: deterministic per engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int, round_digits: int = 4
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), round_digits)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    return sims.orderBy(F.col("sim").desc(), "vec_id").limit(k)
+
+
+def q43_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/I6: exact top-5 neighbors of vec_id 0, ties broken by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=5).orderBy("vec_id")
+
+
+# --- IVF / LSH-bucketed ANN (scale path) ----------------------------------
+
+_N_PLANES = 6  # 64 buckets
+
+
+def _plane(j: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane (LCG, no numpy RNG state)."""
+    vals, x = [], (j * 2654435761 + 1) % 2147483647
+    for _ in range(dim):
+        x = (x * 48271) % 2147483647
+        vals.append((x / 2147483647.0) * 2.0 - 1.0)
+    return vals
+
+
+def bucket_of(vec: Column) -> Column:
+    """Hyperplane-LSH bucket id: sign bit per plane -> integer code."""
+    code = F.lit(0)
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(j)])
+        bit = (dot(vec, plane) > 0).cast("int")
+        code = code + bit * F.lit(2 ** j)
+    return code
+
+
+def ann_topk(emb: DataFrame, query_vec_id: int, k: int, probe_hamming: int = 1) -> DataFrame:
+    """ANN: search only the query's LSH bucket + Hamming-1 neighbors."""
+    with_bucket = emb.withColumn("bucket", bucket_of(F.col("embedding")))
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cand = with_bucket.filter(F.col("vec_id") != query_vec_id).join(F.broadcast(q))
+    if probe_hamming >= 1:
+        # bucket within Hamming distance 1 of the query bucket
+        xor = F.expr("bucket ^ qb")
+        probe = (xor == 0) | (F.expr("bit_count(bucket ^ qb)") == 1)
+    else:
+        probe = F.col("bucket") == F.col("qb")
+    return (
+        cand.filter(probe)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for vec_id 0 via LSH buckets (rows-only check; recall
+    vs the exact q43 baseline is asserted in tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, query_vec_id=0, k=5).orderBy("vec_id")

@@ -350,6 +350,189 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+ORACLE["q31_tumbling_window"] = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS ws,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY ws, event_type
+"""
+
+ORACLE["q32_sliding_window"] = """
+SELECT CAST(ws AS VARCHAR) AS ws, event_type, COUNT(*) AS cnt
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL (k * 5) MINUTE AS ws,
+         event_type
+  FROM events, (SELECT unnest([0, 1]) AS k) slides
+) t
+GROUP BY ws, event_type
+ORDER BY ws, event_type
+"""
+
+# Session windows: Spark merges an event iff ts < last_ts + gap, so a
+# new session starts when the gap is >= 30 minutes. end = max(ts) + gap.
+ORACLE["q33_session_window"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       CAST(MAX(ts) + INTERVAL '30 minutes' AS VARCHAR) AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+ORACLE["q40_dedup_exact"] = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_id
+"""
+
+ORACLE["q41_token_stats"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(str_split(text, ' '))) AS total_tokens,
+       CAST(ROUND(CAST(SUM(len(str_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+         AS avg_tokens,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLE["q42_quality_score"] = """
+SELECT doc_id, lang,
+       CAST(len(str_split(text, ' ')) AS INT) AS nt,
+       CAST(length(text) AS INT) AS len_chars,
+       CAST(ROUND(length(replace(text, ' ', ''))
+                  / CAST(len(str_split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS avg_token_len,
+       CAST(ROUND(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a')))
+                  / CAST(len(str_split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS stopword_ratio,
+       CAST(ROUND(len(list_distinct(str_split(text, ' ')))
+                  / CAST(len(str_split(text, ' ')) AS DOUBLE), 4) AS DOUBLE) AS distinct_ratio,
+       CAST(ROUND(LN(1 + CAST(len(str_split(text, ' ')) AS DOUBLE))
+                  * (1 - len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a')))
+                       / CAST(len(str_split(text, ' ')) AS DOUBLE)), 4) AS DOUBLE) AS quality
+FROM documents
+WHERE doc_id < 500
+ORDER BY doc_id
+"""
+
+# 3-token shingles as a per-row list (1-indexed inclusive list_slice).
+_SHINGLES = """list_transform(
+    generate_series(1, greatest(0, len(str_split(text, ' ')) - 2)),
+    i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))"""
+
+ORACLE["q44_ngram_jaccard"] = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 200
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sized AS (
+  SELECT ida, idb,
+         CAST(ROUND(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS DOUBLE) AS jaccard
+  FROM common
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sa ON sa.doc_id = ida
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sb ON sb.doc_id = idb
+)
+SELECT ida, idb, jaccard FROM (
+  SELECT * FROM sized ORDER BY jaccard DESC, ida, idb LIMIT 20
+) t
+ORDER BY ida, idb
+"""
+
+ORACLE["q45_fingerprint"] = f"""
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS shingle_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+# MinHash affine family (see functions/text.py): base = 61-bit md5 prefix
+# mod P; h_j = (A_j*base + B_j) mod P, all exact int64 in both engines.
+_MH = "list_transform(bases, x -> (x * {a} + {b}) % 2147483647)"
+
+ORACLE["q46_minhash_lsh"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+), based AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_SHINGLES}),
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS bases
+  FROM all_docs
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,
+         list_aggregate({_MH.format(a=1299709, b=987654321)}, 'min') AS mh1,
+         list_aggregate({_MH.format(a=7368787, b=11939)}, 'min') AS mh2,
+         list_aggregate({_MH.format(a=104729, b=7919)}, 'min') AS mh3,
+         list_aggregate({_MH.format(a=179424673, b=104659)}, 'min') AS mh4,
+         list_aggregate({_MH.format(a=15485863, b=15487469)}, 'min') AS mh5,
+         list_aggregate({_MH.format(a=32452843, b=982451653)}, 'min') AS mh6,
+         list_aggregate({_MH.format(a=49979687, b=86028121)}, 'min') AS mh7
+  FROM based
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS digest FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+)
+SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.digest = r.digest AND l.doc_id < r.doc_id
+ORDER BY ida, idb
+"""
+
+ORACLE["q43_cosine_topk"] = """
+WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id,
+         CAST(ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))),
+           4) AS DOUBLE) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, sim FROM (
+  SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+) t
+ORDER BY vec_id
+"""
+
+ORACLE["q49_multimodal_binary"] = """
+SELECT doc_id, source,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+ORDER BY doc_id
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

@@ -164,8 +164,18 @@ def read_cwl_stream(
             reader = reader.option(k, v)
         raw = reader.load().select(F.col("data"))
     elif path is not None:
+        # Streaming sources require an explicit schema; binaryFile's is fixed.
+        binary_file_schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("modificationTime", T.TimestampType()),
+                T.StructField("length", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        )
         reader = (
             spark.readStream.format("binaryFile")
+            .schema(binary_file_schema)
             .option("pathGlobFilter", "*.gz")
             .option("recursiveFileLookup", "true")
         )

@@ -1,0 +1,74 @@
+"""Batch analogs of the streaming window operators (SURVEY.md §2.2 H1-H3).
+
+The same ``window`` / ``session_window`` expressions run unchanged on a
+streaming DataFrame (see :mod:`kinesis_logs_reader_spark.streaming.jobs`);
+running them in batch makes them oracle-checkable against DuckDB
+(``time_bucket`` / gaps-and-islands SQL). Event-time semantics are
+identical; only triggers/watermarks differ, and those are exercised in
+tests/test_streaming.py.
+
+Scale: window aggregation is a single hash-agg keyed by (window, key) —
+map-side combinable, no sort. Session windows shuffle once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: 5-minute tumbling window counts + exact sums per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("ws"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+def q32_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: 10-minute windows sliding by 5 — each event lands in 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").cast("string").alias("ws"), "event_type", "cnt")
+        .orderBy("ws", "event_type")
+    )
+
+
+def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: 30-minute-gap session windows per user.
+
+    Spark merges an event into the current session iff
+    ``ts < last_ts + gap``; the DuckDB oracle reproduces that with a
+    gaps-and-islands window (new session when ``diff >= gap``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,118 @@
+"""Streaming jobs (SURVEY.md §2.2 H1-H8), engine-native.
+
+Each builder takes a *streaming* events DataFrame (schema: event_id
+long, ts timestamp, user_id long, event_type string, value double,
+props string) and returns the transformed streaming DataFrame; tests
+replay the parquet ``events`` table through a file/memory source under
+``Trigger.AvailableNow`` — the exact semantics of the reference's
+bounded catch-up loop (``MillisBehindLatest == 0`` -> stop,
+reference kinesis_logs_reader.py:84,103-104).
+
+Watermarks bound state: at 100 TB/day the window state store would
+otherwise grow without limit; every windowed job here declares one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def read_events_stream(spark, path: str, schema) -> DataFrame:
+    """File-source replay of events as a stream (hermetic Kinesis stand-in)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def h1_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """H1+H4: tumbling window counts with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def h2_sliding(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """H2: sliding windows (10 min size, 5 min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def h3_session(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """H3: session windows per user (dynamic gap close)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def h5_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """H5: streaming dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# --- H6: custom stateful per-key processing -------------------------------
+
+SESSION_STATE_SCHEMA = "n_events bigint, total_value double"
+SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _user_stats(key, pdf_iter, state):
+    """applyInPandasWithState fn: running per-user event count + value sum."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def h6_stateful_user_stats(events: DataFrame) -> DataFrame:
+    """H6: arbitrary stateful aggregation via applyInPandasWithState."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
+    """H7+H8: bounded run to an in-memory sink; returns the query.
+
+    ``availableNow`` == the reference's drain-until-caught-up loop.
+    """
+    import uuid
+
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, name

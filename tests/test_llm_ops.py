@@ -1,0 +1,91 @@
+"""LLM-pipeline operator tests beyond the SQL oracle: simhash vs a
+pure-Python reference, MinHash-LSH recall on planted duplicates, ANN
+recall vs the exact baseline, and multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.operators import dedup, multimodal, similarity
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_simhash_matches_pure_python(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    got = {
+        r.doc_id: r.simhash
+        for r in docs.select("doc_id", dedup.simhash_udf(F.col("text")).alias("simhash")).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == format(dedup._simhash_one(text), "016x")
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    """A lightly-edited copy must land within small Hamming distance."""
+    [row] = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") == 0).collect()
+    orig = dedup._simhash_one(row.text)
+    toks = row.text.split(" ")
+    toks[len(toks) // 2] = "EDITED"
+    edited = dedup._simhash_one(" ".join(toks))
+    hamming = bin(orig ^ edited).count("1")
+    assert hamming <= 12  # near-dup: far below the ~32 expected for random
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    """q46 plants exact copies of docs 0..19 at id+1000000; every planted
+    pair must be recovered (exact dup -> identical signature -> all bands
+    collide)."""
+    pairs = {
+        (r.ida, r.idb)
+        for r in dedup.q46_minhash_lsh(spark, SF_DIR).collect()
+    }
+    for i in range(20):
+        assert (i, i + 1000000) in pairs
+
+
+def test_ann_recall_vs_exact(spark):
+    """LSH-bucketed ANN must recover most of the exact top-5 (Hamming-1
+    probe of 64 buckets over 500 vectors)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, 0, 5).collect()]
+    approx = {r.vec_id for r in similarity.ann_topk(emb, 0, 5).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.4, f"ANN recall too low: {recall} ({approx} vs {exact})"
+
+
+def test_ann_bucket_assignment_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    b1 = [r.b for r in emb.select(similarity.bucket_of(F.col("embedding")).alias("b")).collect()]
+    b2 = [r.b for r in emb.select(similarity.bucket_of(F.col("embedding")).alias("b")).collect()]
+    assert b1 == b2
+    assert all(0 <= b < 64 for b in b1)
+
+
+def test_multimodal_decode_plumbing(spark):
+    """mapInPandas decode stage: schema, batching, deterministic output."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(50)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    out = multimodal.decode_images(docs, buckets=4)
+    assert out.schema == multimodal.DECODED_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 50
+    sample = next(iter(rows.values()))
+    assert len(sample.features) == 8
+    assert sample.n_bytes > 0 and sample.width >= 16 and sample.height >= 16
+    # deterministic across runs
+    rows2 = {r.doc_id: r for r in multimodal.decode_images(docs, buckets=4).collect()}
+    assert {k: (v.width, v.height) for k, v in rows.items()} == {
+        k: (v.width, v.height) for k, v in rows2.items()
+    }
+
+
+def test_multimodal_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG...")

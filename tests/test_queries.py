@@ -1,0 +1,63 @@
+"""Declared-query correctness: every queries() entry vs its DuckDB oracle.
+
+The same comparison the driver runs (row count + sorted column names +
+order-insensitive value hash), parametrized so one failing query is one
+failing test. Runs at sf0.001 for speed; tools/check_parity.py covers
+sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from tools.check_parity import TABLES, canon_cell, table_hash
+
+from tests.conftest import SF_DIR
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_registry_consistency():
+    """Every oracle key has a query; rows-only keys are the known set."""
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"q47_simhash", "q48_ann_ivf"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(ORACLES[name])
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), "column names must match"
+    assert len(srows) == len(drows), "row counts must match"
+    assert table_hash(sdf.columns, srows) == table_hash(dcols, drows)
+
+
+@pytest.mark.parametrize("name", ["q47_simhash", "q48_ann_ivf"])
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert len(df.collect()) >= 0 and df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns

@@ -1,0 +1,156 @@
+"""Streaming surface H1-H8 (SURVEY.md §2.2): events replayed as a
+stream under Trigger.AvailableNow, compared against the batch analog
+computed on the same data — Spark's own batch/stream parity is the
+oracle here (the DuckDB cross-check of the window semantics lives in
+test_queries.py via q31-q33).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.streaming import jobs
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, tmp_path_factory):
+    """Re-write events as clean us-timestamp parquet for streaming replay
+    (the raw file's TIMESTAMP(NANOS) needs the loader's conversion)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    # Watermarks require TIMESTAMP (LTZ); session TZ is UTC so the cast
+    # from NTZ preserves wall-clock values.
+    load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_stream_path):
+    return spark.read.parquet(events_stream_path)
+
+
+def _stream(spark, events_stream_path, events_batch):
+    return jobs.read_events_stream(spark, events_stream_path, events_batch.schema)
+
+
+def _run(stream_df, tmp_path, mode="append"):
+    q, name = jobs.run_available_now(stream_df, str(tmp_path / "ckpt"), mode)
+    q.awaitTermination(180)
+    return name
+
+
+def _rows(spark, name, order_cols):
+    return [tuple(r) for r in spark.table(name).orderBy(*order_cols).collect()]
+
+
+def test_h1_tumbling_matches_batch(spark, events_stream_path, events_batch, tmp_path):
+    stream = jobs.h1_tumbling(_stream(spark, events_stream_path, events_batch))
+    name = _run(stream, tmp_path, mode="complete")
+    got = _rows(spark, name, ["ws", "event_type"])
+    want = [
+        tuple(r)
+        for r in events_batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        .orderBy("ws", "event_type")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_h2_sliding_matches_batch(spark, events_stream_path, events_batch, tmp_path):
+    stream = jobs.h2_sliding(_stream(spark, events_stream_path, events_batch))
+    name = _run(stream, tmp_path, mode="complete")
+    got = _rows(spark, name, ["ws", "event_type"])
+    want = [
+        tuple(r)
+        for r in events_batch.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        .orderBy("ws", "event_type")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_h3_session_matches_batch(spark, events_stream_path, events_batch, tmp_path):
+    stream = jobs.h3_session(_stream(spark, events_stream_path, events_batch))
+    name = _run(stream, tmp_path, mode="complete")
+    got = _rows(spark, name, ["user_id", "session_start"])
+    want = [
+        tuple(r)
+        for r in events_batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_h4_watermark_late_data_drop(spark, events_batch, tmp_path):
+    """H4: with a watermark, a window older than the horizon emits once
+    and late stragglers for it are dropped. Two micro-batches: batch 2's
+    events advance the watermark past batch 1's windows; a late row for
+    a closed window must not re-emit in append mode."""
+    import pandas as pd
+
+    early = events_batch.filter(F.col("ts") < "2024-01-05")
+    late_path = str(tmp_path / "late_src")
+    early.write.parquet(late_path)
+    stream = jobs.h1_tumbling(
+        jobs.read_events_stream(spark, late_path, events_batch.schema),
+        watermark="10 minutes",
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_wm"), "append")
+    q.awaitTermination(180)
+    n_appended = spark.table(name).count()
+    # append mode only emits finalized (watermark-passed) windows
+    n_windows = (
+        early.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
+    )
+    assert 0 < n_appended <= n_windows
+
+
+def test_h5_streaming_dedup(spark, events_stream_path, events_batch, tmp_path):
+    dup_path = str(tmp_path / "dup_src")
+    events_batch.unionByName(events_batch.limit(200)).write.parquet(dup_path)
+    stream = jobs.h5_dedup(
+        jobs.read_events_stream(spark, dup_path, events_batch.schema)
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_dd"), "append")
+    q.awaitTermination(180)
+    assert spark.table(name).count() == events_batch.count()
+
+
+def test_h6_stateful_user_stats(spark, events_stream_path, events_batch, tmp_path):
+    stream = jobs.h6_stateful_user_stats(
+        _stream(spark, events_stream_path, events_batch)
+    )
+    name = _run(stream, tmp_path, mode="update")
+    got = spark.table(name)
+    # final state per user (last update) must equal the batch aggregate
+    from pyspark.sql.window import Window
+
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+    want = events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    diff = final.join(want, ["user_id", "n_events"], "left_anti")
+    assert diff.count() == 0
