@@ -59,6 +59,41 @@ def base_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, _base_hash)
 
 
+# Shingle hashes without shingle strings: hash each TOKEN once (md5),
+# then combine 3 consecutive token hashes linearly mod P. Each product
+# is reduced mod P before the sum so every intermediate stays < 2^62
+# (DuckDB errors on int64 overflow). ~3x fewer bytes through md5 and
+# zero string concatenation vs hashing "tok1 tok2 tok3" strings.
+SHINGLE_C = [912_367_891, 1_500_450_271, 2_038_074_743]
+
+
+def token_base_hashes(text: Column | str = "text") -> Column:
+    """array<bigint>: one md5-derived 31-bit hash per token.
+
+    MUST be materialized as its own projection before feeding
+    :func:`token_shingle_hashes` — passing the raw expression tree
+    would inline the whole array build into every ``element_at``,
+    turning n md5s into O(n^2).
+    """
+    return F.transform(tokens(text), _base_hash)
+
+
+def token_shingle_hashes(tb_col: Column, k: int = 3) -> Column:
+    """array<bigint> of distinct k-token shingle hashes over a
+    *materialized* token-hash array column (see token_base_hashes)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tb_col) - F.lit(k - 1)))
+    combined = F.transform(
+        idx,
+        lambda i: (
+            (F.element_at(tb_col, i) * F.lit(SHINGLE_C[0])) % F.lit(MINHASH_P)
+            + (F.element_at(tb_col, i + 1) * F.lit(SHINGLE_C[1])) % F.lit(MINHASH_P)
+            + (F.element_at(tb_col, i + 2) * F.lit(SHINGLE_C[2])) % F.lit(MINHASH_P)
+        )
+        % F.lit(MINHASH_P),
+    )
+    return F.array_distinct(combined)
+
+
 def minhash_signature(base_col: Column, num_hashes: int = 8) -> list[Column]:
     """MinHash signature over precomputed base hashes (cheap int math)."""
     return [

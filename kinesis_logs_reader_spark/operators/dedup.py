@@ -28,9 +28,10 @@ from pyspark.sql import types as T
 
 from kinesis_logs_reader_spark.functions.text import (
     band_hashes,
-    base_hashes,
     minhash_signature,
     shingles,
+    token_base_hashes,
+    token_shingle_hashes,
 )
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -109,9 +110,11 @@ def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     all_docs = docs.unionByName(planted)
-    based = all_docs.select(
-        "doc_id", base_hashes(F.array_distinct(shingles())).alias("bases")
-    )
+    # Three explicit projection stages so each array materializes once
+    # (lambda expressions defeat Catalyst CSE; inlining would blow up
+    # md5 work quadratically — see functions/text.py docstrings).
+    tok = all_docs.select("doc_id", token_base_hashes().alias("tb"))
+    based = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("bases"))
     sig = based.select("doc_id", *minhash_signature(F.col("bases"), num_hashes=8))
     banded = sig.select("doc_id", *band_hashes(num_hashes=8, rows_per_band=2))
     bands_long = banded.select(

@@ -448,11 +448,12 @@ def q22_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: top-10 parts by exact revenue (TakeOrderedAndProject)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    agg = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(F.sum(_revenue()).alias("_rev"))
-    )
+    # Aggregate the fact side BEFORE the join: lineitem collapses to
+    # ~|part| rows map-side, so the join moves aggregates, not line items.
+    # part scales with sf, so no broadcast hint — AQE broadcasts while it
+    # fits and falls back to a co-partitioned join beyond that.
+    per_part = li.groupBy(F.col("l_partkey")).agg(F.sum(_revenue()).alias("_rev"))
+    agg = per_part.join(part, per_part.l_partkey == part.p_partkey)
     return (
         agg.orderBy(F.col("_rev").desc(), F.col("p_partkey"))
         .limit(10)
@@ -595,6 +596,84 @@ def q26e_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
+    )
+
+
+def q27_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (full): high-spend customers FULL OUTER customers with high
+    balance — rows surviving from either side, NULLs where unmatched."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy(F.col("o_custkey").alias("k_spend"))
+        .agg(F.sum(_dec("o_totalprice")).alias("_spent"))
+        .filter(F.col("_spent") > 400000)
+    )
+    rich = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k_rich"), "c_acctbal"
+    )
+    return (
+        spend.join(rich, spend.k_spend == rich.k_rich, "full")
+        .select(
+            F.coalesce("k_spend", "k_rich").alias("custkey"),
+            F.col("k_spend").isNotNull().alias("is_big_spender"),
+            F.col("k_rich").isNotNull().alias("is_rich"),
+            _r2d(F.col("_spent")).alias("spent"),
+            _r2d(_dec("c_acctbal")).alias("acctbal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: approx_count_distinct (HLL++) next to the exact count.
+
+    Rows-only in the oracle gate (HLL sketches differ across engines);
+    tests/test_queries.py asserts the ±5% tolerance vs exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_cust"),
+            F.countDistinct("o_custkey").alias("exact_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q29_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: L2 norm + normalized first component per embedding."""
+    from kinesis_logs_reader_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(nrm, 4).cast("double").alias("l2_norm"),
+            F.round(F.element_at("embedding", 1).cast("double") / nrm, 6)
+            .cast("double")
+            .alias("e1_normalized"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q34_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (right): orders RIGHT JOIN a customer slice — unmatched
+    customers surface with NULL order columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    slice_ = cust.filter(F.col("c_nationkey") < 5)
+    return (
+        orders.join(slice_, orders.o_custkey == slice_.c_custkey, "right")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.max("o_orderstatus").alias("last_status"),
+        )
+        .orderBy("c_custkey")
     )
 
 

@@ -1,0 +1,81 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.2 J).
+
+The engine's rule: UDFs are the slow path — everything expressible in
+Catalyst stays there (see operators/relational.py). This module is the
+escape hatch, demonstrating each sanctioned form at its least-bad:
+
+- scalar pandas UDF (Arrow-batched): gzip kernels
+  (functions/gzip_udfs.py) and SimHash (operators/dedup.py);
+- grouped-agg pandas UDF: true median (not expressible exactly in
+  Spark SQL without collecting percentiles);
+- applyInPandas (grouped map): per-group normalization where the whole
+  group must be visible at once;
+- SQL-registered UDF: exposing a Python kernel to spark.sql() users.
+
+Row-at-a-time ``F.udf`` appears only in tests as a contrast case.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def _median(v: pd.Series) -> float:
+    return float(v.median())
+
+
+median_udaf = F.pandas_udf(_median, T.DoubleType())
+
+
+def median_order_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: exact median o_totalprice per segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(median_udaf(F.col("o_totalprice")).alias("median_price"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ZSCORE_SCHEMA = "o_custkey long, o_orderkey long, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=0)
+    z = (pdf["o_totalprice"] - mu) / sd if sd > 0 else pdf["o_totalprice"] * 0.0
+    return pd.DataFrame(
+        {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"], "zscore": z}
+    )
+
+
+def zscore_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): z-score of each order within its
+    customer's history. One shuffle on the group key; each group is
+    materialized in a worker as a pandas frame — appropriate only when
+    the whole group must be visible (else use a window function).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").applyInPandas(_zscore_group, ZSCORE_SCHEMA)
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Expose Python kernels to SQL users (reference-style gunzip + a
+    tokenizer), e.g. ``SELECT gunzip_str(data) FROM raw``."""
+    import gzip as _gzip
+
+    spark.udf.register(
+        "gunzip_str",
+        lambda b: _gzip.decompress(bytes(b)).decode("utf-8") if b is not None else None,
+        T.StringType(),
+    )
+    spark.udf.register(
+        "n_tokens_py", lambda s: len(s.split(" ")) if s else 0, T.IntegerType()
+    )

@@ -350,6 +350,47 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+ORACLE["q27_join_full_outer"] = """
+SELECT COALESCE(k_spend, k_rich) AS custkey,
+       k_spend IS NOT NULL AS is_big_spender,
+       k_rich IS NOT NULL AS is_rich,
+       CAST(ROUND(_spent, 2) AS DOUBLE) AS spent,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM (
+  SELECT o_custkey AS k_spend, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _spent
+  FROM orders GROUP BY o_custkey
+  HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 400000
+) s
+FULL OUTER JOIN (
+  SELECT c_custkey AS k_rich, c_acctbal FROM customer WHERE c_acctbal > 9000
+) r ON s.k_spend = r.k_rich
+ORDER BY custkey
+"""
+
+ORACLE["q29_embedding_norm"] = """
+SELECT vec_id,
+       CAST(ROUND(SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))), 4) AS DOUBLE)
+         AS l2_norm,
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE)
+                  / SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 6) AS DOUBLE)
+         AS e1_normalized
+FROM embeddings
+ORDER BY vec_id
+"""
+
+ORACLE["q34_join_right"] = """
+SELECT c_custkey, c_nationkey,
+       COUNT(o_orderkey) AS n_orders,
+       MAX(o_orderstatus) AS last_status
+FROM orders
+RIGHT JOIN (SELECT * FROM customer WHERE c_nationkey < 5) c
+  ON o_custkey = c_custkey
+GROUP BY c_custkey, c_nationkey
+ORDER BY c_custkey
+"""
+
 ORACLE["q31_tumbling_window"] = """
 SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS ws,
        event_type,
@@ -478,11 +519,21 @@ WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
-), based AS (
+), tok AS (
   SELECT doc_id,
-         list_transform(list_distinct({_SHINGLES}),
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS bases
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
   FROM all_docs
+), based AS (
+  -- token-level shingle hashes (see functions/text.py token_shingle_hashes):
+  -- each product reduced mod P before summing to stay inside int64
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS bases
+  FROM tok
 ), sigs AS (
   SELECT doc_id,
          list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,

@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions: the scale posture, pinned.
+
+If one of these fails, correctness is intact but the 100-TB story
+regressed (a filter stopped reaching the scan, a broadcast became a
+shuffle, a narrow query grew an exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.operators import relational
+from kinesis_logs_reader_spark.plans import explain
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q02's range/IN predicates must appear as PushedFilters."""
+    df = relational.q02_filter_predicates(spark, SF_DIR)
+    assert explain.has_pushed_filters(df)
+
+
+def test_column_pruning(spark):
+    """A 3-column projection must not read all 11 lineitem columns."""
+    df = relational.q01_project_arith(spark, SF_DIR)
+    cols = explain.scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
+
+
+def test_narrow_query_has_no_join_exchange(spark):
+    """q01 is scan+project+sort: exactly the one range exchange for the
+    total-order ORDER BY, no hash shuffles."""
+    df = relational.q01_project_arith(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_broadcast_join_q06(spark):
+    """Tiny dims must broadcast — no shuffle of the customer side."""
+    df = relational.q06_join_broadcast(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_range_join_broadcasts_small_side(spark):
+    """q10 pre-aggregates lineitem to <=50 rows then broadcasts it into
+    the non-equi join (BroadcastNestedLoop on the tiny side only)."""
+    df = relational.q10_join_range(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    """TPC-H Q1 aggregation must run inside whole-stage codegen.
+
+    AQE's pre-execution plan hides codegen spans; execute first, then
+    read the final plan.
+    """
+    df = relational.q13_tpch_q1(spark, SF_DIR)
+    df.collect()
+    plan = explain.formatted_plan(df)
+    # formatted mode marks codegen stages with '*' and '[codegen id : N]'
+    assert "* HashAggregate" in plan and "codegen id" in plan
+    # vectorized parquet read feeding codegen
+    assert "Batched: true" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q13 must map-side combine: a partial HashAggregate appears below
+    the exchange (two HashAggregate nodes for one groupBy)."""
+    df = relational.q13_tpch_q1(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_no_duplication(spark):
+    df = relational.q08_join_semi(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    global sort."""
+    agg = relational.q22_topk(spark, SF_DIR)
+    plan = explain.formatted_plan(agg)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_pipeline_single_scan_no_shuffle_before_bands(spark):
+    """q46 signatures are per-row: no exchange between scan and the
+    band explode (the only shuffles are the final pair group-bys)."""
+    from kinesis_logs_reader_spark.functions.text import base_hashes, minhash_signature, shingles
+
+    docs = load_table(spark, SF_DIR, "documents")
+    based = docs.select("doc_id", base_hashes(F.array_distinct(shingles())).alias("bases"))
+    sig = based.select("doc_id", *minhash_signature(F.col("bases")))
+    assert explain.count_exchanges(sig) == 0

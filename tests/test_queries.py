@@ -35,7 +35,13 @@ def test_registry_consistency():
     """Every oracle key has a query; rows-only keys are the known set."""
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"q47_simhash", "q48_ann_ivf"}
+    assert rows_only == {"q28_approx_distinct", "q47_simhash", "q48_ann_ivf"}
+
+
+def test_q28_approx_distinct_tolerance(spark):
+    """D3: HLL++ estimate within 5% of the exact distinct count."""
+    for r in QUERIES["q28_approx_distinct"](spark, SF_DIR).collect():
+        assert abs(r.approx_cust - r.exact_cust) <= max(0.05 * r.exact_cust, 2)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
