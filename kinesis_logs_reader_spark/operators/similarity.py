@@ -113,6 +113,75 @@ def ann_topk(emb: DataFrame, query_vec_id: int, k: int, probe_hamming: int = 1) 
     )
 
 
+def q50_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family #4).
+
+    Exact copies of vec_id < 10 are planted at id+1000000; every pair
+    with cosine >= 0.99 in a fixed 2000-vector slice is emitted. The
+    slice bounds the O(n^2) candidate set at any scale factor; the
+    100 TB path replaces the slice with LSH buckets (see ann_topk) so
+    each bucket's pair set stays small.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    all_vecs = emb.unionByName(planted).select("vec_id", "embedding")
+    return cosine_pairs_blas(spark, all_vecs, threshold=0.99).orderBy("ida", "idb")
+
+
+def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= threshold via broadcast + BLAS.
+
+    The standard Spark brute-force-similarity pattern: one side is
+    normalized and broadcast as a dense float64 matrix (bounded by
+    design — at 100 TB the broadcast side is an LSH bucket or IVF cell,
+    never the full table), the other side streams through
+    ``mapInPandas`` doing one matmul per Arrow batch. All O(n^2 * dim)
+    flops run in BLAS, not per-element expression evaluation
+    (~40x faster than a zip_with/aggregate pair join).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = vecs.collect()  # bounded slice/bucket: small by contract
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("ida", T.LongType()),
+            T.StructField("idb", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def compute(batches):
+        ids_all, mat_all = b_ids.value, b_mat.value
+        order = np.argsort(ids_all)
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat_all.T  # BLAS
+            qids = pdf["vec_id"].to_numpy()
+            outa, outb, outs = [], [], []
+            for i, qid in enumerate(qids):
+                mask = (sims[i] >= threshold - 1e-9) & (ids_all > qid)
+                for j in np.nonzero(mask)[0]:
+                    s = round(float(sims[i, j]), 4)
+                    if s >= threshold:
+                        outa.append(qid)
+                        outb.append(ids_all[j])
+                        outs.append(s)
+            yield pd.DataFrame({"ida": outa, "idb": outb, "sim": outs})
+
+    return vecs.mapInPandas(compute, out_schema)
+
+
 def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for vec_id 0 via LSH buckets (rows-only check; recall
     vs the exact q43 baseline is asserted in tests/test_llm_ops.py)."""

@@ -66,6 +66,28 @@ def zscore_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").applyInPandas(_zscore_group, ZSCORE_SCHEMA)
 
 
+def q35_median_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J (grouped-agg pandas UDF), oracle-backed: exact median per
+    segment — pandas' interpolated median matches DuckDB MEDIAN()."""
+    return median_order_price_per_segment(spark, sf_dir).select(
+        "c_mktsegment",
+        # a median of two 2-decimal prices is exactly .xx5: round at 3
+        # decimals (exact), not 2 (engine-dependent half-rounding)
+        F.round("median_price", 3).cast("double").alias("median_price"),
+    )
+
+
+def q37_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J (applyInPandas grouped map), oracle-backed: per-customer
+    z-score vs DuckDB's windowed AVG/STDDEV_POP."""
+    out = zscore_orders_per_customer(spark, sf_dir)
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("zscore", 4).cast("double").alias("zscore"),
+    ).orderBy("custkey", "orderkey")
+
+
 def register_sql_udfs(spark: SparkSession) -> None:
     """Expose Python kernels to SQL users (reference-style gunzip + a
     tokenizer), e.g. ``SELECT gunzip_str(data) FROM raw``."""

@@ -576,6 +576,44 @@ SELECT vec_id, sim FROM (
 ORDER BY vec_id
 """
 
+ORACLE["q50_cosine_dup_pairs"] = """
+WITH sliced AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 2000
+), all_vecs AS (
+  SELECT vec_id, e FROM sliced
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, e FROM sliced WHERE vec_id < 10
+), pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         CAST(ROUND(list_inner_product(a.e, b.e)
+              / (SQRT(list_inner_product(a.e, a.e)) * SQRT(list_inner_product(b.e, b.e))),
+              4) AS DOUBLE) AS sim
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+)
+SELECT ida, idb, sim FROM pairs WHERE sim >= 0.99
+ORDER BY ida, idb
+"""
+
+ORACLE["q35_median_segment"] = """
+SELECT c_mktsegment,
+       CAST(ROUND(MEDIAN(o_totalprice), 3) AS DOUBLE) AS median_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE["q37_zscore"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROUND(
+         CASE WHEN STDDEV_POP(o_totalprice) OVER w = 0 THEN 0.0
+              ELSE (o_totalprice - AVG(o_totalprice) OVER w)
+                   / STDDEV_POP(o_totalprice) OVER w END, 4) AS DOUBLE) AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)
+ORDER BY custkey, orderkey
+"""
+
 ORACLE["q49_multimodal_binary"] = """
 SELECT doc_id, source,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
