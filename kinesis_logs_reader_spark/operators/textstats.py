@@ -82,6 +82,54 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via corpus-derived token profiles.
+
+    The n-gram-heuristic shape at Spark scale: (1) one pass builds a
+    top-20-token frequency profile per language (tiny: langs x 20 rows,
+    broadcast); (2) each document scores by distinct-token overlap with
+    every profile; (3) argmax overlap (ties -> lexicographic lang)
+    predicts the language. Both passes are shuffle-light: token counts
+    are map-side combinable, the profile join is a broadcast.
+
+    Output: per-doc prediction vs truth on a fixed doc slice.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens()).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t"))
+    profile = (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("p_lang"), "t")
+    )
+    doc_toks = (
+        docs.filter(F.col("doc_id") < 500)
+        .select("doc_id", "lang", F.explode(F.array_distinct(tokens())).alias("t"))
+    )
+    overlap = (
+        doc_toks.join(F.broadcast(profile), "t")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("p_lang")
+    )
+    return (
+        overlap.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("p_lang").alias("pred_lang"),
+            (F.col("p_lang") == F.col("lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q49_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing, SQL-checkable core: treat payloads as
     opaque binary + typed metadata (byte length, content hash).

@@ -576,6 +576,32 @@ SELECT vec_id, sim FROM (
 ORDER BY vec_id
 """
 
+ORACLE["q51_lang_id"] = """
+WITH tok AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t
+), profile AS (
+  SELECT lang AS p_lang, t FROM (
+    SELECT lang, t, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, t) AS rn
+    FROM counts
+  ) WHERE rn <= 20
+), doc_toks AS (
+  SELECT doc_id, lang, unnest(list_distinct(str_split(text, ' '))) AS t
+  FROM documents WHERE doc_id < 500
+), overlap AS (
+  SELECT doc_id, lang, p_lang, COUNT(*) AS overlap
+  FROM doc_toks JOIN profile USING (t)
+  GROUP BY doc_id, lang, p_lang
+)
+SELECT doc_id, lang AS true_lang, p_lang AS pred_lang, p_lang = lang AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rn
+  FROM overlap
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
 ORACLE["q50_cosine_dup_pairs"] = """
 WITH sliced AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
