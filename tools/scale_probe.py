@@ -1,0 +1,101 @@
+"""Scale probe: do the plans hold as data grows 1000x?
+
+Synthesizes sf≈1 locally (10 shifted copies of sf0.1 written once to
+/tmp/spark_graft_scale) and times headline queries at sf0.001 / 0.01 /
+0.1 / ~1 — four decades of data. A plan that is fixed-overhead-bound at
+small sf and linear-in-rows at large sf is healthy; superlinear growth
+exposes a shuffle or spill problem before a real cluster would.
+
+Usage: python tools/scale_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SCALE_DIR = "/tmp/spark_graft_scale/sf1"
+COPIES = 10
+
+HEADLINE = [
+    "q01_project_arith",
+    "q02_filter_predicates",
+    "q05_join_inner",
+    "q13_tpch_q1",
+    "q18_window_rank",
+    "q22_topk",
+    "q40_dedup_exact",
+    "q41_token_stats",
+    "q43_cosine_topk",
+    "q46_minhash_lsh",
+    "q50_cosine_dup_pairs",
+]
+
+
+def build(spark) -> None:
+    """10 shifted copies of each sf0.1 table -> /tmp (sf≈1)."""
+    from kinesis_logs_reader_spark.sources.tables import TABLE_NAMES, load_table
+
+    src = "/root/testdata/sf0.1"
+    key_shift = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "documents": ("doc_id", 1_000_000),
+        "embeddings": ("vec_id", 1_000_000),
+        "events": ("event_id", 10_000_000),
+    }
+    for name in TABLE_NAMES:
+        out = os.path.join(SCALE_DIR, f"{name}.parquet")
+        base = load_table(spark, src, name)
+        if name in key_shift:
+            col, step = key_shift[name]
+            parts = [
+                base.withColumn(col, F.col(col) + F.lit(i * step)) for i in range(COPIES)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = base  # dims stay dim-sized
+        df.write.mode("overwrite").parquet(out)
+        print(f"built {name}: {df.count()} rows")
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from kinesis_logs_reader_spark.session import build_session
+
+    spark = build_session(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
+        build(spark)
+
+    queries = entry.queries()
+    sfs = [
+        ("0.001", "/root/testdata/sf0.001"),
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("~1", SCALE_DIR),
+    ]
+    queries["q17_global_agg"](spark, sfs[2][1]).count()  # warm
+
+    print(f"\n{'query':26s}" + "".join(f"{s[0]:>10s}" for s in sfs) + f"{'x(0.1->1)':>12s}")
+    for name in HEADLINE:
+        row = []
+        for _, d in sfs:
+            t0 = time.perf_counter()
+            queries[name](spark, d).count()
+            row.append(time.perf_counter() - t0)
+        growth = row[3] / row[2] if row[2] > 0 else float("nan")
+        print(f"{name:26s}" + "".join(f"{t:10.2f}" for t in row) + f"{growth:12.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
