@@ -677,6 +677,27 @@ def q34_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, bit-identical interpolation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+            .cast("double")
+            .alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+            .cast("double")
+            .alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4)
+            .cast("double")
+            .alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
     sup = load_table(spark, sf_dir, "supplier")

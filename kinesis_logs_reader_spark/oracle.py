@@ -648,6 +648,16 @@ FROM documents
 ORDER BY doc_id
 """
 
+ORACLE["q52_percentiles"] = """
+SELECT o_orderstatus,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE) AS p90,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.99), 4) AS DOUBLE) AS p99
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

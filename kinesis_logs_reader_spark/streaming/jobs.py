@@ -99,6 +99,29 @@ def h6_stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_tsv(
+    stream_df: DataFrame, checkpoint: str, out_dir: str
+):
+    """Reference TSV semantics as a streaming sink: each microbatch
+    appends sorted-column TSV part files under ``out_dir/batch=<id>``.
+
+    ``foreachBatch`` gives the batch writer (header, sorted columns —
+    reference __main__.py:15-21) exactly-once per epoch; re-runs of a
+    failed epoch overwrite the same batch directory.
+    """
+    from kinesis_logs_reader_spark.sources.sinks import write_tsv
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_tsv(batch_df, f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """H7+H8: bounded run to an in-memory sink; returns the query.
 
