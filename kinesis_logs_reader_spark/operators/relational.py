@@ -698,6 +698,81 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: pivot — customer counts per nation x market segment.
+
+    Pivot values are pinned (deterministic column set at any sf; a
+    discovered pivot would need an extra collect pass anyway).
+    """
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a cell has no rows; pin 0 like FILTER counts
+    return pivoted.na.fill(0, segs).orderBy("n_name")
+
+
+def q54_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G/unnest: posexplode of embeddings (fixed slice) with ordinality."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("val").cast("double"), 4).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+def q55_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: CTE + scalar subquery through ``spark.sql``.
+
+    The threshold is an exact decimal average so both engines compare
+    against the bit-identical double.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH threshold AS (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS t
+          FROM orders_v
+        )
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        FROM orders_v
+        WHERE o_totalprice > (SELECT t FROM threshold) * 1.5
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q57_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: lpad/rpad/reverse/repeat/replace/translate/levenshtein/
+    starts_with/contains on part names."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.lpad("p_brand", 10, "*").alias("lp"),
+            F.rpad("p_brand", 10, "*").alias("rp"),
+            F.reverse("p_name").alias("rev"),
+            F.repeat(F.col("p_type"), 2).alias("rep"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("und"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("tr"),
+            F.levenshtein("p_name", F.lit("red widget")).alias("lev"),
+            F.col("p_name").startswith("red").alias("is_red"),
+            F.col("p_name").contains("bolt").alias("has_bolt"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
     sup = load_table(spark, sf_dir, "supplier")

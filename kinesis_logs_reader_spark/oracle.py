@@ -658,6 +658,52 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+ORACLE["q53_pivot"] = """
+SELECT n_name,
+       COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+       COUNT(*) FILTER (c_mktsegment = 'BUILDING')   AS "BUILDING",
+       COUNT(*) FILTER (c_mktsegment = 'FURNITURE')  AS "FURNITURE",
+       COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD')  AS "HOUSEHOLD",
+       COUNT(*) FILTER (c_mktsegment = 'MACHINERY')  AS "MACHINERY"
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLE["q54_posexplode"] = """
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       CAST(ROUND(CAST(embedding[i] AS DOUBLE), 4) AS DOUBLE) AS val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+WHERE vec_id < 10
+ORDER BY vec_id, pos
+"""
+
+ORACLE["q55_scalar_subquery"] = """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS t
+  FROM orders
+)
+SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+FROM orders
+WHERE o_totalprice > (SELECT t FROM threshold) * 1.5
+ORDER BY o_orderkey
+"""
+
+ORACLE["q57_string_extra"] = """
+SELECT p_partkey,
+       lpad(p_brand, 10, '*') AS lp,
+       rpad(p_brand, 10, '*') AS rp,
+       reverse(p_name) AS rev,
+       repeat(p_type, 2) AS rep,
+       replace(p_name, ' ', '_') AS und,
+       translate(p_name, 'aeiou', 'AEIOU') AS tr,
+       CAST(levenshtein(p_name, 'red widget') AS INT) AS lev,
+       starts_with(p_name, 'red') AS is_red,
+       contains(p_name, 'bolt') AS has_bolt
+FROM part
+ORDER BY p_partkey
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

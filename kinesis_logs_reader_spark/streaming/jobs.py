@@ -99,6 +99,36 @@ def h6_stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def h9_stream_stream_join(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Stream-stream interval join: purchases within N minutes of the
+    same user's signup event.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — the two requirements for Spark to ever GC the
+    join state. Without the time bound, state grows forever at 100 TB.
+    """
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")),
+    ).select("s_user", "s_ts", "p_ts", "amount")
+
+
 def run_foreach_batch_tsv(
     stream_df: DataFrame, checkpoint: str, out_dir: str
 ):

@@ -132,6 +132,25 @@ def test_h5_streaming_dedup(spark, events_stream_path, events_batch, tmp_path):
     assert spark.table(name).count() == events_batch.count()
 
 
+def test_h9_stream_stream_join_matches_batch(
+    spark, events_stream_path, events_batch, tmp_path
+):
+    """Interval join on two streams == the same join in batch."""
+    stream = jobs.h9_stream_stream_join(
+        _stream(spark, events_stream_path, events_batch)
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_ss"), "append")
+    q.awaitTermination(180)
+    got = spark.table(name)
+    want = jobs.h9_stream_stream_join(events_batch)
+    assert not want.isStreaming
+    # inner interval join emits only watermark-safe matches in append
+    # mode, but availableNow drains everything: counts must match
+    diff = got.exceptAll(want)
+    assert got.count() == want.count() and diff.count() == 0
+    assert got.count() > 0
+
+
 def test_h6_stateful_user_stats(spark, events_stream_path, events_batch, tmp_path):
     stream = jobs.h6_stateful_user_stats(
         _stream(spark, events_stream_path, events_batch)
