@@ -773,6 +773,56 @@ def q57_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G/map: from_json -> MapType, map_keys/size/element access."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(
+            "event_id",
+            F.map_keys(m).alias("keys"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+            F.element_at(m, "k").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q59_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: correlated EXISTS / NOT EXISTS (decorrelated by
+    Catalyst into semi/anti joins)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v59")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v59")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               EXISTS (SELECT 1 FROM lineitem_v59 l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+                 AS has_bulk_item
+        FROM orders_v59 o
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q60_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (range frame): trailing-30-day order count and exact revenue
+    per customer — RANGE BETWEEN INTERVAL, event-time based."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v60")
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               COUNT(*) OVER w AS n_30d,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+                 AS rev_30d
+        FROM orders_v60
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY custkey, orderkey
+        """
+    )
+
+
 def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
     sup = load_table(spark, sf_dir, "supplier")

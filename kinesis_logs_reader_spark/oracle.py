@@ -704,6 +704,35 @@ FROM part
 ORDER BY p_partkey
 """
 
+ORACLE["q58_map_funcs"] = """
+SELECT event_id,
+       json_keys(props) AS keys,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+ORDER BY event_id
+"""
+
+ORACLE["q59_exists_subquery"] = """
+SELECT o_orderkey,
+       EXISTS (SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         AS has_bulk_item
+FROM orders o
+ORDER BY o_orderkey
+"""
+
+ORACLE["q60_range_frame"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       COUNT(*) OVER w AS n_30d,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+         AS rev_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY custkey, orderkey
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
