@@ -24,8 +24,30 @@ from pyspark.sql.types import BinaryType, StringType
 
 @F.pandas_udf(StringType())
 def gunzip_text(data: pd.Series) -> pd.Series:
-    """gunzip(blob) -> utf-8 str. Mirrors reference utils.py:18-21."""
+    """gunzip(blob) -> utf-8 str. Mirrors reference utils.py:18-21.
+
+    Strict like the reference (no try/except anywhere in its package):
+    a corrupt blob fails the task. Use ``gunzip_text_safe`` for the
+    PERMISSIVE pipeline.
+    """
     return data.map(lambda b: gzip.decompress(bytes(b)).decode("utf-8"))
+
+
+@F.pandas_udf(StringType())
+def gunzip_text_safe(data: pd.Series) -> pd.Series:
+    """PERMISSIVE gunzip: corrupt/undecodable blobs -> null instead of
+    failing the task. At 100 TB a single truncated record must not
+    kill a 6-hour job; nulls flow to the ingest dead-letter filter."""
+
+    def _safe(b) -> str | None:
+        if b is None:
+            return None
+        try:
+            return gzip.decompress(bytes(b)).decode("utf-8")
+        except (OSError, EOFError, UnicodeDecodeError):
+            return None
+
+    return data.map(_safe)
 
 
 @F.pandas_udf(BinaryType())

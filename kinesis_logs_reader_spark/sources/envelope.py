@@ -85,18 +85,32 @@ FLOW_LOG_FIELDS: list[tuple[str, str]] = [
 ]
 
 
-def decode_envelope(raw: DataFrame, data_col: str = "data") -> DataFrame:
+def decode_envelope(
+    raw: DataFrame, data_col: str = "data", mode: str = "strict"
+) -> DataFrame:
     """gzipped-JSON blob column -> one row per log event (map column).
 
     Implements R5-R9 of the reference pipeline declaratively. Works on
     both batch and streaming DataFrames.
+
+    ``mode``:
+    - ``strict`` (reference semantics — its package has no try/except):
+      corrupt gzip fails the task;
+    - ``permissive``: corrupt gzip -> null text -> ``from_json`` null
+      envelope -> dropped by the DATA_MESSAGE filter, so bad records
+      vanish instead of killing the job (malformed JSON is already
+      null under from_json's default PERMISSIVE mode).
     """
+    from kinesis_logs_reader_spark.functions.gzip_udfs import gunzip_text_safe
+
+    gunzip = gunzip_text_safe if mode == "permissive" else gunzip_text
     parsed = raw.withColumn(
-        "envelope", F.from_json(gunzip_text(F.col(data_col)), ENVELOPE_SCHEMA)
+        "envelope", F.from_json(gunzip(F.col(data_col)), ENVELOPE_SCHEMA)
     )
     return (
         parsed
-        # R7: control messages dropped (kinesis_logs_reader.py:91-92)
+        # R7: control messages dropped (kinesis_logs_reader.py:91-92);
+        # null envelopes (permissive corrupt records) drop here too
         .filter(F.col("envelope.messageType") == "DATA_MESSAGE")
         # R8: flatten (kinesis_logs_reader.py:94)
         .select(F.explode("envelope.logEvents").alias("event"))
@@ -125,6 +139,7 @@ def read_cwl_batch(
     path: str,
     typed: bool = True,
     fields: list[tuple[str, str]] | None = None,
+    mode: str = "strict",
 ) -> DataFrame:
     """Batch-replay a directory of ``*.gz`` envelope blobs (t1 fixtures)."""
     raw = (
@@ -134,7 +149,7 @@ def read_cwl_batch(
         .load(path)
         .select(F.col("content").alias("data"))
     )
-    events = decode_envelope(raw)
+    events = decode_envelope(raw, mode=mode)
     return typed_flow_logs(events, fields) if typed else events
 
 
@@ -146,6 +161,7 @@ def read_cwl_stream(
     typed: bool = True,
     fields: list[tuple[str, str]] | None = None,
     max_files_per_trigger: int | None = None,
+    mode: str = "strict",
 ) -> DataFrame:
     """Streaming CWL ingest.
 
@@ -184,5 +200,5 @@ def read_cwl_stream(
         raw = reader.load(path).select(F.col("content").alias("data"))
     else:
         raise ValueError("need path= (file replay) or kinesis_options=")
-    events = decode_envelope(raw)
+    events = decode_envelope(raw, mode=mode)
     return typed_flow_logs(events, fields) if typed else events

@@ -76,6 +76,29 @@ def test_cli_count_limit(spark, envelope_dir):
     assert len(buf.getvalue().splitlines()) == 3
 
 
+def test_permissive_mode_drops_corrupt_records(spark, tmp_path):
+    """PERMISSIVE ingest: corrupt gzip and malformed JSON vanish;
+    valid records survive. Strict mode (reference semantics) fails."""
+    import pytest
+
+    from kinesis_logs_reader_spark.functions.gzip_udfs import gzip_compress
+    from tests.conftest import data_message, gz_blob
+
+    src = tmp_path / "dirty"
+    src.mkdir()
+    (src / "good.gz").write_bytes(gz_blob(data_message([make_event(1)])))
+    (src / "corrupt.gz").write_bytes(b"\x1f\x8b\x08\x00BROKEN")
+    (src / "notjson.gz").write_bytes(gzip_compress(b"this is not json"))
+
+    ok = read_cwl_batch(spark, str(src), typed=False, mode="permissive")
+    rows = [dict(r["fields"]) for r in ok.collect()]
+    assert rows == [make_event(1)["extractedFields"]]
+
+    strict = read_cwl_batch(spark, str(src), typed=False, mode="strict")
+    with pytest.raises(Exception):
+        strict.collect()
+
+
 def test_streaming_ingest_available_now(spark, envelope_dir, tmp_path):
     """A2 via readStream + availableNow == bounded catch-up semantics."""
     from kinesis_logs_reader_spark.sources.envelope import read_cwl_stream
