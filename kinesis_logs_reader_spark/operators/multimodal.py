@@ -76,6 +76,92 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_batch(target_w: int, target_h: int):
+    """mapInPandas stage factory: (doc_id, payload) -> fixed-size thumb.
+
+    Real resize needs PIL/opencv (absent here); the deterministic fake
+    samples ``target_w*target_h`` bytes from the payload, preserving the
+    batch shape a real resizer produces (binary out, typed dims).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                n = max(len(raw), 1)
+                thumbs.append(
+                    bytes(raw[(i * n) // (target_w * target_h)] if raw else 0
+                          for i in range(target_w * target_h))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return _resize
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames_batch(n_frames: int, frame_bytes: int = 64):
+    """mapInPandas stage factory: video payload -> n sampled 'frames'.
+
+    One input row fans out to ``n_frames`` rows (the real frame-sample
+    shape); the fake slices evenly-spaced byte windows instead of
+    ffmpeg keyframes.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // n_frames, 1)
+                for k in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(raw[k * step : k * step + frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return _sample
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    return src.mapInPandas(resize_batch(target_w, target_h), RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, payload_col: str = "payload"
+) -> DataFrame:
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    return src.mapInPandas(sample_frames_batch(n_frames), FRAMES_SCHEMA)
+
+
 def decode_images(df: DataFrame, payload_col: str = "payload", buckets: int = 0) -> DataFrame:
     """Run the decode stage over a (doc_id, payload: binary) DataFrame.
 

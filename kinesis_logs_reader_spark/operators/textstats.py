@@ -130,6 +130,34 @@ def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief names: whitespace split and a
+    BPE-ish regex lexer (letter-runs / digit-runs / single symbols),
+    plus a polynomial rolling-hash fingerprint over token hashes.
+    """
+    from kinesis_logs_reader_spark.functions.text import MINHASH_P, token_base_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("bpe_tokens"),
+        token_base_hashes().alias("tb"),
+    )
+    # rolling hash: fold acc*B + x mod P over per-token hashes; B keeps
+    # every intermediate < 2^52 (DuckDB errors on int64 overflow)
+    roll = F.aggregate(
+        F.col("tb"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(1000003) + x) % F.lit(MINHASH_P),
+    )
+    return staged.select(
+        "doc_id", "ws_tokens", "bpe_tokens", roll.alias("roll_fp")
+    ).orderBy("doc_id")
+
+
 def q49_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing, SQL-checkable core: treat payloads as
     opaque binary + typed metadata (byte length, content hash).

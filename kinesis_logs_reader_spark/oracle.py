@@ -640,6 +640,23 @@ WINDOW w AS (PARTITION BY o_custkey)
 ORDER BY custkey, orderkey
 """
 
+ORACLE["q61_token_regex"] = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+           AS bpe_tokens,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), tb),
+                   (acc, x) -> (acc * 1000003 + x) % 2147483647) AS roll_fp
+FROM tok
+ORDER BY doc_id
+"""
+
 ORACLE["q49_multimodal_binary"] = """
 SELECT doc_id, source,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -1,0 +1,81 @@
+"""Bucketed co-located joins: the zero-shuffle join path for repeated
+big-big joins at scale.
+
+Writing both sides bucketed on the join key (``bucketBy`` + sorted)
+lets Spark join them with NO exchange on either side — at 100 TB that
+removes the dominant cost of every orders⋈lineitem query. The plan
+assertion here is the point: bucket pruning of the shuffle must
+actually happen, not just be intended.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.plans import explain
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    """Write orders + lineitem bucketed by the join key (8 buckets)."""
+    suffix = uuid.uuid4().hex[:8]
+    names = (f"orders_b_{suffix}", f"lineitem_b_{suffix}")
+    (
+        load_table(spark, SF_DIR, "orders")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(names[0])
+    )
+    (
+        load_table(spark, SF_DIR, "lineitem")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(names[1])
+    )
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
+    joined = (
+        spark.table(lineitem_b)
+        .join(spark.table(orders_b), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = explain.formatted_plan(joined)
+    # the join itself must not shuffle either side: the only exchange
+    # allowed is the one for the final tiny aggregation
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    del join_section
+
+
+def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
+    got = (
+        spark.table(lineitem_b)
+        .join(spark.table(orders_b), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    want = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert got == want > 0

@@ -86,6 +86,33 @@ def test_multimodal_decode_plumbing(spark):
     }
 
 
+def test_multimodal_resize_plumbing(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(20)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    out = multimodal.resize_images(docs, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 8 and r.height == 8 and len(bytes(r.thumb)) == 64 for r in rows)
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(10)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    out = multimodal.sample_frames(docs, n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 40  # one row fans out to n_frames rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
 def test_multimodal_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG...")
