@@ -750,6 +750,22 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 ORDER BY custkey, orderkey
 """
 
+ORACLE["q62_asof_join"] = """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purch AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       CAST(p.ts AS VARCHAR) AS purchase_ts,
+       c.click_id
+FROM purch p
+ASOF LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY purchase_id
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

@@ -41,7 +41,10 @@ class KinesisLogsReader:
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.stream_name = stream_name
         if path is not None:
-            self.df: DataFrame = read_cwl_batch(self.spark, path, typed=typed)
+            # start_time -> modifiedAfter: the AT_TIMESTAMP analog for replay
+            self.df: DataFrame = read_cwl_batch(
+                self.spark, path, typed=typed, start_time=start_time
+            )
         else:
             options = {"streamName": stream_name or "", **kinesis_kwargs}
             if start_time is not None:

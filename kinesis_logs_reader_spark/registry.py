@@ -35,7 +35,7 @@ def all_queries() -> dict[str, QueryFn]:
         queries.update(_collect(batch_windows))
     except ImportError:
         pass
-    for mod_name in ("dedup", "similarity", "textstats", "multimodal", "udfs"):
+    for mod_name in ("dedup", "similarity", "textstats", "multimodal", "udfs", "asof"):
         try:
             import importlib
 

@@ -140,15 +140,25 @@ def read_cwl_batch(
     typed: bool = True,
     fields: list[tuple[str, str]] | None = None,
     mode: str = "strict",
+    start_time=None,
 ) -> DataFrame:
-    """Batch-replay a directory of ``*.gz`` envelope blobs (t1 fixtures)."""
-    raw = (
+    """Batch-replay a directory of ``*.gz`` envelope blobs (t1 fixtures).
+
+    ``start_time`` (datetime) maps the reference's AT_TIMESTAMP iterator
+    (kinesis_logs_reader.py:68-77) onto file replay: only blobs whose
+    mtime is after it are read (binaryFile ``modifiedAfter`` — pruned at
+    file-listing time, the batch analog of a positioned shard open).
+    """
+    reader = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.gz")
         .option("recursiveFileLookup", "true")
-        .load(path)
-        .select(F.col("content").alias("data"))
     )
+    if start_time is not None:
+        reader = reader.option(
+            "modifiedAfter", start_time.strftime("%Y-%m-%dT%H:%M:%S")
+        )
+    raw = reader.load(path).select(F.col("content").alias("data"))
     events = decode_envelope(raw, mode=mode)
     return typed_flow_logs(events, fields) if typed else events
 

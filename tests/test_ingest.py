@@ -76,6 +76,32 @@ def test_cli_count_limit(spark, envelope_dir):
     assert len(buf.getvalue().splitlines()) == 3
 
 
+def test_start_time_positioned_read(spark, tmp_path):
+    """AT_TIMESTAMP analog (reference kinesis_logs_reader.py:68-77):
+    start_time prunes older blobs at file-listing time."""
+    import os
+    from datetime import datetime
+
+    from tests.conftest import data_message, gz_blob
+
+    src = tmp_path / "timed"
+    src.mkdir()
+    old = src / "old.gz"
+    new = src / "new.gz"
+    old.write_bytes(gz_blob(data_message([make_event(0)])))
+    new.write_bytes(gz_blob(data_message([make_event(1)])))
+    os.utime(old, (1600000000, 1600000000))  # 2020
+    os.utime(new, (1700000000, 1700000000))  # 2023
+
+    all_rows = read_cwl_batch(spark, str(src), typed=True)
+    assert {r.srcport for r in all_rows.collect()} == {1024, 1025}
+
+    positioned = read_cwl_batch(
+        spark, str(src), typed=True, start_time=datetime(2022, 1, 1)
+    )
+    assert {r.srcport for r in positioned.collect()} == {1025}
+
+
 def test_permissive_mode_drops_corrupt_records(spark, tmp_path):
     """PERMISSIVE ingest: corrupt gzip and malformed JSON vanish;
     valid records survive. Strict mode (reference semantics) fails."""
