@@ -823,6 +823,67 @@ def q60_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: percent_rank / cume_dist / nth_value / first / last with an
+    explicit full-partition frame (default frames differ per function)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v63")
+    return spark.sql(
+        """
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+               CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cdist,
+               NTH_VALUE(o_orderkey, 2) OVER wf AS second_order,
+               FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+               LAST_VALUE(o_orderkey) OVER wf AS last_order
+        FROM orders_v63
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY custkey, orderkey
+        """
+    )
+
+
+def q64_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G: date formatting / epoch extraction. ISO weekday spelled
+    explicitly (Spark weekday()=0-Mon vs DuckDB isodow=1-Mon)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.weekday("o_orderdate").cast("int").alias("dow_mon0"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            .cast("bigint")
+            .alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (beyond rollup): explicit GROUPING SETS with grouping flags."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).createOrReplaceTempView(
+        "cust_nation_v65"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+        FROM cust_nation_v65
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        ORDER BY g_nation, g_segment,
+                 n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        """
+    )
+
+
 def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
     sup = load_table(spark, sf_dir, "supplier")

@@ -766,6 +766,41 @@ ASOF LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts
 ORDER BY purchase_id
 """
 
+ORACLE["q63_window_analytics"] = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cdist,
+       NTH_VALUE(o_orderkey, 2) OVER wf AS second_order,
+       FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+       LAST_VALUE(o_orderkey) OVER wf AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY custkey, orderkey
+"""
+
+ORACLE["q64_date_format"] = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       CAST(isodow(o_orderdate) - 1 AS INT) AS dow_mon0,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+ORDER BY o_orderkey
+"""
+
+ORACLE["q65_grouping_sets"] = """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
