@@ -884,6 +884,61 @@ def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: collection aggregates — collect_list/collect_set are
+    order-nondeterministic across partitions, so both are canonicalized
+    (sort_array / sorted string_agg) before leaving the operator."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nation_csv"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q67_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D: stddev / variance / correlation — computed from EXACT decimal
+    moment sums (Σx, Σx², Σxy), not the builtin streaming aggregators.
+
+    Builtin stddev/corr over doubles partial-merge in partition order,
+    so their low bits are not even run-to-run stable; exact decimal
+    moments make the derived doubles bit-identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = _dec("l_quantity")
+    p = _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double")
+    spp = F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    var_q = (sqq - sq * sq / n) / n
+    var_p = (spp - sp * sp / n) / n
+    cov = (sqp - sq * sp / n) / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var_q), 4).cast("double").alias("stddev_qty"),
+        F.round(var_p, 2).cast("double").alias("var_price_pop"),
+        F.round(cov / (F.sqrt(var_q) * F.sqrt(var_p)), 6).cast("double").alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
 def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier dim exercised: supplier ⋈ broadcast(nation) rollup."""
     sup = load_table(spark, sf_dir, "supplier")

@@ -801,6 +801,40 @@ GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
 ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
 """
 
+ORACLE["q66_array_agg"] = """
+SELECT r_name,
+       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nation_csv,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+# Exact decimal moment sums -> bit-identical derived statistics (builtin
+# stddev/corr partial-merge doubles in partition order: not reproducible).
+ORACLE["q67_stats_agg"] = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(ROUND(SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS DOUBLE) AS stddev_qty,
+       CAST(ROUND((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 2) AS DOUBLE) AS var_price_pop,
+       CAST(ROUND(((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+            / (SQRT((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               * SQRT((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6) AS DOUBLE) AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
 ORACLE["q36_supplier_nation"] = """
 SELECT n_name, COUNT(*) AS n_supp,
        CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal

@@ -99,6 +99,16 @@ def h6_stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def h10_stream_static_join(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: the static dim broadcasts to every
+    microbatch (re-read per epoch, so slowly-changing dims refresh).
+
+    The canonical 100 TB pattern for attaching dimension attributes to
+    a stream without any stateful join machinery.
+    """
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 def h9_stream_stream_join(events: DataFrame, window_minutes: int = 60) -> DataFrame:
     """Stream-stream interval join: purchases within N minutes of the
     same user's signup event.

@@ -151,6 +151,24 @@ def test_h9_stream_stream_join_matches_batch(
     assert got.count() > 0
 
 
+def test_h10_stream_static_join(spark, events_stream_path, events_batch, tmp_path):
+    """Static dim enrichment on a stream == same join in batch."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("signup", 3.0), ("view", 0.5), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = jobs.h10_stream_static_join(
+        _stream(spark, events_stream_path, events_batch), dim
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_ssj"), "append")
+    q.awaitTermination(180)
+    got = spark.table(name)
+    assert got.count() == events_batch.count()
+    assert got.filter(F.col("weight").isNull()).count() == 0
+    [w] = got.filter(F.col("event_type") == "purchase").select("weight").distinct().collect()
+    assert w.weight == 5.0
+
+
 def test_h6_stateful_user_stats(spark, events_stream_path, events_batch, tmp_path):
     stream = jobs.h6_stateful_user_stats(
         _stream(spark, events_stream_path, events_batch)
