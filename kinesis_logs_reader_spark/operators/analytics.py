@@ -1,0 +1,281 @@
+"""Complex multi-join analytics (TPC-H-shaped; SURVEY.md §2.2 C/D/F).
+
+The reference has no joins or aggregations at all (SURVEY.md §2.1,
+kinesis_logs_reader.py:1-105 contains a single scan->filter->flatten->
+project pipeline), so these queries define the engine's *composed*
+relational surface: the classic TPC-H decision-support shapes
+re-expressed over the driver's star schema. Each one is chosen to pin a
+plan property that matters at 100 TB:
+
+- q68 (Q3 shape): filter-before-join selectivity + top-N pushdown
+  (TakeOrderedAndProject, never a global sort of the join output).
+- q69 (Q5 shape): 6-table join where every dimension broadcasts and the
+  only shuffles are fact-fact (orders join lineitem) and the final agg.
+- q70 (Q10 shape): fact-fact join with a quarter-filtered probe side +
+  broadcast dims; top-20 by revenue.
+- q71 (Q18 shape): aggregate-then-join — the HAVING filter runs on the
+  lineitem aggregate *before* any join, so the join probe side is 200
+  keys, not 60k rows. At 100 TB this ordering is the difference between
+  a broadcast probe and a full fact-fact shuffle.
+- q72 (Q22 shape): scalar aggregate broadcast + decorrelated NOT EXISTS
+  (anti join). The average-balance threshold is compared in exact
+  decimal cross-multiplied form (bal * n > total) so both engines make
+  bit-identical boundary decisions.
+- q73 (Q2 shape): correlated per-group minimum decorrelated into one
+  window pass (min over partition) + filter — no self-join, no
+  re-aggregation shuffle.
+
+Determinism per SURVEY.md §7.4: exact DECIMAL money math, ROUND(..,2)
+-> DOUBLE on output, total ORDER BY ending in a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_logs_reader_spark.operators.relational import _dec, _r2d, _revenue
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def _ts(lit: str):
+    return F.expr(f"TIMESTAMP_NTZ '{lit} 00:00:00'")
+
+
+def q68_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue, top 10.
+
+    Filters reach the parquet scans (segment, two date ranges) before
+    either join; the top-10 compiles to TakeOrderedAndProject — per-
+    partition heaps + one driver merge, no global sort shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2d(F.sum(_revenue())).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate", "l_orderkey")
+        .limit(10)
+        .orderBy("l_orderkey")
+    )
+
+
+def q69_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where supplier and customer
+    share the nation, one region, one year.
+
+    region/nation/supplier are broadcast (dims stay small at any scale
+    factor); the only data-sized shuffles are lineitem join orders and
+    the final 25-group aggregation, which is map-side combined.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2d(F.sum(_revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q70_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Quarter filter lands on the orders scan; nation
+    broadcasts; top-20 is TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2d(F.sum(_revenue())).alias("revenue"),
+            _r2d(F.max(_dec("c_acctbal"))).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .orderBy("c_custkey")
+    )
+
+
+def q71_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250.
+
+    Aggregate-then-join: the lineitem group-by + HAVING runs first and
+    shrinks 60k rows to ~200 orderkeys; the subsequent joins probe with
+    that small set (AQE turns them into broadcasts at runtime). Joining
+    first and aggregating later would shuffle the full fact table twice.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sumqty"))
+        .filter(F.col("_sumqty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            _r2d(_dec("o_totalprice")).alias("totalprice"),
+            _r2d(F.col("_sumqty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .orderBy("o_orderkey")
+    )
+
+
+def q72_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the average
+    balance with no large order, grouped by nation.
+
+    The global average arrives as a one-row broadcast (scalar-subquery
+    decorrelation done explicitly); the NOT EXISTS is a left anti join
+    against the filtered orders side. The threshold compare is exact
+    cross-multiplied decimal — ``bal * n_pos > total`` — so no engine-
+    specific float averaging can flip a boundary row.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_row = pos.agg(
+        F.sum(_dec("c_acctbal")).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(_dec("c_acctbal") * F.col("_n") > F.col("_total"))
+        .join(
+            big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q73_cheapest_lineitem_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the lineitem(s) selling it
+    at that part's minimum extended price.
+
+    The reference correlated form — ``price = (SELECT MIN(price) ...
+    WHERE same part)`` — decorrelates into one window MIN over
+    l_partkey plus a filter: a single shuffle on the group key, no
+    self-join and no join-back of an aggregate. Equality on the double
+    is safe: both engines compare the same stored parquet values.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("_minp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_minp"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_orderkey",
+            "l_linenumber",
+            _r2d(_dec("l_extendedprice")).alias("price"),
+        )
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+def q38_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice (data-profiling primitive).
+
+    Bucketing is pure column arithmetic -> one map-side-combinable
+    group-by of at most 10 groups; this is the shape every quality
+    dashboard query should take at 100 TB (never collect-then-bin).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).alias(
+        "bucket"
+    )
+    return (
+        orders.select(bucket, "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _r2d(F.min(_dec("o_totalprice"))).alias("lo"),
+            _r2d(F.max(_dec("o_totalprice"))).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q39_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per order status (mode aggregate).
+
+    count group-by then a row_number window over the small aggregate —
+    the heavy input collapses before the window, so the window state is
+    (n_statuses x n_priorities), not row-scale. Ties break on the
+    priority string so both engines pick the same winner.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -843,3 +843,134 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+# --- Complex multi-join analytics (operators/analytics.py) -----------------
+
+ORACLE["q68_shipping_priority"] = f"""
+SELECT l_orderkey, revenue, orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+         o_orderpriority
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, orderdate, l_orderkey
+  LIMIT 10
+)
+ORDER BY l_orderkey
+"""
+
+ORACLE["q69_local_supplier_volume"] = f"""
+SELECT n_name,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLE["q70_returned_items"] = f"""
+SELECT c_custkey, c_name, n_name, revenue, acctbal
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue,
+         CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  GROUP BY c_custkey, c_name, n_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+)
+ORDER BY c_custkey
+"""
+
+ORACLE["q71_large_volume_customer"] = """
+SELECT c_name, c_custkey, o_orderkey, orderdate, totalprice, sum_qty
+FROM (
+  SELECT c_name, c_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS totalprice,
+         CAST(ROUND(big._sumqty, 2) AS DOUBLE) AS sum_qty
+  FROM (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _sumqty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+  ) big
+  JOIN orders ON big.l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  ORDER BY totalprice DESC, o_orderkey
+  LIMIT 100
+)
+ORDER BY o_orderkey
+"""
+
+ORACLE["q72_inactive_rich_customers"] = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+ORACLE["q73_cheapest_lineitem_per_part"] = """
+SELECT p_partkey, p_name, l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+FROM lineitem l
+JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    WHERE l2.l_partkey = l.l_partkey AND p2.p_size < 10
+  )
+ORDER BY p_partkey, l_orderkey, l_linenumber
+"""
+
+ORACLE["q38_price_histogram"] = """
+SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS cnt,
+       CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS lo,
+       CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS hi
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+ORACLE["q39_mode_per_group"] = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+ORDER BY o_orderstatus
+"""

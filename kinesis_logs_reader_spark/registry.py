@@ -35,7 +35,15 @@ def all_queries() -> dict[str, QueryFn]:
         queries.update(_collect(batch_windows))
     except ImportError:
         pass
-    for mod_name in ("dedup", "similarity", "textstats", "multimodal", "udfs", "asof"):
+    for mod_name in (
+        "analytics",
+        "dedup",
+        "similarity",
+        "textstats",
+        "multimodal",
+        "udfs",
+        "asof",
+    ):
         try:
             import importlib
 

@@ -62,6 +62,10 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # Python worker handshake can exceed the 15s default when the
+        # machine is saturated (e.g. a bench run beside the test suite);
+        # a longer window only matters in that contended case.
+        .config("spark.python.auth.socketTimeout", "120s")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
