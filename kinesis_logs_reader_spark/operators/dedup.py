@@ -96,24 +96,18 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I2: MinHash-LSH candidate pairs, end-to-end and oracle-checkable.
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs (ida < idb) for a (doc_id, text) frame.
 
-    Duplicates are planted inside the query (docs with id < 20 are
-    re-emitted at id+1000000), so LSH must recover exactly those pairs
-    plus any natural band collisions — deterministically in both
-    engines. Pipeline: shingle -> 8-way md5 MinHash (per-row) -> 4
-    bands of 2 -> group by (band, digest) -> pairs.
+    Pipeline: shingle -> 8-way md5 MinHash (per-row, no shuffle) -> 4
+    bands of 2 -> self-join on (band, digest) -> distinct pairs. The
+    only shuffles are the band self-join and the final distinct; both
+    are keyed by 16-byte digests, never by document text.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 20).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    all_docs = docs.unionByName(planted)
     # Three explicit projection stages so each array materializes once
     # (lambda expressions defeat Catalyst CSE; inlining would blow up
     # md5 work quadratically — see functions/text.py docstrings).
-    tok = all_docs.select("doc_id", token_base_hashes().alias("tb"))
+    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
     based = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("bases"))
     sig = based.select("doc_id", *minhash_signature(F.col("bases"), num_hashes=8))
     banded = sig.select("doc_id", *band_hashes(num_hashes=8, rows_per_band=2))
@@ -133,8 +127,101 @@ def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l.doc_id").alias("ida"), F.col("r.doc_id").alias("idb"))
         .distinct()
-        .orderBy("ida", "idb")
     )
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus exact copies of doc_id < 20 planted at id+1000000."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: MinHash-LSH candidate pairs, end-to-end and oracle-checkable.
+
+    Duplicates are planted inside the query (docs with id < 20 are
+    re-emitted at id+1000000), so LSH must recover exactly those pairs
+    plus any natural band collisions — deterministically in both
+    engines (md5 + affine hash family, bit-identical across engines).
+    """
+    return minhash_pairs(_planted_docs(spark, sf_dir)).orderBy("ida", "idb")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label connected components over an (ida, idb) edge frame.
+
+    Iterative label propagation: every node starts labeled with its own
+    id; each round replaces a node's label with the minimum label in
+    its closed neighborhood, until a fixpoint. Near-dup clusters have
+    tiny diameter (most are cliques from one LSH bucket), so this
+    converges in 2-3 rounds; for adversarial long-chain graphs at
+    100 TB the same loop admits the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce") without
+    changing the driver loop. Each round is one shuffle (groupBy node);
+    the convergence check rides on the same aggregate — no extra pass.
+
+    Returns (node, cluster_id) where cluster_id = min node id of the
+    component. Only nodes that appear in an edge are returned.
+    """
+    # Undirected: materialize both directions once; cache because every
+    # iteration re-joins it.
+    both = (
+        edges.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .unionByName(edges.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # candidate label for dst = min label among its neighbors
+        neighbor_min = (
+            both.join(labels, both.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster formation: connected components over the MinHash-LSH
+    candidate-pair graph (the step after pairwise near-dup detection in
+    an LLM training-data pipeline — 'keep one doc per cluster').
+
+    Oracle: the identical pair set built by q46's SQL, closed under a
+    recursive CTE that propagates minimum labels along edges.
+    """
+    pairs = minhash_pairs(_planted_docs(spark, sf_dir))
+    return connected_components(pairs).orderBy("node")
 
 
 _SIMHASH_BITS = 64

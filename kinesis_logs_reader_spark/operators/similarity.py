@@ -187,3 +187,127 @@ def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact q43 baseline is asserted in tests/test_llm_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk(emb, query_vec_id=0, k=5).orderBy("vec_id")
+
+
+# --- IVF with learned (k-means) centroids ----------------------------------
+
+def kmeans_centroids(
+    emb: DataFrame, n_clusters: int = 16, n_iter: int = 3
+):
+    """Deterministic Lloyd's k-means over the embedding column.
+
+    - init: the ``n_clusters`` vectors with the smallest vec_ids (a
+      fixed, engine-independent seed — no RNG state to reproduce);
+    - assign: one ``mapInPandas`` pass; the centroid matrix broadcasts
+      and every Arrow batch does a single BLAS matmul (never
+      per-element expression evaluation — 64 dims x 16 cells per row
+      would defeat codegen anyway);
+    - update: per-dimension mean via ``posexplode`` + groupBy
+      (cluster, dim) — a map-side-combinable agg whose output is only
+      n_clusters x dim rows, collected to the driver and re-broadcast.
+      Means are rounded to 6 decimals each round so float summation
+      order cannot drift assignments between runs.
+
+    Returns a numpy (n_clusters, dim) matrix. At 100 TB the same loop
+    runs on a sample (centroid quality needs ~1k points per cell, not
+    the full table) and only the final assignment pass touches all rows.
+    """
+    import numpy as np
+
+    init = (
+        emb.orderBy("vec_id")
+        .limit(n_clusters)
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in init], dtype=np.float64)
+    spark = emb.sparkSession
+    for _ in range(n_iter):
+        assigned = assign_clusters(emb, cents)
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cluster"], r["dim"]] = round(r["m"], 6)
+        cents = new
+    return cents
+
+
+def assign_clusters(emb: DataFrame, cents) -> DataFrame:
+    """Add a ``cluster`` column: argmin squared-L2 to the centroid matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = emb.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+    schema = T.StructType(
+        emb.schema.fields + [T.StructField("cluster", T.IntegerType())]
+    )
+
+    def run(batches):
+        c = b.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; ||x||^2 constant per row
+            d = -2.0 * (x @ c.T) + c_sq
+            out = pdf.copy()
+            out["cluster"] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    return emb.mapInPandas(run, schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN: k-means cells, probe the ``nprobe`` cells nearest the
+    query, brute-force cosine inside them.
+
+    The scale path: cells partition the table (at 100 TB, write
+    ``partitionBy(cluster)`` once after training — see
+    sources/layout.py), so a probe reads nprobe/n_clusters of the data
+    and the per-cell scan is the same BLAS matmul as assignment.
+    """
+    import numpy as np
+
+    cents = kmeans_centroids(emb, n_clusters=n_clusters)
+    q_emb = np.array(
+        emb.filter(F.col("vec_id") == query_vec_id).first()["embedding"],
+        dtype=np.float64,
+    )
+    d = ((cents - q_emb) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+
+    assigned = assign_clusters(emb, cents)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def q75_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-k-means ANN top-5 for vec_id 0 (rows-only check; recall vs
+    the exact baseline asserted in tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=5).orderBy("vec_id")

@@ -974,3 +974,31 @@ FROM (
 WHERE rn = 1
 ORDER BY o_orderstatus
 """
+
+# --- Dup-cluster connected components (operators/dedup.py) -----------------
+# Edge set = exactly q46's LSH candidate pairs; the recursive CTE
+# propagates minimum labels along edges (only ever downhill: a label
+# moves to a neighbor with a larger id, so the state space is finite
+# and UNION-dedup terminates the recursion at the fixpoint).
+
+_PAIRS_NO_ORDER = ORACLE["q46_minhash_lsh"].rsplit("ORDER BY", 1)[0]
+
+ORACLE["q74_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{_PAIRS_NO_ORDER}
+), edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION ALL
+  SELECT idb AS a, ida AS b FROM pairs
+), walk(node, lbl) AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM edges
+  UNION
+  SELECT e.b AS node, w.lbl
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.lbl < e.b
+)
+SELECT node, MIN(lbl) AS cluster_id
+FROM walk
+GROUP BY node
+ORDER BY node
+"""

@@ -116,3 +116,45 @@ def test_multimodal_frame_sample_fanout(spark):
 def test_multimodal_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG...")
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """IVF with learned centroids probes 4/16 cells and must recover
+    most of the exact top-5."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, 0, 5).collect()]
+    approx = {r.vec_id for r in similarity.ivf_topk(emb, 0, 5).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall} ({approx} vs {exact})"
+
+
+def test_kmeans_assignment_covers_all_rows(spark):
+    """Every vector lands in exactly one cluster in [0, n_clusters)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    assigned = similarity.assign_clusters(emb, cents)
+    assert assigned.count() == emb.count()
+    rng = assigned.agg(
+        F.min("cluster").alias("lo"), F.max("cluster").alias("hi")
+    ).first()
+    assert rng.lo >= 0 and rng.hi < 8
+
+
+def test_connected_components_semantics(spark):
+    """Chain 1-2-3, isolated pair 10-11, triangle 20-21-22 with an
+    extra chord: labels = component minimum, chains collapse fully."""
+    from kinesis_logs_reader_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "ida long, idb long",
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
