@@ -150,22 +150,39 @@ def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(_planted_docs(spark, sf_dir)).orderBy("ida", "idb")
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_threshold: int = 5_000_000
+) -> DataFrame:
     """Min-label connected components over an (ida, idb) edge frame.
 
-    Iterative label propagation: every node starts labeled with its own
-    id; each round replaces a node's label with the minimum label in
-    its closed neighborhood, until a fixpoint. Near-dup clusters have
-    tiny diameter (most are cliques from one LSH bucket), so this
-    converges in 2-3 rounds; for adversarial long-chain graphs at
-    100 TB the same loop admits the large-star/small-star optimization
-    (Kiveris et al., "Connected Components in MapReduce") without
-    changing the driver loop. Each round is one shuffle (groupBy node);
-    the convergence check rides on the same aggregate — no extra pass.
+    Two regimes, picked by edge count:
+
+    - **small graph (≤ driver_threshold edges)**: collect and run
+      union-find on the driver. The candidate-pair graph a dedup
+      pipeline produces is orders of magnitude smaller than the corpus
+      (only near-dups have edges), so even a 100 TB corpus usually
+      lands here — 5M edges is ~80 MB on the driver, and union-find is
+      O(E α(E)) — versus 8+ distributed jobs per label-propagation
+      round on data that fits in one task.
+    - **large graph**: iterative min-label propagation; every node
+      starts labeled with its own id and each round takes the minimum
+      label over its closed neighborhood until a fixpoint. Dup
+      clusters have tiny diameter (near-cliques from LSH buckets), so
+      2-3 rounds suffice; adversarial long chains admit the
+      large-star/small-star optimization (Kiveris et al., "Connected
+      Components in MapReduce") without changing the loop shape.
 
     Returns (node, cluster_id) where cluster_id = min node id of the
-    component. Only nodes that appear in an edge are returned.
+    component. Only nodes that appear in an edge are returned. Both
+    regimes produce identical output.
     """
+    # One job decides the regime AND feeds the small path: collect at
+    # most threshold+1 edges; if they all fit, union-find runs on the
+    # rows already in hand (no second pass over the expensive upstream
+    # pair pipeline).
+    head = edges.select("ida", "idb").limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        return _cc_driver_union_find(edges.sparkSession, head)
     # Undirected: materialize both directions once; cache because every
     # iteration re-joins it.
     both = (
@@ -210,6 +227,40 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             break
     both.unpersist()
     return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def _cc_driver_union_find(spark: SparkSession, edge_rows) -> DataFrame:
+    """Union-find with path compression; min node id becomes the root."""
+    from pyspark.sql import types as T
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins the root so cluster_id = component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = sorted((n, find(n)) for n in parent)
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,243 @@
+"""Training-data preprocessing operators (LLM-pipeline extension).
+
+The reference's pipeline ends at "typed rows out" (SURVEY.md §2.1
+R9/R14); a training-data engine needs the steps that come next. Each
+operator here is a pure Catalyst expression chain — no Python in the
+hot path — and each scales by construction:
+
+- q76 merge/upsert: FULL OUTER join on the key + per-side coalesce —
+  the batch MERGE INTO pattern. One shuffle on the merge key; at
+  100 TB both sides arrive bucketed by key (sources/layout.py) and the
+  shuffle disappears.
+- q77 hash split: deterministic train/val/test assignment by md5 of
+  the stable row key — never ``rand()``. Reproducible across engines,
+  re-runs, and cluster sizes; sampling is a filter the scan can
+  evaluate, not a separate pass.
+- q78 normalize+dedup: canonicalize text (lowercase, collapse
+  whitespace, strip punctuation) *before* hashing so trivially-varied
+  copies collapse; group-by on the 16-byte md5 of the canonical form.
+- q79 PII scrub: regexp masking of emails/IPv4s planted onto each doc;
+  ``regexp_count`` audits how much was removed. All regexp work is
+  JVM-side codegen.
+- q80 chunking: fixed-size token windows via sequence+explode — the
+  row-count fan-out is bounded (ceil(n_tokens/size) per doc), shuffle-
+  free, and each chunk carries its provenance (doc_id, chunk_idx).
+- q82 higher-order array funcs: transform/filter/exists/aggregate over
+  the embedding column; the fold quantizes to integers first so the
+  sum is order-independent and exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.functions.text import _base_hash
+from kinesis_logs_reader_spark.operators.relational import _dec, _r2d
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str, columns: list[str]
+) -> DataFrame:
+    """Batch MERGE INTO: update matched rows, insert unmatched source
+    rows, keep everything else. Returns the merged table plus an ``op``
+    audit column ('update' / 'insert' / 'keep').
+
+    FULL OUTER join on the key; each output column is
+    ``coalesce(source, target)``. One shuffle on the merge key — the
+    same plan a Delta/Iceberg MERGE compiles to for the copy-on-write
+    case, minus the transaction log (out of scope: no table format in
+    this container).
+    """
+    src = source.select(key, *columns)
+    for c in columns:
+        src = src.withColumnRenamed(c, f"_src_{c}")
+    merged = target.join(src, on=key, how="full_outer")
+    out_cols = [F.col(key)]
+    for c in columns:
+        out_cols.append(F.coalesce(F.col(f"_src_{c}"), F.col(c)).alias(c))
+    op = (
+        F.when(F.col(f"_src_{columns[0]}").isNull(), F.lit("keep"))
+        .when(F.col(columns[0]).isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op")
+    )
+    return merged.select(*out_cols, op)
+
+
+def q76_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a deterministic change-set into orders: every 7th order
+    gets a 10% price bump + status 'U' (update); every 97th order is
+    re-keyed at +10M (insert)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        _r2d(_dec("o_totalprice")).alias("price"),
+    )
+    bump = _r2d(_dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)"))
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("status"), bump.alias("price")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("status"),
+        _r2d(_dec("o_totalprice")).alias("price"),
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(
+        target, source, key="o_orderkey", columns=["status", "price"]
+    ).orderBy("o_orderkey")
+
+
+def q77_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = md5(doc_id) mod 100
+    -> 80/10/10. Counts per (split, lang) prove the assignment is
+    identical in both engines. The split is a pure filter expression —
+    at 100 TB it rides the scan, costs zero extra passes, and never
+    changes when the table is repartitioned or appended to."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _base_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return (
+        docs.select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical form: lowercase, strip non-alnum-non-space, collapse
+    runs of whitespace, trim. Spark regexp_replace replaces all
+    occurrences by default (DuckDB needs the 'g' flag)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup: docs whose *canonical* text collides.
+
+    Catches trivially-varied duplicates (case, punctuation, spacing)
+    that exact dedup (q40) misses. Variants are planted in-query
+    (docs with id < 15 re-emitted uppercased with doubled spaces) so
+    the collision structure is guaranteed and engine-independent; the
+    group-by key is the md5 of the canonical form, so the shuffle
+    carries 16-byte digests.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 15)
+        .select(F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"))
+    )
+    return (
+        docs.unionByName(planted)
+        .select(F.md5(normalize_text(F.col("text"))).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("n_copies")
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_IP_RE = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def q79_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant a deterministic email + IPv4 per doc, then
+    mask both and audit the removal counts. regexp_replace/regexp_count
+    are whole-stage-codegen expressions; at 100 TB this is a map-only
+    pass with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_IP_RE)).alias("n_ips"),
+        F.substring(scrubbed, -40, 40).alias("tail"),
+    ).orderBy("doc_id")
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """Fixed-size token-window chunking with provenance.
+
+    One row per (doc, window): sequence+explode fan-out, slice+concat
+    re-materialization. No shuffle — chunking is embarrassingly
+    parallel and the fan-out factor is bounded by doc length.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    return (
+        docs.withColumn("_toks", toks)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("chunk_idx") * chunk_tokens + 1,
+                    chunk_tokens,
+                ),
+            ).alias("chunk"),
+        )
+    )
+
+
+def q80_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk a fixed doc slice into 32-token windows; emit md5 + token
+    count per chunk (hashes keep the oracle output compact)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    chunks = chunk_documents(docs, chunk_tokens=32)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q82_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: transform / filter
+    / exists / aggregate. The fold quantizes each element to integer
+    milli-units before summing, so the result is order-independent and
+    bit-exact in both engines (no float-summation drift by design)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    milli = F.transform(as_double, lambda x: F.floor(x * 1000).cast("bigint"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_pos"),
+        F.exists(as_double, lambda x: x > 0.25).alias("any_big"),
+        F.aggregate(milli, F.lit(0).cast("bigint"), lambda a, v: a + v).alias(
+            "sum_milli"
+        ),
+        F.round(F.element_at(as_double, 1) * 2, 4).cast("double").alias("head_x2"),
+    ).orderBy("vec_id")

@@ -1002,3 +1002,110 @@ FROM walk
 GROUP BY node
 ORDER BY node
 """
+
+# --- Training-data preprocessing (operators/preprocess.py) -----------------
+
+ORACLE["q76_merge_upsert"] = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+  FROM orders
+), source AS (
+  SELECT o_orderkey, 'U' AS status,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N',
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(s.status, t.status) AS status,
+       COALESCE(s.price, t.price) AS price,
+       CASE WHEN s.status IS NULL THEN 'keep'
+            WHEN t.status IS NULL THEN 'insert'
+            ELSE 'update' END AS op
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+ORDER BY o_orderkey
+"""
+
+ORACLE["q77_hash_split"] = """
+WITH b AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 2147483647 % 100 AS bucket,
+         lang
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM b
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+ORACLE["q78_normalize_dedup"] = """
+WITH all_docs AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT regexp_replace(upper(text), ' ', '  ', 'g') FROM documents WHERE doc_id < 15
+), h AS (
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS _h
+  FROM all_docs
+), g AS (
+  SELECT _h, COUNT(*) AS n_copies FROM h GROUP BY _h
+)
+SELECT n_copies, COUNT(*) AS n_groups
+FROM g
+GROUP BY n_copies
+ORDER BY n_copies
+"""
+
+ORACLE["q79_pii_scrub"] = """
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from '
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.0.1' AS t
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT) AS n_ips,
+       CASE WHEN len(s) <= 40 THEN s ELSE substr(s, len(s) - 39, 40) END AS tail
+FROM (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+                        '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g') AS s
+  FROM planted
+)
+ORDER BY doc_id
+"""
+
+ORACLE["q80_chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS tk FROM documents WHERE doc_id < 300
+), fan AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(CEIL(len(tk) / 32.0) AS INT) - 1)) AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(tk[chunk_idx*32+1 : chunk_idx*32+32]) AS INT) AS n_tokens,
+       md5(array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ')) AS chunk_md5
+FROM fan
+ORDER BY doc_id, chunk_idx
+"""
+
+ORACLE["q82_higher_order_funcs"] = """
+SELECT vec_id,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.25)) > 0 AS BOOLEAN) AS any_big,
+       CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(FLOOR(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 2, 4) AS DOUBLE) AS head_x2
+FROM embeddings
+WHERE vec_id < 500
+ORDER BY vec_id
+"""

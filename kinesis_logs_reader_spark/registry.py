@@ -37,6 +37,7 @@ def all_queries() -> dict[str, QueryFn]:
         pass
     for mod_name in (
         "analytics",
+        "preprocess",
         "dedup",
         "similarity",
         "textstats",

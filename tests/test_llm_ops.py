@@ -149,12 +149,17 @@ def test_connected_components_semantics(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
         "ida long, idb long",
     )
-    got = {
-        (r.node, r.cluster_id)
-        for r in connected_components(edges).collect()
-    }
-    assert got == {
+    expect = {
         (1, 1), (2, 1), (3, 1),
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    # driver union-find regime
+    got = {(r.node, r.cluster_id) for r in connected_components(edges).collect()}
+    assert got == expect
+    # distributed label-propagation regime (force with threshold=0)
+    got_dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == expect
