@@ -1,0 +1,111 @@
+"""Event-stream analytics over the ``events`` table (batch side).
+
+The reference's domain is event streams (CloudWatch log events over
+Kinesis, kinesis_logs_reader.py:22-46); these queries are the analytic
+shapes an event-stream engine is actually asked for — funnels,
+retention cohorts, transition graphs — composed from the declared
+operator surface (joins, windows, aggregates), never bespoke executors.
+
+Scale posture: every query aggregates per-user *first* (150 users here,
+~10^8 at 100 TB — still tiny next to the event count), so joins move
+user-level rows, not event-level rows, and each stage is one
+map-side-combinable shuffle keyed by user_id. A funnel over 100 TB of
+events is three such aggregates chained, each strictly shrinking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def funnel_counts(
+    events: DataFrame, stages: list[str], user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """N-stage ordered funnel: users whose first stage-k event follows
+    their first qualifying stage-(k-1) event. Returns one row:
+    n_<stage> per stage.
+
+    Built as a chain of groupBy-min + join: stage k's input is the
+    (user, first-ts) table from stage k-1 — strictly shrinking, always
+    keyed by user, no window over the raw event stream.
+    """
+    reached = None  # DataFrame[user, _t] of users who reached previous stage
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if reached is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                ev.join(reached, user_col)
+                .filter(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t2"))
+                .withColumnRenamed("_t2", "_t")
+            )
+        reached = cur
+        counts.append(cur.agg(F.count(F.lit(1)).alias(f"n_{stage}")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def q83_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: users reaching each stage in
+    order (strictly increasing first-event timestamps)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
+def q84_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-event week,
+    counted per week offset they were active in.
+
+    Two aggregates: first-event per user (shuffle by user), then
+    distinct users per (cohort, offset) — the distinct rides the same
+    user-keyed shuffle. Event rows never join event rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(F.min("ts").alias("_first"))
+    cohort = F.date_trunc("week", F.col("_first")).cast("date")
+    return (
+        events.join(first, "user_id")
+        .select(
+            cohort.cast("string").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), cohort) / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-ish transition counts: (event_type -> next event_type)
+    per user ordered by time, counted across all users.
+
+    One window pass partitioned by user (ties broken by the unique
+    event_id so both engines see the same ordering), then a 25-group
+    aggregate. At 100 TB the window shuffle is the only event-scale
+    exchange and it is AQE-skew-splittable.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )

@@ -1109,3 +1109,50 @@ FROM embeddings
 WHERE vec_id < 500
 ORDER BY vec_id
 """
+
+# --- Event-stream analytics (operators/events.py) --------------------------
+
+ORACLE["q83_funnel"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+"""
+
+ORACLE["q84_retention"] = """
+WITH first_ev AS (
+  SELECT user_id, MIN(ts) AS _first FROM events GROUP BY user_id
+)
+SELECT CAST(CAST(date_trunc('week', _first) AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(FLOOR(date_diff('day', CAST(date_trunc('week', _first) AS DATE),
+                            CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_ev f ON e.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+ORACLE["q85_event_transitions"] = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""

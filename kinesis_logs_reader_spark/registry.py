@@ -38,6 +38,7 @@ def all_queries() -> dict[str, QueryFn]:
     for mod_name in (
         "analytics",
         "preprocess",
+        "events",
         "dedup",
         "similarity",
         "textstats",

