@@ -35,7 +35,12 @@ def test_registry_consistency():
     """Every oracle key has a query; rows-only keys are the known set."""
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"q28_approx_distinct", "q47_simhash", "q48_ann_ivf"}
+    assert rows_only == {
+        "q28_approx_distinct",
+        "q47_simhash",
+        "q48_ann_ivf",
+        "q75_ann_ivf_kmeans",
+    }
 
 
 def test_q28_approx_distinct_tolerance(spark):

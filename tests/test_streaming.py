@@ -191,3 +191,55 @@ def test_h6_stateful_user_stats(spark, events_stream_path, events_batch, tmp_pat
     want = events_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     diff = final.join(want, ["user_id", "n_events"], "left_anti")
     assert diff.count() == 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state protocol needs python protobuf "
+    "(not baked into this container); operator gated, h6 covers stateful",
+)
+def test_h11_transform_with_state(spark, events_stream_path, events_batch, tmp_path):
+    """transformWithStateInPandas running stats must converge to the
+    batch aggregate (same check as h6, on the Spark-4 state API)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.h11_transform_with_state(
+            _stream(spark, events_stream_path, events_batch)
+        )
+        name = _run(stream, tmp_path, mode="update")
+        got = spark.table(name)
+        from pyspark.sql.window import Window
+
+        final = (
+            got.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events")
+        )
+        want = events_batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        diff = final.join(want, ["user_id", "n_events"], "left_anti")
+        assert diff.count() == 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
