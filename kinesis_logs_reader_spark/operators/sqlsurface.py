@@ -1,0 +1,91 @@
+"""SQL-surface operators: UNPIVOT, LATERAL join, recursive CTE.
+
+These run through ``spark.sql`` against registered views — the engine's
+second entry path next to the DataFrame API (SURVEY.md §3.4: batch
+queries are plain Spark SQL against temp views). Each exercises a SQL
+feature users of a full engine expect:
+
+- q86 UNPIVOT: wide->long reshaping of an aggregate table (inverse of
+  q53's PIVOT). Unpivot is a zero-shuffle Expand node over the (tiny)
+  aggregate output.
+- q87 JOIN LATERAL: correlated top-N per group. Catalyst decorrelates
+  the LIMITed lateral subquery into a window-rank plan — same shape a
+  hand-written row_number() query compiles to, proving the
+  decorrelation path rather than bypassing it.
+- q88 recursive CTE (Spark 4): calendar densification — a date spine
+  over the events range, left-joined to daily counts so zero-activity
+  days surface. The recursion depth equals the spine length (bounded,
+  driver-side plan growth), and the join against it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT per-status order metrics from wide to long."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT o_orderstatus,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+                 CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders
+          FROM orders
+          GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, metric, val
+        FROM wide
+        UNPIVOT (val FOR metric IN (total_price, max_price, n_orders))
+        ORDER BY o_orderstatus, metric
+        """
+    )
+
+
+def q87_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation via a correlated LATERAL subquery."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey,
+               CAST(ROUND(CAST(t.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+        FROM nation
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        ORDER BY n_name, t.c_custkey
+        """
+    )
+
+
+def q88_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE date spine + left join: every day of the event
+    window appears, zero-activity days included (calendar
+    densification)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT DATE_ADD(d, 1) FROM spine WHERE d < DATE '2024-01-30'
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+          FROM events
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(spine.d AS STRING) AS day, COALESCE(daily.cnt, 0) AS n_events
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        ORDER BY day
+        """
+    )

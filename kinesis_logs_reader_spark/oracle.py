@@ -1156,3 +1156,49 @@ WHERE next_type IS NOT NULL
 GROUP BY from_type, to_type
 ORDER BY from_type, to_type
 """
+
+# --- SQL-surface ops (operators/sqlsurface.py) -----------------------------
+
+ORACLE["q86_unpivot"] = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+         CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, val
+FROM wide
+UNPIVOT (val FOR metric IN (total_price, max_price, n_orders))
+ORDER BY o_orderstatus, metric
+"""
+
+ORACLE["q87_lateral_topn"] = """
+SELECT n_name, t.c_custkey,
+       CAST(ROUND(CAST(t.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY n_name, t.c_custkey
+"""
+
+ORACLE["q88_date_spine"] = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '2024-01-30'
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+  FROM events
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(CAST(spine.d AS DATE) AS VARCHAR) AS day, COALESCE(daily.cnt, 0) AS n_events
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+ORDER BY day
+"""

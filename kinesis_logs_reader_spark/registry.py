@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QueryFn]:
         "analytics",
         "preprocess",
         "events",
+        "sqlsurface",
         "dedup",
         "similarity",
         "textstats",
