@@ -34,6 +34,12 @@ _RUNTIME_CONF = {
     # the documented setting when partitions should track data volume,
     # not core count.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Runtime (bloom-filter) join pruning: a selective dim-side filter
+    # is pushed as a bloom filter onto the fact scan. Off by default in
+    # Spark; measured no regression at sf0.1 (warm A/B within noise),
+    # and the payoff grows with fact-table size — at 100 TB it skips
+    # row groups the join would discard anyway.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 
