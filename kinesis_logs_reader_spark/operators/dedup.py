@@ -313,3 +313,32 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
         .orderBy("doc_id")
     )
+
+
+def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing a 3-token
+    shingle with any benchmark doc (the pre-training hygiene step —
+    drop or flag training text that leaks the eval set).
+
+    The benchmark slice is doc_id % 101 == 0 (deterministic, ~1%);
+    the training side is bounded to doc_id < 500 so the oracle output
+    is scale-independent. Inverted-index join on integer shingle
+    hashes: the shuffle carries (hash, id) pairs, never text. At
+    100 TB the eval side (thousands of docs) builds a broadcast hash
+    set instead, making the check map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
+    sh = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("sh"))
+    ev = sh.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s")
+    )
+    tr = sh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500)).select(
+        F.col("doc_id").alias("train_id"), F.explode("sh").alias("s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("train_id", "eval_id")
+    )

@@ -1202,3 +1202,31 @@ SELECT CAST(CAST(spine.d AS DATE) AS VARCHAR) AS day, COALESCE(daily.cnt, 0) AS 
 FROM spine LEFT JOIN daily ON spine.d = daily.d
 ORDER BY day
 """
+
+# --- Eval-set decontamination (operators/dedup.py) -------------------------
+
+ORACLE["q89_decontamination"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents
+), based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS sh
+  FROM tok
+), ev AS (
+  SELECT doc_id AS eval_id, unnest(sh) AS s FROM based WHERE doc_id % 101 = 0
+), tr AS (
+  SELECT doc_id AS train_id, unnest(sh) AS s FROM based
+  WHERE doc_id % 101 <> 0 AND doc_id < 500
+)
+SELECT train_id, eval_id, COUNT(*) AS n_shared
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY train_id, eval_id
+ORDER BY train_id, eval_id
+"""
