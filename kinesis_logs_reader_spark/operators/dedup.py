@@ -176,21 +176,27 @@ def connected_components(
     component. Only nodes that appear in an edge are returned. Both
     regimes produce identical output.
     """
-    # One job decides the regime AND feeds the small path: collect at
-    # most threshold+1 edges; if they all fit, union-find runs on the
-    # rows already in hand (no second pass over the expensive upstream
-    # pair pipeline).
-    head = edges.select("ida", "idb").limit(driver_threshold + 1).collect()
-    if len(head) <= driver_threshold:
-        return _cc_driver_union_find(edges.sparkSession, head)
-    # Undirected: materialize both directions once; cache because every
-    # iteration re-joins it.
+    # Materialize the edge list once (persist), then count to pick the
+    # regime. A limit(N).collect() probe would be cheaper on paper but
+    # CollectLimitExec executes partitions incrementally (1, then 4x,
+    # ...), re-running the expensive upstream pair pipeline several
+    # times; persist+count runs it exactly once.
+    edges = edges.select("ida", "idb").persist()
+    if edges.count() <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist(blocking=False)
+        return _cc_driver_union_find(edges.sparkSession, rows)
+    # Large-graph path. Undirected: materialize both directions once
+    # (fed from the cached one-way list, then release it); cache
+    # because every iteration re-joins it.
     both = (
         edges.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
         .unionByName(edges.select(F.col("idb").alias("src"), F.col("ida").alias("dst")))
         .distinct()
         .cache()
     )
+    both.count()  # materialize from the cached edges
+    edges.unpersist(blocking=False)
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
@@ -328,7 +334,13 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set instead, making the check map-only.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
+    # cache() is a hard materialization barrier for the token-hash
+    # array: without it Catalyst inlines the `tb` transform into every
+    # element_at of the shingle lambda and the per-doc cost goes
+    # quadratic (measured 4.4s -> 1.0s at sf0.001 on this exact
+    # query). At 100 TB the same barrier is an intermediate parquet
+    # write or one repartition, not a cluster-wide cache.
+    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
     sh = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("sh"))
     ev = sh.filter(F.col("doc_id") % 101 == 0).select(
         F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s")

@@ -34,12 +34,12 @@ _RUNTIME_CONF = {
     # the documented setting when partitions should track data volume,
     # not core count.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    # Runtime (bloom-filter) join pruning: a selective dim-side filter
-    # is pushed as a bloom filter onto the fact scan. Off by default in
-    # Spark; measured no regression at sf0.1 (warm A/B within noise),
-    # and the payoff grows with fact-table size — at 100 TB it skips
-    # row groups the join would discard anyway.
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Runtime bloom-filter join pruning stays OFF (Spark's default):
+    # the scale probe measured it 1.6-2.2x SLOWER on the Q3/Q18 shapes
+    # at sf~1 (6M lineitem) — the extra filter-building scan of the
+    # creation side costs more than the pruning saves when the probe
+    # side already pre-aggregates or filters hard. Revisit only with
+    # partition-level stats showing scans dominated by discarded rows.
 }
 
 

@@ -41,9 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` as a typed DataFrame."""
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns since epoch (long) -> us TIMESTAMP_NTZ; `div` truncates like
         # DuckDB's ns->us truncation, so both engines see identical values.
+        # Guarded on dtype: tables re-written by the engine itself (e.g.
+        # the scale probe's synthesized sf1) already carry a timestamp.
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )

@@ -34,6 +34,14 @@ HEADLINE = [
     "q43_cosine_topk",
     "q46_minhash_lsh",
     "q50_cosine_dup_pairs",
+    "q68_shipping_priority",
+    "q69_local_supplier_volume",
+    "q71_large_volume_customer",
+    "q74_dup_clusters",
+    "q77_hash_split",
+    "q83_funnel",
+    "q85_event_transitions",
+    "q89_decontamination",
 ]
 
 
