@@ -1230,3 +1230,34 @@ FROM tr JOIN ev ON tr.s = ev.s
 GROUP BY train_id, eval_id
 ORDER BY train_id, eval_id
 """
+
+# --- Curation pipeline capstone (operators/pipeline.py) --------------------
+
+ORACLE["q90_curation_pipeline"] = """
+WITH staged AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS _h,
+         CAST(ROUND(LN(1 + CAST(len(str_split(text, ' ')) AS DOUBLE))
+                    * (1 - len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a')))
+                         / CAST(len(str_split(text, ' ')) AS DOUBLE)), 4) AS DOUBLE) AS quality,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 2147483647 % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 2147483647 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY _h ORDER BY doc_id) AS _rn
+    FROM staged
+  ) WHERE _rn = 1
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(ROUND(SUM(CAST(FLOOR(quality * 10000) AS BIGINT))
+                  / (COUNT(*) * 10000.0), 4) AS DOUBLE) AS avg_quality
+FROM deduped
+WHERE quality > 0.5
+GROUP BY split, lang
+ORDER BY split, lang
+"""

@@ -40,6 +40,7 @@ def all_queries() -> dict[str, QueryFn]:
         "preprocess",
         "events",
         "sqlsurface",
+        "pipeline",
         "dedup",
         "similarity",
         "textstats",
