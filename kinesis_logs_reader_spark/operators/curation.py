@@ -1,0 +1,411 @@
+"""Corpus-curation operators: quality rules, repetition, mixture
+sampling, sequence packing, ranking, sampling, auditing (LLM-pipeline
+extension beyond SURVEY.md §2.2 I1-I6).
+
+These are the batch ops a training-data pipeline runs between raw
+ingest and tokenization: Gopher-style quality-rule filtering,
+repetition detection, domain-mixture sampling, context-window packing,
+TF-IDF / BM25 relevance scoring, stratified sampling, data-quality
+audits, and embedding-outlier detection. Everything is declarative
+DataFrame code (no Python UDFs): per-document signals are per-row
+array/string expressions that whole-stage codegen pipelines over the
+scan; corpus-level statistics (document frequency, centroids, strata
+sizes) are map-side-combinable aggregates broadcast back to the big
+side, so at 100 TB each query is one corpus scan + tiny-side joins.
+
+Determinism/oracle notes: hash decisions use md5 (bit-identical across
+engines, like operators/preprocess.py); cross-row float aggregation is
+avoided by quantizing embedding coordinates to integers (exact int64
+arithmetic in both Spark and DuckDB) before summing — float SUM order
+across partitions is otherwise nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_logs_reader_spark.functions.text import n_tokens, shingles, stopword_count, tokens
+from kinesis_logs_reader_spark.sources.tables import load_table
+
+
+def _md5_bucket(col: Column, mod: int = 100) -> Column:
+    """Deterministic [0, mod) bucket from md5 (same trick as q77)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        % 2_147_483_647
+        % mod
+    )
+
+
+def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 shape).
+
+    Per-document boolean rules — word-count bounds, mean-word-length
+    bounds, minimum stopword evidence, distinct-token ratio — plus the
+    conjunction. All per-row expressions: at 100 TB this is a map-only
+    pass fused into the scan, the canonical first stage of corpus
+    curation. Fixed doc slice keeps oracle output bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    nt = n_tokens().cast("double")
+    awl = F.length(F.regexp_replace("text", " ", "")) / nt
+    nstop = stopword_count()
+    dist_ratio = F.size(F.array_distinct(tokens())).cast("double") / nt
+    staged = docs.select(
+        "doc_id",
+        nt.cast("int").alias("nt"),
+        F.round(awl, 4).cast("double").alias("avg_word_len"),
+        nstop.cast("int").alias("n_stopwords"),
+        F.round(dist_ratio, 4).cast("double").alias("distinct_ratio"),
+        (nt >= 10).alias("rule_min_words"),
+        (nt <= 120).alias("rule_max_words"),
+        ((awl >= 3.0) & (awl <= 10.0)).alias("rule_word_len"),
+        (nstop >= 2).alias("rule_stopwords"),
+        (dist_ratio > 0.2).alias("rule_distinct"),
+    )
+    passes = (
+        F.col("rule_min_words")
+        & F.col("rule_max_words")
+        & F.col("rule_word_len")
+        & F.col("rule_stopwords")
+        & F.col("rule_distinct")
+    )
+    return staged.withColumn("passes", passes).orderBy("doc_id")
+
+
+def q92_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection: most-frequent-token fraction and duplicate
+    bigram fraction (the Gopher repetition signals for one-line docs).
+
+    Bigram dedup ratio is a pure per-row array expression; the
+    top-token count is explode -> two-level aggregate where the first
+    level (doc_id, token) partially aggregates map-side, so the one
+    shuffle moves (doc, distinct-token) pairs, not token instances.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    big = shingles(k=2)
+    per_row = docs.select(
+        "doc_id",
+        n_tokens().alias("nt"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(big)).cast("double")
+            / F.greatest(F.size(big), F.lit(1)).cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("dup_bigram_frac"),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_cnt"))
+    )
+    joined = per_row.join(tok_counts, "doc_id")
+    top_frac = F.round(
+        F.col("top_tok_cnt").cast("double") / F.col("nt").cast("double"), 4
+    ).cast("double")
+    return (
+        joined.select(
+            "doc_id",
+            "nt",
+            "top_tok_cnt",
+            top_frac.alias("top_token_frac"),
+            "dup_bigram_frac",
+            ((top_frac > 0.2) | (F.col("dup_bigram_frac") > 0.3)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q93_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: down-sample each source to a target
+    rate (the train-mix reweighting step) with a deterministic
+    md5-coin per row — never rand(), so the sample is reproducible
+    and repartition-stable. Map-only over the scan; the report
+    aggregate is tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    rate = (
+        F.when(src_num < 5, F.lit(100))
+        .when(src_num < 10, F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    coin = _md5_bucket(F.concat_ws(":", "source", F.col("doc_id").cast("string")))
+    staged = docs.select(
+        "source", rate.alias("rate_pct"), (coin < rate).cast("int").alias("kept")
+    )
+    return (
+        staged.groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("eff_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q94_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (ordered by doc_id
+    within language) to fixed-capacity token bins via the offset rule
+    bin = floor((running_tokens - nt) / capacity) — the streaming-
+    friendly approximation of greedy packing that is expressible as
+    one window cumulative sum (single shuffle, no iteration).
+
+    Per (lang, bin): docs packed, tokens used, fill ratio. At scale
+    the window key (lang) is coarse; a production variant adds a
+    salt/bucket column to the partitionBy to bound per-key state.
+    """
+    cap = 256
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "lang", "doc_id", n_tokens().alias("nt")
+    ).withColumn("cum", F.sum("nt").over(w))
+    binned = staged.withColumn(
+        "bin", F.floor((F.col("cum") - F.col("nt")) / F.lit(cap))
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("bin_tokens"),
+            F.round(F.sum("nt").cast("double") / F.lit(cap), 4)
+            .cast("double")
+            .alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def q95_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (fixed doc slice).
+
+    Document frequency and corpus size come from full-corpus
+    aggregates; tf from an explode + count on the slice. The df side
+    is vocabulary-sized (small) and broadcast into the tf join, so the
+    corpus-sized data moves through exactly one (doc_id, term)
+    aggregation. idf = ln(N / df), score rounded for the oracle hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # N as a lazy 1-row broadcast (no eager .count() on the driver)
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct(tokens())).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_tbl))
+    )
+    tf_tbl = (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(tokens()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf_tbl.join(F.broadcast(df_tbl), "t").select(
+        "doc_id",
+        F.col("t").alias("term"),
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_corpus").cast("double") / F.col("df")), 4
+        )
+        .cast("double")
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: precisely ceil(10%) of every lang
+    stratum, rows chosen by md5 order (deterministic, uniform-ish,
+    reproducible). row_number + per-stratum count = one window pass +
+    one broadcast join; contrast with df.sampleBy which is only
+    approximate and seed/partitioning-sensitive.
+
+    Output is an audit aggregate (exact sample size + id checksum per
+    stratum) so the hash check pins membership, not just counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "lang")
+        .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.1))
+    )
+    return (
+        ranked.groupBy("lang", "n_stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("doc_id").alias("id_min"),
+            F.max("doc_id").alias("id_max"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: named constraint rules -> violation counts
+    (null / range / cross-column / referential checks), the validation
+    gate a pipeline runs before publishing a snapshot.
+
+    Each rule is an independent filter-count (map-side combinable to
+    one row); referential rules are anti-joins that AQE turns into
+    broadcast joins when the dimension fits. The union of one-row
+    aggregates is driver-cheap at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+
+    checks = [
+        rule(
+            "lineitem.shipdate_range",
+            li.filter(
+                (F.col("l_shipdate") < F.lit("1992-01-01"))
+                | (F.col("l_shipdate") > F.lit("1998-12-31"))
+            ),
+        ),
+        rule("lineitem.discount_range", li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))),
+        rule(
+            "lineitem.orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        rule("lineitem.qty_positive", li.filter(F.col("l_quantity") <= 0)),
+        rule("orders.null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        rule(
+            "orders.orphan_custkey",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+        ),
+        rule("orders.totalprice_positive", orders.filter(F.col("o_totalprice") <= 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")
+
+
+def q98_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of documents for a fixed term query —
+    the retrieval scorer for corpus search / dedup triage.
+
+    Same data movement as q95: corpus-level stats (df per query term,
+    avg doc length, N) are tiny and broadcast; per-doc tf comes from
+    one filtered explode-aggregate. Top-20 via TakeOrderedAndProject.
+    """
+    k1, b = 1.2, 0.75
+    terms = ("table", "spark", "key")
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus stats as a lazy 1-row broadcast: exact N, integer-exact
+    # avgdl numerator (sum of token counts) so both engines divide the
+    # same two integers instead of averaging floats in partition order
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(n_tokens()).alias("sum_dl"),
+    )
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct(tokens())).alias("t"))
+        .filter(F.col("t").isin(*terms))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+    )
+    tf_tbl = (
+        docs.select("doc_id", n_tokens().alias("dl"), F.explode(tokens()).alias("t"))
+        .filter(F.col("t").isin(*terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_corpus").cast("double")
+    idf = F.log(
+        (F.col("n_corpus").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * tfn), 4).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+    return top.orderBy("doc_id")
+
+
+def q99_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: distance to the label centroid,
+    top-3 farthest vectors per label (mislabeled/noisy-sample triage).
+
+    Exactness across engines: coordinates are quantized to integers
+    (floor(v*1000+0.5)) so the centroid sums are exact int64 and the
+    scaled distance sum((q*n - sum_q)^2) is exact integer math — no
+    float-summation-order nondeterminism. One posexplode + one
+    (label, dim) aggregate (map-side combinable, 64*labels rows) +
+    broadcast join back; the corpus moves through a single shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n")
+    )
+    dist = (
+        flat.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("q") * F.col("n") - F.col("sum_q"))
+                * (F.col("q") * F.col("n") - F.col("sum_q"))
+            ).alias("dist2_scaled")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2_scaled").desc(), "vec_id")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "rn", "vec_id", "dist2_scaled")
+        .orderBy("label", "rn")
+    )

@@ -1261,3 +1261,229 @@ WHERE quality > 0.5
 GROUP BY split, lang
 ORDER BY split, lang
 """
+
+# --- curation operators (operators/curation.py) -----------------------
+
+ORACLE["q91_gopher_rules"] = """
+WITH s AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS nt,
+         length(replace(text, ' ', ''))
+           / CAST(len(str_split(text, ' ')) AS DOUBLE) AS awl,
+         len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a'))) AS nstop,
+         len(list_distinct(str_split(text, ' ')))
+           / CAST(len(str_split(text, ' ')) AS DOUBLE) AS dr
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       CAST(nt AS INT) AS nt,
+       CAST(ROUND(awl, 4) AS DOUBLE) AS avg_word_len,
+       CAST(nstop AS INT) AS n_stopwords,
+       CAST(ROUND(dr, 4) AS DOUBLE) AS distinct_ratio,
+       nt >= 10 AS rule_min_words,
+       nt <= 120 AS rule_max_words,
+       (awl >= 3.0 AND awl <= 10.0) AS rule_word_len,
+       nstop >= 2 AS rule_stopwords,
+       dr > 0.2 AS rule_distinct,
+       (nt >= 10 AND nt <= 120 AND awl >= 3.0 AND awl <= 10.0
+        AND nstop >= 2 AND dr > 0.2) AS passes
+FROM s
+ORDER BY doc_id
+"""
+
+ORACLE["q92_repetition"] = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS nt
+  FROM documents WHERE doc_id < 500
+), big AS (
+  SELECT doc_id, nt,
+         list_transform(generate_series(1, greatest(0, nt - 1)),
+                        i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS bg
+  FROM toks
+), perrow AS (
+  SELECT doc_id, nt,
+         CAST(ROUND(1.0 - len(list_distinct(bg))
+                          / CAST(greatest(len(bg), 1) AS DOUBLE), 4) AS DOUBLE)
+           AS dup_bigram_frac
+  FROM big
+), tc AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+  GROUP BY doc_id, t
+), top AS (
+  SELECT doc_id, MAX(c) AS top_tok_cnt FROM tc GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.nt AS INT) AS nt, top.top_tok_cnt,
+       CAST(ROUND(top.top_tok_cnt / CAST(p.nt AS DOUBLE), 4) AS DOUBLE)
+         AS top_token_frac,
+       p.dup_bigram_frac,
+       (ROUND(top.top_tok_cnt / CAST(p.nt AS DOUBLE), 4) > 0.2
+        OR p.dup_bigram_frac > 0.3) AS flagged
+FROM perrow p JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+ORACLE["q93_domain_mix"] = """
+WITH staged AS (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 5 THEN 100
+              WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 10 THEN 50
+              ELSE 25 END AS rate_pct,
+         CASE WHEN CAST('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2147483647 % 100
+                   < CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 5 THEN 100
+                          WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) < 10 THEN 50
+                          ELSE 25 END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, rate_pct,
+       COUNT(*) AS n_total,
+       SUM(kept) AS n_kept,
+       CAST(ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS eff_rate
+FROM staged
+GROUP BY source, rate_pct
+ORDER BY source
+"""
+
+ORACLE["q94_pack_sequences"] = """
+WITH staged AS (
+  SELECT lang, doc_id, len(str_split(text, ' ')) AS nt,
+         SUM(len(str_split(text, ' '))) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+), binned AS (
+  SELECT lang, nt, CAST(FLOOR((cum - nt) / 256.0) AS BIGINT) AS bin FROM staged
+)
+SELECT lang, bin, COUNT(*) AS n_docs, SUM(nt) AS bin_tokens,
+       CAST(ROUND(SUM(nt) / 256.0, 4) AS DOUBLE) AS fill_ratio
+FROM binned
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+ORACLE["q95_tfidf"] = """
+WITH n AS (
+  SELECT COUNT(*) AS n_corpus FROM documents
+), df AS (
+  SELECT t, COUNT(*) AS df
+  FROM (SELECT unnest(list_distinct(str_split(text, ' '))) AS t FROM documents)
+  GROUP BY t
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+        FROM documents WHERE doc_id < 200)
+  GROUP BY doc_id, t
+), scored AS (
+  SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+         CAST(ROUND(tf.tf * LN(CAST(n.n_corpus AS DOUBLE) / df.df), 4) AS DOUBLE)
+           AS tfidf
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+)
+SELECT doc_id, rn, term, tf, df, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+ORACLE["q96_stratified_sample"] = """
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang
+), ranked AS (
+  SELECT d.lang, d.doc_id, s.n_stratum,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+  FROM documents d JOIN sizes s ON d.lang = s.lang
+)
+SELECT lang, n_stratum, COUNT(*) AS n_kept,
+       SUM(doc_id) AS id_sum, MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+FROM ranked
+WHERE rn <= CEIL(n_stratum * 0.1)
+GROUP BY lang, n_stratum
+ORDER BY lang
+"""
+
+ORACLE["q97_quality_audit"] = """
+WITH checks AS (
+  SELECT 'lineitem.shipdate_range' AS rule,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_shipdate < DATE '1992-01-01'
+             OR l_shipdate > DATE '1998-12-31') AS n_violations
+  UNION ALL SELECT 'lineitem.discount_range',
+         (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5)
+  UNION ALL SELECT 'lineitem.orphan_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL SELECT 'lineitem.qty_positive',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+  UNION ALL SELECT 'orders.null_custkey',
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL SELECT 'orders.orphan_custkey',
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL SELECT 'orders.totalprice_positive',
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+)
+SELECT rule, n_violations FROM checks ORDER BY rule
+"""
+
+ORACLE["q98_bm25"] = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_corpus, SUM(len(str_split(text, ' '))) AS sum_dl
+  FROM documents
+), df AS (
+  SELECT t, COUNT(*) AS df
+  FROM (SELECT unnest(list_distinct(str_split(text, ' '))) AS t FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY t
+), tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+               unnest(str_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY doc_id, dl, t
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(SUM(
+           LN((CAST(s.n_corpus AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_corpus)))
+         ), 4) AS DOUBLE) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, n_terms_hit FROM (
+  SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+) t
+ORDER BY doc_id
+"""
+
+ORACLE["q99_centroid_outliers"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label, dim, SUM(q) AS sum_q, COUNT(*) AS n FROM flat GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, f.label,
+         SUM((f.q * c.n - c.sum_q) * (f.q * c.n - c.sum_q)) AS dist2_scaled
+  FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
+  GROUP BY f.vec_id, f.label
+)
+SELECT label, rn, vec_id, dist2_scaled FROM (
+  SELECT label, vec_id, dist2_scaled,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2_scaled DESC, vec_id) AS rn
+  FROM dist
+) ranked
+WHERE rn <= 3
+ORDER BY label, rn
+"""

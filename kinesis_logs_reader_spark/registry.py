@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events",
         "sqlsurface",
         "pipeline",
+        "curation",
         "dedup",
         "similarity",
         "textstats",

@@ -1,0 +1,69 @@
+"""Semantic invariants of the curation operators (operators/curation.py)
+that the DuckDB hash comparison can't express: exact stratum sizes,
+token conservation in packing, determinism of hash-coin sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.operators import curation
+from kinesis_logs_reader_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_stratified_sample_exact_sizes(spark):
+    rows = curation.q96_stratified_sample(spark, SF_DIR).collect()
+    assert rows, "expected at least one stratum"
+    for r in rows:
+        assert r.n_kept == math.ceil(r.n_stratum * 0.1)
+        assert r.id_min <= r.id_max
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Bin token totals per lang must equal the corpus token totals —
+    the offset-binning rule may overflow a bin but never drops/dupes."""
+    packed = curation.q94_pack_sequences(spark, SF_DIR)
+    per_lang = {
+        r.lang: r.total
+        for r in packed.groupBy("lang").agg(F.sum("bin_tokens").alias("total")).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    truth = {
+        r.lang: r.total
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+        .collect()
+    }
+    assert per_lang == truth
+    assert all(r.bin >= 0 for r in packed.collect())
+
+
+def test_domain_mix_deterministic_and_near_target(spark):
+    a = {r.source: r.n_kept for r in curation.q93_domain_mix(spark, SF_DIR).collect()}
+    b = {r.source: r.n_kept for r in curation.q93_domain_mix(spark, SF_DIR).collect()}
+    assert a == b, "md5-coin sampling must be reproducible"
+    for r in curation.q93_domain_mix(spark, SF_DIR).collect():
+        assert abs(r.eff_rate - r.rate_pct / 100.0) < 0.35
+
+
+def test_centroid_outliers_shape(spark):
+    rows = curation.q99_centroid_outliers(spark, SF_DIR).collect()
+    per_label: dict[int, int] = {}
+    for r in rows:
+        per_label[r.label] = per_label.get(r.label, 0) + 1
+        assert r.dist2_scaled >= 0
+    assert all(n == 3 for n in per_label.values())
+
+
+def test_gopher_passes_is_conjunction(spark):
+    for r in curation.q91_gopher_rules(spark, SF_DIR).collect():
+        expected = (
+            r.rule_min_words
+            and r.rule_max_words
+            and r.rule_word_len
+            and r.rule_stopwords
+            and r.rule_distinct
+        )
+        assert r.passes == expected
