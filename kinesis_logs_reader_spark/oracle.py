@@ -1487,3 +1487,23 @@ SELECT label, rn, vec_id, dist2_scaled FROM (
 WHERE rn <= 3
 ORDER BY label, rn
 """
+
+ORACLE["q100_scd2"] = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id < 50
+), runs AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM changes
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       next_ts IS NULL AS is_current
+FROM runs
+ORDER BY user_id, valid_from
+"""

@@ -157,3 +157,32 @@ def test_q80_chunking_no_shuffle(spark):
     df = preprocess.q80_chunk_documents(spark, SF_DIR)
     plan = explain.formatted_plan(df)
     assert "hashpartitioning" not in plan
+
+
+def test_q91_gopher_rules_map_only(spark):
+    """Quality-rule filtering is per-row: the only exchange is the
+    final ORDER BY range exchange — no hash shuffle of the corpus."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q91_gopher_rules(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert explain.has_pushed_filters(df)  # doc_id < 500 reaches the scan
+
+
+def test_q95_tfidf_broadcasts_df_side(spark):
+    """The vocabulary-sized document-frequency table must broadcast;
+    the corpus-sized tf side must not shuffle into the join."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q95_tfidf(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_q99_centroid_join_broadcasts(spark):
+    """The (label, dim) centroid table (64 x labels rows) broadcasts
+    back into the corpus-sized flat side."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q99_centroid_outliers(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
