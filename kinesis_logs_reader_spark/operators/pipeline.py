@@ -55,13 +55,21 @@ def curate(docs: DataFrame) -> DataFrame:
         quality.alias("quality"),
         split.alias("split"),
     )
-    # dedup: keep the smallest doc_id per canonical-text hash
-    w = Window.partitionBy("_h").orderBy("doc_id")
+    # dedup: keep the smallest doc_id per canonical-text hash. min_by
+    # aggregation, not a window: it partially aggregates map-side
+    # (duplicates collapse before the exchange) and the reducer does a
+    # hash-agg instead of a full sort of every partition — the probe
+    # measured the window variant going superlinear at sf~1.
     return (
-        staged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        staged.groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("quality", "doc_id").alias("quality"),
+            F.min_by("split", "doc_id").alias("split"),
+        )
         .filter(F.col("quality") > 0.5)
-        .drop("_rn", "_h")
+        .drop("_h")
     )
 
 

@@ -42,6 +42,12 @@ HEADLINE = [
     "q83_funnel",
     "q85_event_transitions",
     "q89_decontamination",
+    "q90_curation_pipeline",
+    "q94_pack_sequences",
+    "q95_tfidf",
+    "q98_bm25",
+    "q99_centroid_outliers",
+    "q100_scd2",
 ]
 
 
