@@ -78,9 +78,10 @@ def token_base_hashes(text: Column | str = "text") -> Column:
     return F.transform(tokens(text), _base_hash)
 
 
-def token_shingle_hashes(tb_col: Column, k: int = 3) -> Column:
-    """array<bigint> of distinct k-token shingle hashes over a
-    *materialized* token-hash array column (see token_base_hashes)."""
+def token_shingle_hashes(tb_col: Column, k: int = 3, distinct: bool = True) -> Column:
+    """array<bigint> of k-token shingle hashes over a *materialized*
+    token-hash array column (see token_base_hashes). ``distinct=False``
+    preserves the positional sequence (winnowing needs it)."""
     idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tb_col) - F.lit(k - 1)))
     combined = F.transform(
         idx,
@@ -91,7 +92,7 @@ def token_shingle_hashes(tb_col: Column, k: int = 3) -> Column:
         )
         % F.lit(MINHASH_P),
     )
-    return F.array_distinct(combined)
+    return F.array_distinct(combined) if distinct else combined
 
 
 def minhash_signature(base_col: Column, num_hashes: int = 8) -> list[Column]:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesis_logs_reader_spark.functions.text import (
+    MINHASH_P,
     band_hashes,
     minhash_signature,
     shingles,
@@ -354,3 +355,47 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("train_id", "eval_id")
     )
+
+
+def q101_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every k-token shingle positionally, slide a
+    w-hash window, keep each window's minimum — guaranteeing at least
+    one fingerprint per w consecutive shingles, robust to insertions
+    that shift positions.
+
+    All per-row array math (two chained transforms over materialized
+    columns), no explode until a consumer needs the inverted index —
+    at 100 TB this rides the corpus scan like every other signature.
+    Output: fingerprint count, density, and an order-independent
+    checksum per doc so the oracle pins the exact fingerprint SET.
+    """
+    w = 4
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
+    # materialize the positional shingle-hash sequence before windowing
+    # (same anti-inlining rule as q89: lambdas defeat CSE)
+    sh = tok.select(
+        "doc_id", token_shingle_hashes(F.col("tb"), distinct=False).alias("sh")
+    )
+    widx = F.sequence(
+        F.lit(1), F.greatest(F.lit(0), F.size(F.col("sh")) - F.lit(w - 1))
+    )
+    minima = F.transform(widx, lambda i: F.array_min(F.slice(F.col("sh"), i, w)))
+    fps = F.array_distinct(minima)
+    staged = sh.select("doc_id", F.size(F.col("sh")).alias("n_shingles"), fps.alias("fps"))
+    return staged.select(
+        "doc_id",
+        "n_shingles",
+        F.size("fps").alias("n_fps"),
+        F.round(
+            F.size("fps").cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+            4,
+        )
+        .cast("double")
+        .alias("density"),
+        F.aggregate(
+            F.col("fps"), F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % F.lit(MINHASH_P)
+        ).alias("fp_checksum"),
+    ).orderBy("doc_id")

@@ -1507,3 +1507,33 @@ SELECT user_id, event_type AS state,
 FROM runs
 ORDER BY user_id, valid_from
 """
+
+ORACLE["q101_winnowing"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents WHERE doc_id < 500
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647) AS sh
+  FROM tok
+), fp AS (
+  SELECT doc_id, len(sh) AS n_shingles,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(sh) - 3)),
+           i -> list_min(list_slice(sh, i, i + 3)))) AS fps
+  FROM sh
+)
+SELECT doc_id, n_shingles,
+       len(fps) AS n_fps,
+       CAST(ROUND(len(fps) / CAST(greatest(n_shingles, 1) AS DOUBLE), 4) AS DOUBLE)
+         AS density,
+       CAST(COALESCE(list_sum(fps), 0) % 2147483647 AS BIGINT) AS fp_checksum
+FROM fp
+ORDER BY doc_id
+"""

@@ -67,3 +67,15 @@ def test_gopher_passes_is_conjunction(spark):
             and r.rule_distinct
         )
         assert r.passes == expected
+
+
+def test_winnowing_coverage_bound(spark):
+    """Winnowing guarantee: a selected fingerprint at position p covers
+    at most w windows, so n_fps >= ceil(n_windows / w) with w=4."""
+    from kinesis_logs_reader_spark.operators.dedup import q101_winnowing
+
+    for r in q101_winnowing(spark, SF_DIR).collect():
+        n_windows = max(r.n_shingles - 3, 0)
+        if n_windows:
+            assert r.n_fps >= math.ceil(n_windows / 4)
+            assert r.n_fps <= n_windows
