@@ -39,16 +39,14 @@ def _md5_bucket(col: Column, mod: int = 100) -> Column:
     )
 
 
-def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 shape).
+def gopher_frame(docs: DataFrame) -> DataFrame:
+    """Per-document quality-rule columns over any (doc_id, text) frame.
 
-    Per-document boolean rules — word-count bounds, mean-word-length
-    bounds, minimum stopword evidence, distinct-token ratio — plus the
-    conjunction. All per-row expressions: at 100 TB this is a map-only
-    pass fused into the scan, the canonical first stage of corpus
-    curation. Fixed doc slice keeps oracle output bounded.
+    Pure per-row expressions with no aggregation or sort, so the exact
+    same function runs on a batch DataFrame and on a streaming one
+    (``streaming/jobs.py::h12_quality_filter``) — curation rules apply
+    to a live ingest feed with zero re-implementation.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     nt = n_tokens().cast("double")
     awl = F.length(F.regexp_replace("text", " ", "")) / nt
     nstop = stopword_count()
@@ -72,7 +70,20 @@ def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("rule_stopwords")
         & F.col("rule_distinct")
     )
-    return staged.withColumn("passes", passes).orderBy("doc_id")
+    return staged.withColumn("passes", passes)
+
+
+def q91_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021 §A1.1 shape).
+
+    Per-document boolean rules — word-count bounds, mean-word-length
+    bounds, minimum stopword evidence, distinct-token ratio — plus the
+    conjunction. All per-row expressions: at 100 TB this is a map-only
+    pass fused into the scan, the canonical first stage of corpus
+    curation. Fixed doc slice keeps oracle output bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return gopher_frame(docs).orderBy("doc_id")
 
 
 def q92_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,3 +234,15 @@ def h11_transform_with_state(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def h12_quality_filter(docs: DataFrame) -> DataFrame:
+    """Streaming corpus curation: the batch Gopher-rule expressions
+    (operators/curation.py::gopher_frame) applied unchanged to a
+    documents *stream* — per-row, stateless, no watermark needed.
+    Proves the curation surface is ingest-time-capable: the same
+    codegen'd projection that scans 100 TB in batch filters the live
+    feed record-by-record."""
+    from kinesis_logs_reader_spark.operators.curation import gopher_frame
+
+    return gopher_frame(docs).filter(F.col("passes"))

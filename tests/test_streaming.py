@@ -243,3 +243,24 @@ def test_h11_transform_with_state(spark, events_stream_path, events_batch, tmp_p
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_h12_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The Gopher-rule filter on a documents stream == batch result."""
+    from kinesis_logs_reader_spark.operators.curation import gopher_frame
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = jobs.h12_quality_filter(
+        spark.readStream.schema(docs.schema).parquet(src)
+    )
+    assert stream.isStreaming
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_qf"), "append")
+    q.awaitTermination(180)
+    got = spark.table(name)
+    want = gopher_frame(docs).filter(F.col("passes"))
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
