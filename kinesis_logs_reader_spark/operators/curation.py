@@ -420,3 +420,49 @@ def q99_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "rn", "vec_id", "dist2_scaled")
         .orderBy("label", "rn")
     )
+
+
+def q102_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive length filtering: per-language p5/p95 token-count
+    cutoffs computed from the corpus itself, then applied — the
+    data-driven variant of q91's fixed word-count bounds (what real
+    curation does when languages have different length profiles).
+
+    Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) per language: a langs-sized table broadcast back
+    over the corpus, so the plan is one aggregate + one map-side join +
+    one tiny report aggregate. At 100 TB the exact percentile would be
+    swapped for ``approx_percentile`` at equal plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", n_tokens().alias("nt")
+    )
+    cuts = docs.groupBy("lang").agg(
+        F.expr("percentile(nt, 0.05)").alias("p05"),
+        F.expr("percentile(nt, 0.95)").alias("p95"),
+    )
+    flagged = docs.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "p05",
+        "p95",
+        (F.col("nt") < F.col("p05")).cast("int").alias("below"),
+        (F.col("nt") > F.col("p95")).cast("int").alias("above"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.round(F.first("p05"), 4).cast("double").alias("p05"),
+            F.round(F.first("p95"), 4).cast("double").alias("p95"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("below").alias("n_below"),
+            F.sum("above").alias("n_above"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("below") - F.sum("above"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -1537,3 +1537,28 @@ SELECT doc_id, n_shingles,
 FROM fp
 ORDER BY doc_id
 """
+
+ORACLE["q102_adaptive_length_filter"] = """
+WITH d AS (
+  SELECT lang, len(str_split(text, ' ')) AS nt FROM documents
+), cuts AS (
+  SELECT lang, quantile_cont(nt, 0.05) AS p05, quantile_cont(nt, 0.95) AS p95
+  FROM d GROUP BY lang
+), flagged AS (
+  SELECT d.lang, cuts.p05, cuts.p95,
+         CASE WHEN d.nt < cuts.p05 THEN 1 ELSE 0 END AS below,
+         CASE WHEN d.nt > cuts.p95 THEN 1 ELSE 0 END AS above
+  FROM d JOIN cuts ON d.lang = cuts.lang
+)
+SELECT lang,
+       CAST(ROUND(MIN(p05), 4) AS DOUBLE) AS p05,
+       CAST(ROUND(MIN(p95), 4) AS DOUBLE) AS p95,
+       COUNT(*) AS n_docs,
+       SUM(below) AS n_below,
+       SUM(above) AS n_above,
+       CAST(ROUND((COUNT(*) - SUM(below) - SUM(above))
+                  / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS kept_ratio
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
