@@ -241,3 +241,41 @@ def q82_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.element_at(as_double, 1) * 2, 4).cast("double").alias("head_x2"),
     ).orderBy("vec_id")
+
+
+def dedup_incremental(new_docs: DataFrame, known_hashes: DataFrame) -> DataFrame:
+    """Incremental corpus dedup: admit only new-batch documents whose
+    canonical-text hash is (a) unseen in the historical fingerprint
+    store and (b) unique within the batch (smallest doc_id wins).
+
+    The production shape for a growing 100 TB corpus: the store is a
+    parquet table of 16-byte digests only — the anti join shuffles
+    digests, never text, and within-batch dedup is the same min_by
+    aggregation as the capstone pipeline. Returns the surviving rows
+    with their ``_h`` digest attached so the caller can append exactly
+    these hashes back to the store (read-side and write-side stay
+    consistent by construction).
+    """
+    hashed = new_docs.withColumn("_h", F.md5(normalize_text(F.col("text"))))
+    batch_unique = (
+        hashed.groupBy("_h")
+        .agg(F.min_by(F.struct(*new_docs.columns), "doc_id").alias("row"))
+        .select("_h", "row.*")
+    )
+    return batch_unique.join(known_hashes.select("_h"), "_h", "left_anti")
+
+
+def q104_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup semantics, oracle-checkable: docs < 300 are
+    the historical store; docs 200-499 arrive as the new batch (100
+    overlapping). Output: admitted docs (unseen canonical hash, unique
+    in batch, min doc_id per hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    known = docs.filter(F.col("doc_id") < 300).select(
+        F.md5(normalize_text(F.col("text"))).alias("_h")
+    )
+    new_batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 500)).select(
+        "doc_id", "text", "lang"
+    )
+    kept = dedup_incremental(new_batch, known)
+    return kept.select("doc_id", "lang").orderBy("doc_id")

@@ -952,3 +952,26 @@ def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q103_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3-family: approx_percentile (Greenwald-Khanna sketch) next to
+    the exact interpolated percentile.
+
+    Rows-only in the oracle gate (sketch internals differ across
+    engines); tests/test_queries.py asserts the accuracy-bound
+    tolerance vs exact. At 100 TB the sketch is the only viable path —
+    it partially aggregates map-side in fixed memory where exact
+    percentile must shuffle every value per group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+            F.expr("approx_percentile(o_totalprice, 0.95, 1000)").alias("approx_p95"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("exact_p95"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1562,3 +1562,23 @@ FROM flagged
 GROUP BY lang
 ORDER BY lang
 """
+
+ORACLE["q104_incremental_dedup"] = """
+WITH canon AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS _h
+  FROM documents
+), known AS (
+  SELECT _h FROM canon WHERE doc_id < 300
+), batch AS (
+  SELECT * FROM canon WHERE doc_id >= 200 AND doc_id < 500
+), batch_unique AS (
+  SELECT _h, MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+  FROM batch GROUP BY _h
+)
+SELECT doc_id, lang
+FROM batch_unique
+WHERE _h NOT IN (SELECT _h FROM known)
+ORDER BY doc_id
+"""

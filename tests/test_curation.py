@@ -79,3 +79,30 @@ def test_winnowing_coverage_bound(spark):
         if n_windows:
             assert r.n_fps >= math.ceil(n_windows / 4)
             assert r.n_fps <= n_windows
+
+
+def test_dedup_incremental_semantics(spark):
+    """Planted scenario: store knows docs 0-99; batch re-sends 50-99
+    plus case/spacing variants of 0-9; only genuinely new rows admit."""
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        dedup_incremental,
+        normalize_text,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    known = docs.filter(F.col("doc_id") < 100).select(
+        F.md5(normalize_text(F.col("text"))).alias("_h")
+    )
+    variants = (
+        docs.filter(F.col("doc_id") < 10)
+        .withColumn("text", F.upper(F.regexp_replace("text", " ", "  ")))
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 150)
+    ).unionByName(variants)
+    kept = {r.doc_id for r in dedup_incremental(batch, known).collect()}
+    assert kept == set(range(100, 150)), (
+        "re-sent and variant rows must be rejected, new rows admitted"
+    )

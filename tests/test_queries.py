@@ -37,6 +37,7 @@ def test_registry_consistency():
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {
         "q28_approx_distinct",
+        "q103_approx_percentile",
         "q47_simhash",
         "q48_ann_ivf",
         "q75_ann_ivf_kmeans",
@@ -72,3 +73,10 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_q103_approx_percentile_tolerance(spark):
+    """GK sketch with accuracy=1000: relative error well under 2%."""
+    for r in QUERIES["q103_approx_percentile"](spark, SF_DIR).collect():
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50)
+        assert abs(r.approx_p95 - r.exact_p95) <= 0.02 * abs(r.exact_p95)
