@@ -49,3 +49,48 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n
+
+
+def morton_z(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative int columns.
+
+    Bit i of x lands at position 2i, bit i of y at 2i+1 — points close
+    in (x, y) cluster close in z. All literal-shift bitwise expressions
+    (one whole-stage-codegen span, no UDF). 2*bits <= 62 keeps the
+    result in a positive BIGINT.
+    """
+    from pyspark.sql import functions as F
+
+    xs = x.cast("bigint")
+    ys = y.cast("bigint")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftrightunsigned(xs, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, x: Column, y: Column, n_files: int = 8) -> None:
+    """Write parquet clustered on the Morton curve of (x, y).
+
+    ``repartitionByRange`` on z splits the curve into contiguous file
+    ranges, ``sortWithinPartitions`` makes row groups monotonic in z —
+    so every file covers a tight (x, y) box and min/max footer stats
+    prune 2-D box predicates that neither single-column sort could.
+    The standard data-skipping layout when queries filter two
+    dimensions at once (e.g. user x time) and hive-partitioning on
+    either would over-shard.
+    """
+    (
+        df.withColumn("_z", morton_z(x, y))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

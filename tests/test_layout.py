@@ -4,6 +4,7 @@ compaction must reduce file counts without changing data."""
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -46,3 +47,51 @@ def test_compaction(spark, tmp_path):
     files = glob.glob(out + "/part-*.parquet")
     assert len(files) <= 4
     assert spark.read.parquet(out).count() == n == src.count()
+
+
+def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
+    """Z-order clustering: for a 2-D box predicate, far fewer files'
+    min/max footer ranges intersect the box than with an unclustered
+    layout — the data-skipping win the curve exists for."""
+    import pyarrow.parquet as pq
+
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.dayofyear("ts")
+    )
+    zpath = str(tmp_path / "z")
+    ppath = str(tmp_path / "plain")
+    layout.zorder_write(events, zpath, F.col("user_id"), F.col("day"), n_files=8)
+    events.repartition(8).write.parquet(ppath)
+
+    def candidate_files(path, box):
+        (ulo, uhi), (dlo, dhi) = box
+        n_total, n_hit = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            umin = umax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "user_id":
+                        umin = st.min if umin is None else min(umin, st.min)
+                        umax = st.max if umax is None else max(umax, st.max)
+                    elif name == "day":
+                        dmin = st.min if dmin is None else min(dmin, st.min)
+                        dmax = st.max if dmax is None else max(dmax, st.max)
+            n_total += 1
+            if umin is not None and not (umax < ulo or umin > uhi or dmax < dlo or dmin > dhi):
+                n_hit += 1
+        return n_hit, n_total
+
+    box = ((10, 30), (5, 12))
+    z_hit, z_total = candidate_files(zpath, box)
+    p_hit, p_total = candidate_files(ppath, box)
+    assert p_hit == p_total, "unclustered layout cannot skip anything"
+    assert z_hit < p_hit, "z-order must reduce candidate files for a 2-D box"

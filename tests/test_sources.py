@@ -57,3 +57,35 @@ def test_json_props_parse_typed(spark):
     ).select("event_id", F.col("p.k").alias("k"))
     got = {r.event_id: r.k for r in parsed.limit(50).collect()}
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink: typed round-trip of a lineitem slice (the other
+    columnar format Spark ships natively; same pushdown machinery)."""
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") < 100)
+    path = str(tmp_path / "li_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """CSV source with explicit schema: the TSV sink's output reads
+    back losslessly (header + sep + schema contract)."""
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .filter(F.col("c_custkey") < 200)
+    )
+    path = str(tmp_path / "cust_tsv")
+    cust.write.option("sep", "\t").option("header", True).csv(path)
+    back = (
+        spark.read.schema("c_custkey bigint, c_name string, c_mktsegment string")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+    assert back.count() == cust.count()
+    assert back.exceptAll(cust).count() == 0
