@@ -466,3 +466,42 @@ def q102_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: the top-30 corpus tokens with the
+    cumulative fraction of all token occurrences a vocabulary truncated
+    at each rank would cover — the sizing curve a tokenizer build
+    reads before fixing its vocab.
+
+    One explode -> (token) count (map-side combinable), then ranking
+    and a running sum over the vocabulary-sized result — the window
+    runs on thousands of rows regardless of corpus size, so at 100 TB
+    all real work is in the first aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("t"))
+    w_cum = Window.orderBy(F.col("c").desc(), F.col("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("cum_c", F.sum("c").over(w_cum))
+        .filter(F.col("rank") <= 30)
+        .select(
+            "rank",
+            F.col("t").alias("token"),
+            "c",
+            F.round(F.col("cum_c") / F.col("total").cast("double"), 6)
+            .cast("double")
+            .alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )

@@ -1582,3 +1582,23 @@ FROM batch_unique
 WHERE _h NOT IN (SELECT _h FROM known)
 ORDER BY doc_id
 """
+
+ORACLE["q105_vocab_coverage"] = """
+WITH counts AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), ranked AS (
+  SELECT t, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank,
+         SUM(c) OVER (ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+         SUM(c) OVER () AS total
+  FROM counts
+)
+SELECT rank, t AS token, c,
+       CAST(ROUND(cum_c / CAST(total AS DOUBLE), 6) AS DOUBLE) AS cum_coverage
+FROM ranked
+WHERE rank <= 30
+ORDER BY rank
+"""

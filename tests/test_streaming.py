@@ -264,3 +264,33 @@ def test_h12_streaming_quality_filter_matches_batch(spark, tmp_path):
     got = spark.table(name)
     want = gopher_frame(docs).filter(F.col("passes"))
     assert got.count() == want.count() and got.exceptAll(want).count() == 0
+
+
+def test_micro_batch_pacing_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger paces a backlog into many micro-batches under
+    availableNow, and the paced result equals the one-shot batch result
+    (the reference's one-get_records-page-per-loop pacing, R4)."""
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "paced_src")
+    docs.repartition(6).write.parquet(src)  # 6 files -> >=6 micro-batches
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_pace"), "complete")
+    q.awaitTermination(180)
+    batches = q.recentProgress
+    assert len(batches) >= 6, "one file per trigger must yield >=6 micro-batches"
+    got = {(r.lang, r.n) for r in spark.table(name).collect()}
+    want = {
+        (r.lang, r.n)
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
