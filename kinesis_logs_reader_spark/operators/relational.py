@@ -975,3 +975,31 @@ def q103_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def q107_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G (Spark 4 VariantType): semi-structured JSON as a first-class
+    column — ``parse_json`` into VARIANT once, then typed
+    ``variant_get`` paths, instead of re-parsing strings per access.
+
+    At 100 TB variant's binary encoding beats get_json_object string
+    re-parsing on every access (shredded storage when written back to
+    parquet). The oracle runs DuckDB's native JSON extraction over the
+    same paths.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    staged = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.count("missing").alias("n_missing_present"),
+        )
+        .orderBy("event_type")
+    )

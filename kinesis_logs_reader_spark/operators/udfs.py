@@ -117,3 +117,33 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register(
         "n_tokens_py", lambda s: len(s.split(" ")) if s else 0, T.IntegerType()
     )
+
+
+def q106_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J (Python UDTF, Spark 4): a user-defined *table* function that
+    explodes each document into fixed-size token chunks with
+    provenance — the row-generating escape hatch when an operator
+    yields a variable number of rows per input and can't be a lateral
+    array expression.
+
+    Arrow-batched like every Python boundary here; the lateral join
+    semantics match the pure-Catalyst chunker (preprocess.q80), and
+    the oracle pins it against the same generate_series SQL.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_id int, n_tokens int, first_token string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            toks = text.split(" ")
+            for ci in range(0, (len(toks) + size - 1) // size):
+                window = toks[ci * size : (ci + 1) * size]
+                yield ci, len(window), window[0]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        docs.lateralJoin(ChunkDoc(F.col("text").outer(), lit(32)))
+        .select("doc_id", "chunk_id", "n_tokens", "first_token")
+        .orderBy("doc_id", "chunk_id")
+    )

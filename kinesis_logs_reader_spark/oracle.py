@@ -1602,3 +1602,30 @@ FROM ranked
 WHERE rank <= 30
 ORDER BY rank
 """
+
+ORACLE["q106_udtf_chunks"] = """
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS nt
+  FROM documents WHERE doc_id < 200
+)
+, ex AS (
+  SELECT doc_id, tk, nt,
+         unnest(generate_series(1, CAST(ceil(nt / 32.0) AS BIGINT))) AS i
+  FROM toks
+)
+SELECT doc_id, i - 1 AS chunk_id,
+       least(32, nt - (i - 1) * 32) AS n_tokens,
+       tk[(i - 1) * 32 + 1] AS first_token
+FROM ex
+ORDER BY doc_id, chunk_id
+"""
+
+ORACLE["q107_variant_json"] = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_present
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
