@@ -49,3 +49,52 @@ def test_simhash_single_edit_bounded_distance(tokens: list[str], edit_pos: int):
     # one token among >=5 shifts at most half the bits in practice;
     # identical-token edits give distance 0
     assert hamming <= 40
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_z_is_injective_and_bounded(pairs):
+    """morton_z must be a bijection on 16-bit pairs (distinct inputs ->
+    distinct codes) and fit in a positive bigint — pure-Python mirror
+    of the literal-shift expression in sources/layout.py."""
+
+    def z(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    codes = [z(x, y) for x, y in pairs]
+    assert len(set(codes)) == len(pairs)
+    assert all(0 <= c < 2**32 for c in codes)
+
+
+def test_morton_z_spark_matches_python(spark):
+    """The Catalyst expression agrees with the reference bit math."""
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.sources.layout import morton_z
+
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (7, 42)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", morton_z(F.col("x"), F.col("y")).alias("z")).collect()}
+
+    def z(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == {(x, y): z(x, y) for x, y in rows}

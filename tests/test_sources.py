@@ -89,3 +89,33 @@ def test_csv_source_roundtrip(spark, tmp_path):
     )
     assert back.count() == cust.count()
     assert back.exceptAll(cust).count() == 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Data-lake reality: files written before a column existed must
+    read alongside newer files (mergeSchema; missing values -> NULL)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.parquet(path + "/batch=1")
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id bigint, name string, score double"
+    ).write.parquet(path + "/batch=2")
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+
+def test_ignore_corrupt_files(spark, tmp_path):
+    """A torn/garbage file in the directory must not kill the 100 TB
+    scan when ignoreCorruptFiles is on; good files still read fully."""
+    import os
+
+    path = str(tmp_path / "with_junk")
+    good = load_table(spark, SF_DIR, "region")
+    good.write.parquet(path)
+    with open(os.path.join(path, "part-junk.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    df = spark.read.option("ignoreCorruptFiles", True).parquet(path)
+    assert df.count() == good.count()
