@@ -246,3 +246,49 @@ def h12_quality_filter(docs: DataFrame) -> DataFrame:
     from kinesis_logs_reader_spark.operators.curation import gopher_frame
 
     return gopher_frame(docs).filter(F.col("passes"))
+
+
+def run_incremental_dedup_sink(
+    docs_stream: DataFrame, checkpoint: str, store_dir: str, out_dir: str
+):
+    """Continuous corpus growth with cross-batch dedup: per micro-batch,
+    admit only documents whose canonical-text digest is unseen in the
+    persistent digest store (and unique within the batch), append the
+    survivors to ``out_dir`` and their digests to ``store_dir``.
+
+    foreachBatch is the right tool because the dedup needs a batch-side
+    join against mutable external state (the store) — watermarked
+    ``dropDuplicates`` can only dedup inside its retention horizon,
+    while the store is unbounded history at ~16 bytes/doc. Failure
+    semantics: batch replays re-admit the same rows (digest append is
+    idempotent at read time because admission checks the store BEFORE
+    appending; duplicate digests in the store are harmless since it is
+    only ever probed for existence). At 100 TB the store is a bucketed
+    table so the anti join co-locates without a full shuffle.
+    """
+    import os
+
+    from kinesis_logs_reader_spark.operators.preprocess import dedup_incremental
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)
+        ):
+            known = spark.read.parquet(store_dir)
+        else:
+            known = spark.createDataFrame([], "_h string")
+        kept = dedup_incremental(batch_df, known)
+        kept.persist()
+        try:
+            kept.drop("_h").write.mode("append").parquet(out_dir)
+            kept.select("_h").write.mode("append").parquet(store_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

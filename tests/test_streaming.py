@@ -294,3 +294,38 @@ def test_micro_batch_pacing_max_files_per_trigger(spark, tmp_path):
         for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_sink_across_batches(spark, tmp_path):
+    """Cross-batch dedup: batch 2 re-sends half of batch 1; only new
+    docs land in the corpus and the digest store grows accordingly."""
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "digest_store")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_inc")
+
+    # phase 1: docs 0-99 arrive
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = jobs.run_incremental_dedup_sink(stream, ckpt, store, out)
+    q.awaitTermination(180)
+    n_phase1 = spark.read.parquet(out).count()
+
+    # phase 2: docs 50-149 arrive (50 re-sent, 50 new)
+    docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q2 = jobs.run_incremental_dedup_sink(stream2, ckpt, store, out)
+    q2.awaitTermination(180)
+
+    corpus = spark.read.parquet(out)
+    got_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # every id 0-149 admitted exactly once, none twice (no dup doc_ids)
+    assert got_ids == set(range(150))
+    assert corpus.count() == 150 and n_phase1 == 100
