@@ -93,3 +93,32 @@ def q90_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+def curate_with_metrics(docs: DataFrame):
+    """The curation DAG instrumented with Spark's Observation API:
+    in-flight row counts and quality stats collected DURING the one
+    pass — no second scan, no .count() re-execution. This is how a
+    production 100 TB run reports admission rates without paying for a
+    metrics job: observe() hooks accumulate inside the same codegen
+    stages. Returns (curated_df, observation); metrics are available
+    after the df is consumed once.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+    )
+    return curate(observed), obs
+
+
+def write_splits_one_pass(docs: DataFrame, out_dir: str) -> None:
+    """Materialize train/val/test as separate directories in ONE scan:
+    partitionBy on the split column fans a single pass out to all
+    three outputs — vs the naive three filtered writes that re-scan
+    the corpus three times (3x I/O at 100 TB).
+    """
+    curate(docs).write.mode("overwrite").partitionBy("split").parquet(out_dir)

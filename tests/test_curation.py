@@ -106,3 +106,35 @@ def test_dedup_incremental_semantics(spark):
     assert kept == set(range(100, 150)), (
         "re-sent and variant rows must be rejected, new rows admitted"
     )
+
+
+def test_observe_metrics_single_pass(spark):
+    """Observation metrics materialize from the same single execution
+    that produces the output (no re-scan)."""
+    from kinesis_logs_reader_spark.operators.pipeline import curate_with_metrics
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    curated, obs = curate_with_metrics(docs)
+    n_out = curated.count()
+    m = obs.get
+    assert m["n_input"] == docs.count()
+    assert m["total_chars"] > 0
+    assert 0 < n_out <= m["n_input"]
+
+
+def test_write_splits_one_pass(spark, tmp_path):
+    """partitionBy split write: three split dirs from one scan, and
+    the union of the three reads back to the curated row count."""
+    import os
+
+    from kinesis_logs_reader_spark.operators.pipeline import curate, write_splits_one_pass
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "splits")
+    write_splits_one_pass(docs, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=val", "split=test"}
+    back = spark.read.parquet(out)
+    assert back.count() == curate(docs).count()
