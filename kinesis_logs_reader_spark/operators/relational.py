@@ -571,11 +571,14 @@ def q26d_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
-            F.round(F.array_min("embedding").cast("double"), 4).alias("emin"),
-            F.round(F.array_max("embedding").cast("double"), 4).alias("emax"),
-            F.round(
-                F.element_at(F.sort_array("embedding"), 2).cast("double"), 4
+            # + 0.0 on each rounded value collapses IEEE -0.0 (values
+            # that round to zero) to one canonical zero in both engines
+            (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias("e1"),
+            (F.round(F.array_min("embedding").cast("double"), 4) + F.lit(0.0)).alias("emin"),
+            (F.round(F.array_max("embedding").cast("double"), 4) + F.lit(0.0)).alias("emax"),
+            (
+                F.round(F.element_at(F.sort_array("embedding"), 2).cast("double"), 4)
+                + F.lit(0.0)
             ).alias("second_smallest"),
         )
         .orderBy("vec_id")

@@ -100,7 +100,9 @@ def q37_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.round("zscore", 4).cast("double").alias("zscore"),
+        # + 0.0 collapses IEEE -0.0 (appears when a z-score rounds to
+        # zero) so both engines emit the same canonical zero
+        (F.round("zscore", 4).cast("double") + F.lit(0.0)).alias("zscore"),
     ).orderBy("custkey", "orderkey")
 
 

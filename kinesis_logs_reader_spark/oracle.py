@@ -331,10 +331,10 @@ ORDER BY l_orderkey, l_linenumber
 ORACLE["q26d_array_funcs"] = """
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) AS e1,
-       CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) AS emin,
-       CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) AS emax,
-       CAST(ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS DOUBLE) AS second_smallest
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DOUBLE) + 0.0 AS e1,
+       CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE) + 0.0 AS emin,
+       CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE) + 0.0 AS emax,
+       CAST(ROUND(CAST(list_sort(embedding)[2] AS DOUBLE), 4) AS DOUBLE) + 0.0 AS second_smallest
 FROM embeddings
 ORDER BY vec_id
 """
@@ -634,7 +634,7 @@ SELECT o_custkey AS custkey, o_orderkey AS orderkey,
        CAST(ROUND(
          CASE WHEN STDDEV_POP(o_totalprice) OVER w = 0 THEN 0.0
               ELSE (o_totalprice - AVG(o_totalprice) OVER w)
-                   / STDDEV_POP(o_totalprice) OVER w END, 4) AS DOUBLE) AS zscore
+                   / STDDEV_POP(o_totalprice) OVER w END, 4) AS DOUBLE) + 0.0 AS zscore
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey)
 ORDER BY custkey, orderkey

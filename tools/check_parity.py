@@ -36,6 +36,8 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse IEEE signed zero: -0.0 vs 0.0 is not a diff
         # repr of float64 is exact round-trip; both engines produce float64
         return repr(v)
     if isinstance(v, (datetime, date)):
