@@ -95,3 +95,97 @@ def test_random_predicates_agree(spark, duck, li_view, pred):
     [srow] = spark.sql(q.format(t=li_view)).collect()
     [drow] = duck.sql(q.format(t="lineitem")).fetchall()
     assert (srow.n, srow.keysum) == (drow[0], drow[1]), pred
+
+
+# --- aggregate grammar: random GROUP BY + aggregate sets -------------------
+
+_GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+# integer-valued aggregates only: SUM of floats across engines differs
+# in summation order; counts/mins/maxes and integer sums are exact.
+_AGGS = [
+    "COUNT(*)",
+    "COUNT(DISTINCT l_orderkey)",
+    "MIN(l_orderkey)",
+    "MAX(l_orderkey)",
+    "SUM(l_linenumber)",
+    "SUM(CAST(l_quantity AS BIGINT))",
+    "MIN(CAST(l_shipdate AS DATE))",
+]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(st.sampled_from(_GROUP_COLS), min_size=1, max_size=3, unique=True),
+    aggs=st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4, unique=True),
+    pred=_predicate,
+)
+def test_random_aggregates_agree(spark, duck, li_view, groups, aggs, pred):
+    """Random GROUP BY + exact-aggregate sets must match row-for-row."""
+    gb = ", ".join(groups)
+    sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    q = (
+        f"SELECT {gb}, {sel} FROM {{t}} WHERE {pred} "
+        f"GROUP BY {gb} ORDER BY {gb}"
+    )
+    srows = [tuple(r) for r in spark.sql(q.format(t=li_view)).collect()]
+    drows = [tuple(r) for r in duck.sql(q.format(t="lineitem")).fetchall()]
+
+    def canon(rows):
+        out = []
+        for row in rows:
+            out.append(tuple(str(c) for c in row))
+        return out
+
+    assert canon(srows) == canon(drows), q
+
+
+# --- join grammar: random equi-join + filter ------------------------------
+
+@pytest.fixture(scope="module")
+def orders_views(spark, duck):
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders_fuzz")
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    return "orders_fuzz"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(["JOIN", "LEFT JOIN", "LEFT SEMI JOIN", "LEFT ANTI JOIN"]),
+    pred=_predicate,
+)
+def test_random_joins_agree(spark, duck, li_view, orders_views, jt, pred):
+    """Random join type x random lineitem predicate: surviving orders
+    keyset must match (semi/anti joins keep only left columns)."""
+    sub = f"(SELECT * FROM {{t}} WHERE {pred})"
+    if jt in ("LEFT SEMI JOIN", "LEFT ANTI JOIN"):
+        q = (
+            f"SELECT COUNT(*) AS n, COALESCE(SUM(o_orderkey), 0) AS ks FROM orders_t "
+            f"{jt} {sub} li ON orders_t.o_orderkey = li.l_orderkey"
+        )
+    else:
+        q = (
+            f"SELECT COUNT(*) AS n, COALESCE(SUM(o_orderkey), 0) AS ks, "
+            f"COUNT(li.l_orderkey) AS matched FROM orders_t "
+            f"{jt} {sub} li ON orders_t.o_orderkey = li.l_orderkey"
+        )
+    sq = q.replace("orders_t", "orders_fuzz").format(t=li_view)
+    # DuckDB spells semi/anti joins without the LEFT keyword
+    dq = (
+        q.replace("LEFT SEMI JOIN", "SEMI JOIN")
+        .replace("LEFT ANTI JOIN", "ANTI JOIN")
+        .replace("orders_t", "orders")
+        .format(t="lineitem")
+    )
+    [srow] = spark.sql(sq).collect()
+    [drow] = duck.sql(dq).fetchall()
+    assert tuple(srow) == tuple(drow), q
