@@ -67,3 +67,34 @@ def repartition_for_join(df: DataFrame, key: str | Column, n: int) -> DataFrame:
     key reuse one exchange (Catalyst reuses compatible output
     partitioning across stages)."""
     return df.repartition(n, key)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join: salt the (skewed) fact side with a
+    deterministic per-row salt, replicate every dim row across all
+    ``n_salts`` values, join on (key, salt).
+
+    The hot key's fact rows spread over n_salts reducers instead of
+    pinning one; the dim side grows n_salts-fold, which is the explicit
+    trade — use when the dim is broadcast-too-big but still orders of
+    magnitude smaller than the fact (else AQE skew splitting, enabled
+    session-wide, is the zero-code path). Salt is md5-derived, not
+    rand(): rerunning the plan gives identical placement, so the join
+    is retry/speculation-safe.
+    """
+    salt_f = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 17, 8), 16, 10)
+        .cast("bigint") % n_salts
+    ).cast("int")
+    fact_s = fact.withColumn("_salt", salt_f)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = fact_s.join(dim_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

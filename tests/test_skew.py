@@ -47,3 +47,34 @@ def test_salted_agg_rejects_non_algebraic(spark):
         assert False, "avg must be rejected (not salt-decomposable as-is)"
     except ValueError:
         pass
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join == plain join on heavily skewed data (90% one key)."""
+    from kinesis_logs_reader_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    got = salted_join(fact, dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.min("w").alias("w")
+    )
+    want = fact.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"), F.min("w").alias("w")
+    )
+    assert got.exceptAll(want).count() == 0 and got.count() == want.count()
+
+
+def test_salted_join_deterministic_salt(spark):
+    """md5 salt must be stable across executions (speculation-safe)."""
+    from kinesis_logs_reader_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 1000).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 50).select(F.col("id").alias("k"))
+    a = salted_join(fact, dim, "k").count()
+    b = salted_join(fact, dim, "k").count()
+    assert a == b == 1000
