@@ -1006,3 +1006,33 @@ def q107_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q108_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (full lattice): CUBE(n_name, c_mktsegment) + GROUPING() flags.
+
+    Completes the rollup (q15) / grouping-sets (q65) family with the
+    full 2^k lattice: (nation, segment), (nation), (segment), ().
+    Spark expands each input row into its grouping-set copies BEFORE
+    the partial (map-side) aggregate, so the shuffle carries at most
+    |groups| x 4 rows regardless of fact-table size — safe at 100 TB
+    as long as the grouping-key cardinality stays dim-sized.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+        )
+        .orderBy(
+            F.col("g_nation"),
+            F.col("g_segment"),
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )

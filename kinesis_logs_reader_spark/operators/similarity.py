@@ -311,3 +311,70 @@ def q75_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline asserted in tests/test_llm_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_vec_id=0, k=5).orderBy("vec_id")
+
+
+# --- SemDeDup: cluster-partitioned semantic dedup ---------------------------
+
+def semdedup(
+    emb: DataFrame, n_clusters: int = 16, threshold: float = 0.99
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then inside each cluster drop every
+    vector whose cosine to a smaller-vec_id cluster-mate is >= threshold.
+
+    Returns the DROPPED rows as ``(vec_id, dup_of)`` where ``dup_of``
+    is the smallest-id near-duplicate that triggered the drop.
+
+    Scale story: all-pairs cosine is O(n^2); confining pairs to k-means
+    cells makes it sum_c n_c^2. At 100 TB: train centroids on a sample
+    (kmeans_centroids already collects only n_clusters x dim numbers to
+    the driver), one mapInPandas assignment pass over the corpus, then
+    groupBy(cluster).applyInPandas — each cell is one Arrow batch and
+    one BLAS gram matrix, cells process in parallel across executors.
+    Oversized cells (skew) would be re-split by a secondary LSH key;
+    at test scale cells are ~100 rows so the plain path is exercised.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = kmeans_centroids(emb, n_clusters=n_clusters)
+    assigned = assign_clusters(emb.select("vec_id", "embedding"), cents)
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(list(pdf["embedding"]), dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "dup_of": []}).astype("int64")
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (x / norms[:, None]) @ (x / norms[:, None]).T
+        ids = pdf["vec_id"].to_numpy()
+        dropped, dup_of = [], []
+        # row j is dropped if any EARLIER (smaller-id) row i is >= threshold;
+        # i itself may already be dropped — keep-first semantics like the paper.
+        for j in range(1, n):
+            hits = np.nonzero(sims[j, :j] >= threshold)[0]
+            if hits.size:
+                dropped.append(ids[j])
+                dup_of.append(ids[hits[0]])
+        return pd.DataFrame({"vec_id": dropped, "dup_of": dup_of}).astype("int64")
+
+    return assigned.groupBy("cluster").applyInPandas(
+        find_dups, "vec_id long, dup_of long"
+    )
+
+
+def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a fixed 2000-vector slice with planted exact copies
+    (vec_id < 10 duplicated at id+1000000, as in q50). Rows-only check;
+    planted-copy recovery is asserted in tests/test_llm_ops.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    all_vecs = emb.unionByName(planted).select("vec_id", "embedding")
+    return semdedup(all_vecs, n_clusters=16, threshold=0.999).orderBy(
+        "vec_id", "dup_of"
+    )

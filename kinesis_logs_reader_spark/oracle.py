@@ -1629,3 +1629,15 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLE["q108_cube"] = """
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_segment
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
+"""

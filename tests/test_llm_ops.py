@@ -163,3 +163,17 @@ def test_connected_components_semantics(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert got_dist == expect
+
+
+def test_semdedup_drops_planted_copies(spark):
+    """q109 plants exact copies of vec_id 0..9 at id+1000000. An exact
+    copy lands in the same k-means cell as its original (identical
+    vector -> identical argmin), cosine 1.0 >= any threshold, so every
+    planted id must be dropped with dup_of pointing back at a <2000 id."""
+    dropped = {
+        r.vec_id: r.dup_of
+        for r in similarity.q109_semdedup(spark, SF_DIR).collect()
+    }
+    for i in range(10):
+        assert i + 1000000 in dropped, f"planted copy {i} survived"
+        assert dropped[i + 1000000] < 2000
