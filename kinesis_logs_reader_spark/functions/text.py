@@ -29,8 +29,15 @@ def n_tokens(text: Column | str = "text") -> Column:
 def shingles(text: Column | str = "text", k: int = 3) -> Column:
     """k-token shingles as an array<string> (1 row -> 1 array, no explode)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - F.lit(k - 1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    n_sh = F.size(toks) - F.lit(k - 1)
+    # < k tokens -> empty (sequence(1,0) is DESCENDING [1,0]; slice at 0 faults)
+    return F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # MinHash affine hash family over a 61-bit md5-derived base integer:
@@ -81,17 +88,27 @@ def token_base_hashes(text: Column | str = "text") -> Column:
 def token_shingle_hashes(tb_col: Column, k: int = 3, distinct: bool = True) -> Column:
     """array<bigint> of k-token shingle hashes over a *materialized*
     token-hash array column (see token_base_hashes). ``distinct=False``
-    preserves the positional sequence (winnowing needs it)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tb_col) - F.lit(k - 1)))
-    combined = F.transform(
-        idx,
-        lambda i: (
-            (F.element_at(tb_col, i) * F.lit(SHINGLE_C[0])) % F.lit(MINHASH_P)
-            + (F.element_at(tb_col, i + 1) * F.lit(SHINGLE_C[1])) % F.lit(MINHASH_P)
-            + (F.element_at(tb_col, i + 2) * F.lit(SHINGLE_C[2])) % F.lit(MINHASH_P)
-        )
-        % F.lit(MINHASH_P),
-    )
+    preserves the positional sequence (winnowing needs it).
+
+    Documents with fewer than ``k`` tokens yield an EMPTY array. Without
+    the guard, ``sequence(1, 0)`` produces a *descending* ``[1, 0]``
+    (Spark defaults the step to -1 when start > stop) and ``element_at``
+    faults on index 0; DuckDB's ``generate_series(1, 0)`` is empty, so
+    the guard also keeps the engines aligned.
+    """
+    n_sh = F.size(tb_col) - F.lit(k - 1)
+    combined = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: (
+                (F.element_at(tb_col, i) * F.lit(SHINGLE_C[0])) % F.lit(MINHASH_P)
+                + (F.element_at(tb_col, i + 1) * F.lit(SHINGLE_C[1])) % F.lit(MINHASH_P)
+                + (F.element_at(tb_col, i + 2) * F.lit(SHINGLE_C[2])) % F.lit(MINHASH_P)
+            )
+            % F.lit(MINHASH_P),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return F.array_distinct(combined) if distinct else combined
 
 

@@ -378,10 +378,16 @@ def q101_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = tok.select(
         "doc_id", token_shingle_hashes(F.col("tb"), distinct=False).alias("sh")
     )
-    widx = F.sequence(
-        F.lit(1), F.greatest(F.lit(0), F.size(F.col("sh")) - F.lit(w - 1))
-    )
-    minima = F.transform(widx, lambda i: F.array_min(F.slice(F.col("sh"), i, w)))
+    # < w shingles -> empty window set (sequence(1,0) would be a
+    # DESCENDING [1,0] and fault; see functions/text.py shingle guard)
+    n_w = F.size(F.col("sh")) - F.lit(w - 1)
+    minima = F.when(
+        n_w >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda i: F.array_min(F.slice(F.col("sh"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     fps = F.array_distinct(minima)
     staged = sh.select("doc_id", F.size(F.col("sh")).alias("n_shingles"), fps.alias("fps"))
     return staged.select(

@@ -777,13 +777,19 @@ def q57_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q58_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G/map: from_json -> MapType, map_keys/size/element access."""
+    """G/map: from_json -> MapType, map_keys/size/element access.
+
+    Key list leaves the operator as a sorted CSV string, not a raw
+    array: array-typed output columns crash the driver's pandas-based
+    canonicalizer (unhashable list) and map-key order is engine-defined
+    anyway.
+    """
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return (
         ev.select(
             "event_id",
-            F.map_keys(m).alias("keys"),
+            F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_csv"),
             F.size(F.map_keys(m)).alias("n_keys"),
             F.element_at(m, "k").alias("k_val"),
         )
@@ -897,7 +903,9 @@ def q66_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            # collect_list kept in the plan but emitted as a joined string:
+            # raw array output crashes the driver's pandas canonicalizer.
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nation_csv"),
             F.count(F.lit(1)).alias("n_nations"),
         )

@@ -110,7 +110,7 @@ ORDER BY c_custkey
 """
 
 ORACLE["q10_join_range"] = """
-SELECT p_partkey, SUM(cnt) AS n_items_le_size
+SELECT p_partkey, CAST(SUM(cnt) AS BIGINT) AS n_items_le_size
 FROM part
 JOIN (SELECT l_quantity AS qty, COUNT(*) AS cnt FROM lineitem GROUP BY l_quantity) q
   ON q.qty <= p_size
@@ -342,7 +342,7 @@ ORDER BY vec_id
 ORACLE["q26e_json_funcs"] = """
 SELECT event_type,
        COUNT(*) AS cnt,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -723,7 +723,7 @@ ORDER BY p_partkey
 
 ORACLE["q58_map_funcs"] = """
 SELECT event_id,
-       json_keys(props) AS keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
        CAST(len(json_keys(props)) AS INT) AS n_keys,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
 FROM events
@@ -803,7 +803,7 @@ ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
 
 ORACLE["q66_array_agg"] = """
 SELECT r_name,
-       list_sort(list(n_name)) AS nations,
+       array_to_string(list_sort(list(n_name)), '|') AS nations,
        array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nation_csv,
        COUNT(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -1623,7 +1623,7 @@ ORDER BY doc_id, chunk_id
 ORACLE["q107_variant_json"] = """
 SELECT event_type,
        COUNT(*) AS cnt,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract(props, '$.missing') AS BIGINT)) AS n_missing_present
 FROM events
 GROUP BY event_type

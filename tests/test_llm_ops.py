@@ -177,3 +177,54 @@ def test_semdedup_drops_planted_copies(spark):
     for i in range(10):
         assert i + 1000000 in dropped, f"planted copy {i} survived"
         assert dropped[i + 1000000] < 2000
+
+
+def test_short_document_shingles_are_empty(spark):
+    """Docs with < k tokens must yield EMPTY shingle arrays, not fault.
+
+    Regression: sequence(1, 0) defaults to step -1 in Spark, producing a
+    descending [1, 0] whose element_at(0) faults (DuckDB's
+    generate_series(1, 0) is empty, so unguarded code also diverged).
+    """
+    from kinesis_logs_reader_spark.functions.text import (
+        shingles,
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens"), (3, "now three tokens"), (4, "")],
+        "doc_id long, text string",
+    )
+    tok = df.select("doc_id", token_base_hashes().alias("tb"))
+    out = (
+        tok.select(
+            "doc_id",
+            F.size(token_shingle_hashes(F.col("tb"), k=3)).alias("n_sh"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.n_sh for r in out] == [0, 0, 1, 0]
+    str_out = (
+        df.select("doc_id", F.size(shingles(k=3)).alias("n"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.n for r in str_out] == [0, 0, 1, 0]
+
+
+def test_winnowing_short_document_runs(spark):
+    """q101 over a frame containing sub-k docs completes with 0 fingerprints."""
+    from kinesis_logs_reader_spark.functions.text import (
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "a b c d e f g h")], "doc_id long, text string")
+    tok = df.select("doc_id", token_base_hashes().alias("tb"))
+    sh = tok.select(
+        "doc_id", token_shingle_hashes(F.col("tb"), distinct=False).alias("sh")
+    )
+    rows = sh.select("doc_id", F.size("sh").alias("n")).orderBy("doc_id").collect()
+    assert rows[0].n == 0 and rows[1].n == 6
