@@ -65,14 +65,24 @@ _predicate = st.recursive(
 )
 
 
-@pytest.fixture(scope="module")
-def duck():
+def _duck(sql: str):
+    """Run one oracle query on a FRESH in-memory connection.
+
+    A module-lived connection was observed to die mid-run under
+    pytest+Spark (duckdb FATAL "Attempted to dereference unique_ptr that
+    is NULL", after which every later example reports "database has been
+    invalidated"). Per-example connections are cheap (~ms) and make each
+    hypothesis example hermetic.
+    """
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
-    yield con
-    con.close()
+    try:
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return con.sql(sql).fetchall()
+    finally:
+        con.close()
 
 
 @pytest.fixture(scope="module")
@@ -87,13 +97,13 @@ def li_view(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=_predicate)
-def test_random_predicates_agree(spark, duck, li_view, pred):
+def test_random_predicates_agree(spark, li_view, pred):
     q = (
         "SELECT COUNT(*) AS n, COALESCE(SUM(l_orderkey * 7 + l_linenumber), 0) AS keysum "
         "FROM {t} WHERE " + pred
     )
     [srow] = spark.sql(q.format(t=li_view)).collect()
-    [drow] = duck.sql(q.format(t="lineitem")).fetchall()
+    [drow] = _duck(q.format(t="lineitem"))
     assert (srow.n, srow.keysum) == (drow[0], drow[1]), pred
 
 
@@ -123,7 +133,7 @@ _AGGS = [
     aggs=st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4, unique=True),
     pred=_predicate,
 )
-def test_random_aggregates_agree(spark, duck, li_view, groups, aggs, pred):
+def test_random_aggregates_agree(spark, li_view, groups, aggs, pred):
     """Random GROUP BY + exact-aggregate sets must match row-for-row."""
     gb = ", ".join(groups)
     sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
@@ -132,7 +142,7 @@ def test_random_aggregates_agree(spark, duck, li_view, groups, aggs, pred):
         f"GROUP BY {gb} ORDER BY {gb}"
     )
     srows = [tuple(r) for r in spark.sql(q.format(t=li_view)).collect()]
-    drows = [tuple(r) for r in duck.sql(q.format(t="lineitem")).fetchall()]
+    drows = [tuple(r) for r in _duck(q.format(t="lineitem"))]
 
     def canon(rows):
         out = []
@@ -146,11 +156,8 @@ def test_random_aggregates_agree(spark, duck, li_view, groups, aggs, pred):
 # --- join grammar: random equi-join + filter ------------------------------
 
 @pytest.fixture(scope="module")
-def orders_views(spark, duck):
+def orders_views(spark):
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders_fuzz")
-    duck.execute(
-        f"CREATE VIEW IF NOT EXISTS orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
-    )
     return "orders_fuzz"
 
 
@@ -163,7 +170,7 @@ def orders_views(spark, duck):
     jt=st.sampled_from(["JOIN", "LEFT JOIN", "LEFT SEMI JOIN", "LEFT ANTI JOIN"]),
     pred=_predicate,
 )
-def test_random_joins_agree(spark, duck, li_view, orders_views, jt, pred):
+def test_random_joins_agree(spark, li_view, orders_views, jt, pred):
     """Random join type x random lineitem predicate: surviving orders
     keyset must match (semi/anti joins keep only left columns)."""
     sub = f"(SELECT * FROM {{t}} WHERE {pred})"
@@ -187,5 +194,5 @@ def test_random_joins_agree(spark, duck, li_view, orders_views, jt, pred):
         .format(t="lineitem")
     )
     [srow] = spark.sql(sq).collect()
-    [drow] = duck.sql(dq).fetchall()
+    [drow] = _duck(dq)
     assert tuple(srow) == tuple(drow), q

@@ -12,12 +12,18 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry
+from kinesis_logs_reader_spark.registry import (
+    DRIVER_WINDOW,
+    all_oracle_sql,
+    all_queries,
+    canonical_name,
+)
 from tools.check_parity import TABLES, canon_cell, table_hash
 
 from tests.conftest import SF_DIR
 
-QUERIES = entry.queries()
-ORACLES = entry.oracle_sql()
+QUERIES = all_queries()
+ORACLES = all_oracle_sql()
 
 
 @pytest.fixture(scope="module")
@@ -41,7 +47,22 @@ def test_registry_consistency():
         "q47_simhash",
         "q48_ann_ivf",
         "q75_ann_ivf_kmeans",
+        "q109_semdedup",
     }
+
+
+def test_driver_export_window():
+    """The driver-facing key rotation is a bijection onto the canonical
+    registry, and the window keys occupy the driver's 50-slot lexical
+    prefix in declaration order."""
+    eq = entry.queries()
+    eo = entry.oracle_sql()
+    assert len(eq) == len(QUERIES) and len(eo) == len(ORACLES)
+    assert {canonical_name(k) for k in eq} == set(QUERIES)
+    assert {canonical_name(k) for k in eo} == set(ORACLES)
+    assert set(eo) <= set(eq)
+    first = sorted(eq)[: len(DRIVER_WINDOW)]
+    assert [canonical_name(k) for k in first] == DRIVER_WINDOW
 
 
 def test_q28_approx_distinct_tolerance(spark):

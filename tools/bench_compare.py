@@ -28,7 +28,7 @@ def main() -> None:
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
 
-    import __spark_entry__ as entrymod
+    from kinesis_logs_reader_spark import registry as entrymod
     from kinesis_logs_reader_spark.session import build_session
 
     spark = build_session(master="local[32]", shuffle_partitions=32)
@@ -40,8 +40,8 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    queries = entrymod.all_queries()
+    oracles = entrymod.all_oracle_sql()
     selected = args or sorted(queries)
 
     # warm both engines

@@ -67,7 +67,7 @@ def main() -> int:
     if args and "/" in args[0]:
         sf_dir, args = args[0], args[1:]
 
-    import __spark_entry__ as entrymod
+    from kinesis_logs_reader_spark import registry as entrymod
     from kinesis_logs_reader_spark.session import build_session
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
@@ -79,8 +79,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    queries = entrymod.all_queries()
+    oracles = entrymod.all_oracle_sql()
     selected = args or sorted(queries)
     failed = []
     for name in selected:

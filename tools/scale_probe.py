@@ -81,7 +81,7 @@ def build(spark) -> None:
 
 
 def main() -> None:
-    import __spark_entry__ as entry
+    from kinesis_logs_reader_spark import registry as entry
     from kinesis_logs_reader_spark.session import build_session
 
     spark = build_session(master="local[32]", shuffle_partitions=32)
@@ -90,7 +90,7 @@ def main() -> None:
     if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
         build(spark)
 
-    queries = entry.queries()
+    queries = entry.all_queries()
     sfs = [
         ("0.001", "/root/testdata/sf0.001"),
         ("0.01", "/root/testdata/sf0.01"),
