@@ -142,3 +142,80 @@ def test_streaming_ingest_available_now(spark, envelope_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT srcport FROM ingest_sink ORDER BY srcport").collect()
     assert [r.srcport for r in got] == [1024, 1025, 1026, 1027, 1028]
+
+
+def _mock_kinesis_client():
+    """boto3-client mock with the reference's own fixture topology
+    (tests/test_kinesis_logs_reader.py:62-101): 2 shards, a control
+    message, one shard needing two get_records pages."""
+    from unittest.mock import MagicMock
+
+    from tests.conftest import control_message, data_message, gz_blob, make_event
+
+    describe = {
+        "StreamDescription": {
+            "Shards": [{"ShardId": "shard-0001"}, {"ShardId": "shard-0002"}]
+        }
+    }
+    get_records = {
+        "shard-0001_it-1": {
+            "Records": [
+                {"Data": gz_blob(control_message())},
+                {"Data": gz_blob(data_message([make_event(0), make_event(1)]))},
+            ],
+            "NextShardIterator": "shard-0001_it-2",
+            "MillisBehindLatest": 100,
+        },
+        "shard-0001_it-2": {
+            "Records": [{"Data": gz_blob(data_message([make_event(2), make_event(3)]))}],
+            "NextShardIterator": "shard-0001_it-3",
+            "MillisBehindLatest": 0,
+        },
+        "shard-0002_it-1": {
+            "Records": [{"Data": gz_blob(data_message([make_event(4)]))}],
+            "NextShardIterator": "shard-0002_it-2",
+            "MillisBehindLatest": 0,
+        },
+        "shard-0002_it-2": {
+            "Records": [],
+            "NextShardIterator": "shard-0002_it-3",
+            "MillisBehindLatest": 0,
+        },
+    }
+    client = MagicMock()
+    client.get_paginator.return_value.paginate.return_value = [describe]
+    client.get_shard_iterator.side_effect = lambda **kw: {
+        "ShardIterator": f"{kw['ShardId']}_it-1"
+    }
+    client.get_records.side_effect = lambda **kw: get_records[kw["ShardIterator"]]
+    return client
+
+
+def test_reader_with_injected_client(spark):
+    """Reference-shaped construction: KinesisLogsReader(stream,
+    kinesis_client=mock) yields every data event and drops control
+    messages (reference tests:129-141)."""
+    reader = KinesisLogsReader(
+        "test-stream", kinesis_client=_mock_kinesis_client(), spark=spark
+    )
+    rows = sorted((d for d in reader), key=lambda d: d["srcport"])
+    expected = sorted(
+        (make_event(i)["extractedFields"] for i in range(5)),
+        key=lambda d: d["srcport"],
+    )
+    assert rows == expected
+
+
+def test_reader_next_protocol(spark):
+    """next(reader) peeks one row and iteration resumes after it — the
+    reference CLI's header-peek pattern (__main__.py:13-19)."""
+    from itertools import chain
+
+    reader = KinesisLogsReader(
+        "test-stream", kinesis_client=_mock_kinesis_client(), spark=spark
+    )
+    first = next(reader)
+    assert set(first) == {"srcaddr", "srcport", "dstaddr", "dstport", "protocol"}
+    rest = list(chain([first], reader))
+    assert len(rest) == 5
+    assert reader.next.__call__  # py2-compat alias present
