@@ -228,3 +228,25 @@ def test_winnowing_short_document_runs(spark):
     )
     rows = sh.select("doc_id", F.size("sh").alias("n")).orderBy("doc_id").collect()
     assert rows[0].n == 0 and rows[1].n == 6
+
+
+def test_kmeans_index_persists_and_reloads(spark, tmp_path):
+    """Fit-once semantics: second call loads identical centroids from the
+    parquet side table (no retraining), and query results match."""
+    import numpy as np
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _KMEANS_CACHE,
+        _kmeans_index_path,
+        get_or_fit_kmeans,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    key = f"testidx_{tmp_path.name}"
+    cold = get_or_fit_kmeans(emb, key, n_clusters=8, n_iter=2)
+    import os
+
+    assert os.path.exists(_kmeans_index_path(key, 8, 2))
+    _KMEANS_CACHE.clear()
+    warm = get_or_fit_kmeans(emb, key, n_clusters=8, n_iter=2)
+    assert np.array_equal(cold, warm)
