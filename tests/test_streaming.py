@@ -329,3 +329,38 @@ def test_incremental_dedup_sink_across_batches(spark, tmp_path):
     # every id 0-149 admitted exactly once, none twice (no dup doc_ids)
     assert got_ids == set(range(150))
     assert corpus.count() == 150 and n_phase1 == 100
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics: re-applying the same micro-batch (same
+    batch_id) leaves corpus and digest store unchanged — including the
+    case where BOTH writes landed and only the checkpoint commit was
+    lost (the store must not consult the replayed batch's own digests)."""
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 150))
+
+    jobs.apply_incremental_dedup_batch(b1, 1, store, out)
+    jobs.apply_incremental_dedup_batch(b2, 2, store, out)
+    before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert before == list(range(150))
+
+    # full replay of batch 2 (both writes already landed)
+    jobs.apply_incremental_dedup_batch(b2, 2, store, out)
+    # partial replay of batch 2 (digest write lost): drop its store partition
+    import shutil
+
+    shutil.rmtree(f"{store}/batch_id=2")
+    jobs.apply_incremental_dedup_batch(b2, 2, store, out)
+
+    after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert after == before
+    digests = spark.read.parquet(store)
+    assert digests.count() == digests.select("_h").distinct().count() == 150
