@@ -35,7 +35,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesis_logs_reader_spark.operators.relational import _dec, _r2d, _revenue
+from kinesis_logs_reader_spark.operators.relational import (
+    _c2,
+    _d38,
+    _dec,
+    _money,
+    _partials,
+    _r2d,
+    _rev4,
+    _revenue,
+)
 from kinesis_logs_reader_spark.sources.tables import load_table
 
 
@@ -64,14 +73,16 @@ def q68_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > _ts("1998-06-01"))
         .groupBy("l_orderkey")
-        .agg(F.sum(_revenue()).alias("_rev"))
+        # rows per orderkey are bounded (<=7 at any sf): int64 1e-4-unit
+        # sums cannot overflow, so no per-row decimal
+        .agg(F.sum(_rev4()).alias("_rev"))
     )
     return (
         li_rev.join(orders, li_rev.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "l_orderkey",
-            _r2d(F.col("_rev")).alias("revenue"),
+            _money(F.col("_rev"), 4).alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -115,7 +126,9 @@ def q69_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(_r2d(F.sum(_revenue())).alias("revenue"))
+        # 25 unbounded groups: per-row int64 1e-4 units, decimal(38)
+        # accumulator only in the aggregate (overflow-safe at any sf)
+        .agg(_money(F.sum(_rev4().cast("decimal(38,0)")), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -137,8 +150,9 @@ def q70_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            _r2d(F.sum(_revenue())).alias("revenue"),
-            _r2d(F.max(_dec("c_acctbal"))).alias("acctbal"),
+            # rows per (custkey, quarter) are bounded: int64-safe
+            _money(F.sum(_rev4()), 4).alias("revenue"),
+            _money(F.max(_c2("c_acctbal")), 2).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -159,8 +173,8 @@ def q71_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("_sumqty"))
-        .filter(F.col("_sumqty") > 250)
+        .agg(F.sum(_c2("l_quantity")).alias("_sumqty"))
+        .filter(F.col("_sumqty") > 250 * 100)
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -170,8 +184,8 @@ def q71_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
-            _r2d(_dec("o_totalprice")).alias("totalprice"),
-            _r2d(F.col("_sumqty")).alias("sum_qty"),
+            _money(_c2("o_totalprice"), 2).alias("totalprice"),
+            _money(F.col("_sumqty"), 2).alias("sum_qty"),
         )
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(100)
@@ -195,19 +209,19 @@ def q72_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = cust.filter(F.col("c_acctbal") > 0)
     avg_row = pos.agg(
-        F.sum(_dec("c_acctbal")).alias("_total"),
+        F.sum(_c2("c_acctbal")).alias("_total"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
         cust.crossJoin(F.broadcast(avg_row))
-        .filter(_dec("c_acctbal") * F.col("_n") > F.col("_total"))
+        .filter(_c2("c_acctbal") * F.col("_n") > F.col("_total"))
         .join(
             big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
         )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            _money(F.sum(_c2("c_acctbal")), 2).alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )

@@ -43,6 +43,68 @@ def _revenue() -> Column:
     return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
 
 
+# --- exact money arithmetic in scaled int64 --------------------------------
+#
+# Per-row DECIMAL ops run through Spark's non-compact Decimal path (the
+# product of two decimal(18,2) is decimal(37,4), past the long-backed
+# precision limit) and measured 2-3x slower than long arithmetic on the
+# Q1/Q3 aggregation shapes. The parquet money columns are 2-decimal
+# values stored as doubles, so scaling to integer cents is EXACT:
+# x*100 is within 1e-9 of an integer for any 2-decimal x, never near a
+# rounding boundary. All per-row math then stays in codegen'd int64.
+#
+# Overflow envelope (int64 max 9.2e18): single cents columns are bounded
+# (acctbal <= 1e6, price <= 1e7), so per-group sums stay exact to ~1e12
+# rows per group — beyond 100 TB row counts. PRODUCTS are the risk:
+# revenue in 1e-4 units reaches ~3e9/row (overflow at ~3e9 rows/group),
+# charge in 1e-6 units ~3e11/row (~3e7 rows/group). Queries summing
+# products into UNBOUNDED groups (global or constant-cardinality keys,
+# e.g. Q1's 6 groups) therefore use _partials(): per-(keys, partition)
+# long sums first — a partition holds ~1e6 rows, far under every bound —
+# then a decimal(38) merge of the ~|groups| x |partitions| partials.
+# Per-row work stays int64; decimal touches only the tiny merge.
+# Bounded groups (per-order ~7 rows, per-part ~30 at any sf) sum longs
+# directly.
+
+def _c2(c: str | Column) -> Column:
+    """2-decimal money column -> exact integer cents (bigint)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * 100).cast("bigint")
+
+
+def _rev4() -> Column:
+    """Revenue in 1e-4 dollar units: cents(price) * (100 - cents(disc))."""
+    return _c2("l_extendedprice") * (F.lit(100) - _c2("l_discount"))
+
+
+def _chg6() -> Column:
+    """Charge in 1e-6 dollar units: rev4 * (100 + cents(tax))."""
+    return _rev4() * (F.lit(100) + _c2("l_tax"))
+
+
+def _money(long_sum: Column, pow10: int, digits: int = 2) -> Column:
+    """Scaled long/decimal sum -> ROUND(x/10^pow10, digits)::double.
+    Division happens in decimal so sums past 2^53 stay exact."""
+    return (
+        F.round(long_sum.cast("decimal(38,0)") / F.lit(10**pow10), digits)
+        .cast("double")
+    )
+
+
+def _partials(df: DataFrame, keys: list, longs: dict[str, Column], count_name: str = "_n") -> DataFrame:
+    """Level-1 of the two-level exact sum: per-(keys, input partition)
+    int64 partial sums (+ row count). Callers groupBy(keys) and merge
+    with ``F.sum(_d38(name))`` — the only decimal arithmetic, over
+    |groups| x |partitions| rows instead of every input row."""
+    aggs = [F.sum(e).alias(n) for n, e in longs.items()]
+    aggs.append(F.count(F.lit(1)).alias(count_name))
+    return df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(*aggs)
+
+
+def _d38(name: str) -> Column:
+    return F.col(name).cast("decimal(38,0)")
+
+
 # --------------------------------------------------------------------------
 # B. Projection / filter / scalar expressions
 # --------------------------------------------------------------------------
@@ -140,7 +202,7 @@ def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            _r2d(F.sum(_revenue())).alias("revenue"),
+            _money(F.sum(_rev4()), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("c_custkey")
@@ -162,7 +224,7 @@ def q06_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            _money(F.sum(_c2("c_acctbal")), 2).alias("total_bal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -177,7 +239,7 @@ def q07_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(_r2d(F.sum(_dec("o_totalprice"))), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(_money(F.sum(_c2("o_totalprice")), 2), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -272,25 +334,38 @@ def q13_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     count in double, rounded.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    charge = _revenue() * (F.lit(1) + _dec("l_tax"))
+    # Two-level exact sum (see the scaled-int64 block above): Q1's six
+    # groups are unbounded, so products merge via decimal(38) partials.
+    lvl1 = _partials(
+        li.filter(
+            F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2000-12-01 00:00:00'")
+        ),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "q2": _c2("l_quantity"),
+            "p2": _c2("l_extendedprice"),
+            "r4": _rev4(),
+            "c6": _chg6(),
+            "d2": _c2("l_discount"),
+        },
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2000-12-01 00:00:00'"))
-        .groupBy("l_returnflag", "l_linestatus")
+        lvl1.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2d(F.sum(_dec("l_quantity"))).alias("sum_qty"),
-            _r2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            _r2d(F.sum(_revenue())).alias("sum_disc_price"),
-            _r2d(F.sum(charge)).alias("sum_charge"),
+            _money(F.sum(_d38("q2")), 2).alias("sum_qty"),
+            _money(F.sum(_d38("p2")), 2).alias("sum_base_price"),
+            _money(F.sum(_d38("r4")), 4).alias("sum_disc_price"),
+            _money(F.sum(_d38("c6")), 6).alias("sum_charge"),
             F.round(
-                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 2
+                (F.sum(_d38("q2")) / 100).cast("double") / F.sum("_n"), 2
             ).cast("double").alias("avg_qty"),
             F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 2
+                (F.sum(_d38("p2")) / 100).cast("double") / F.sum("_n"), 2
             ).cast("double").alias("avg_price"),
             F.round(
-                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+                (F.sum(_d38("d2")) / 100).cast("double") / F.sum("_n"), 4
             ).cast("double").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("_n").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -320,7 +395,7 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            _money(F.sum(_c2("c_acctbal")), 2).alias("total_bal"),
             F.grouping("n_name").cast("int").alias("g_nation"),
             F.grouping("c_mktsegment").cast("int").alias("g_segment"),
         )
@@ -340,11 +415,11 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.sum(_dec("o_totalprice")).alias("_total"))
+        .agg(F.sum(_c2("o_totalprice")).alias("_total"))
     )
     return (
-        agg.filter(F.col("_total") > 1000000)
-        .select("c_mktsegment", _r2d(F.col("_total")).alias("total_price"))
+        agg.filter(F.col("_total") > 1000000 * 100)
+        .select("c_mktsegment", _money(F.col("_total"), 2).alias("total_price"))
         .orderBy("c_mktsegment")
     )
 
@@ -355,7 +430,7 @@ def q17_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        _r2d(F.sum(_dec("l_extendedprice"))).alias("total_price"),
+        _money(F.sum(_c2("l_extendedprice").cast("decimal(38,0)")), 2).alias("total_price"),
         _r2d(F.min("l_quantity")).alias("min_qty"),
         _r2d(F.max("l_quantity")).alias("max_qty"),
     )
@@ -418,7 +493,7 @@ def q20_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
-            _r2d(F.sum(_dec("o_totalprice")).over(w)).alias("running_total"),
+            _money(F.sum(_c2("o_totalprice")).over(w), 2).alias("running_total"),
         )
         .orderBy("custkey", "orderkey")
     )
@@ -452,12 +527,14 @@ def q22_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|part| rows map-side, so the join moves aggregates, not line items.
     # part scales with sf, so no broadcast hint — AQE broadcasts while it
     # fits and falls back to a co-partitioned join beyond that.
-    per_part = li.groupBy(F.col("l_partkey")).agg(F.sum(_revenue()).alias("_rev"))
+    # Rows per part are bounded (~30 at any sf), so int64 1e-4-unit sums
+    # cannot overflow — no decimal anywhere in the per-row path.
+    per_part = li.groupBy(F.col("l_partkey")).agg(F.sum(_rev4()).alias("_rev"))
     agg = per_part.join(part, per_part.l_partkey == part.p_partkey)
     return (
         agg.orderBy(F.col("_rev").desc(), F.col("p_partkey"))
         .limit(10)
-        .select("p_partkey", "p_name", _r2d(F.col("_rev")).alias("revenue"))
+        .select("p_partkey", "p_name", _money(F.col("_rev"), 4).alias("revenue"))
         .orderBy("p_partkey")
     )
 
@@ -609,8 +686,8 @@ def q27_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     spend = (
         orders.groupBy(F.col("o_custkey").alias("k_spend"))
-        .agg(F.sum(_dec("o_totalprice")).alias("_spent"))
-        .filter(F.col("_spent") > 400000)
+        .agg(F.sum(_c2("o_totalprice")).alias("_spent"))
+        .filter(F.col("_spent") > 400000 * 100)
     )
     rich = cust.filter(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("k_rich"), "c_acctbal"
@@ -621,7 +698,7 @@ def q27_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k_spend", "k_rich").alias("custkey"),
             F.col("k_spend").isNotNull().alias("is_big_spender"),
             F.col("k_rich").isNotNull().alias("is_rich"),
-            _r2d(F.col("_spent")).alias("spent"),
+            _money(F.col("_spent"), 2).alias("spent"),
             _r2d(_dec("c_acctbal")).alias("acctbal"),
         )
         .orderBy("custkey")
@@ -959,7 +1036,7 @@ def q36_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
-            _r2d(F.sum(_dec("s_acctbal"))).alias("total_bal"),
+            _money(F.sum(_c2("s_acctbal")), 2).alias("total_bal"),
         )
         .orderBy("n_name")
     )
@@ -1033,7 +1110,7 @@ def q108_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+            _money(F.sum(_c2("c_acctbal")), 2).alias("total_bal"),
             F.grouping("n_name").cast("int").alias("g_nation"),
             F.grouping("c_mktsegment").cast("int").alias("g_segment"),
         )

@@ -37,8 +37,24 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table from ``{sf_dir}/{name}.parquet`` as a typed DataFrame."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, use_cache: bool = True
+) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet`` as a typed DataFrame.
+
+    Resolved DataFrames are cached per session+path — the role a
+    catalog/metastore plays on a real cluster. Without it every query
+    re-lists the directory and re-reads parquet footers driver-side:
+    measured 230-450 ms of pure plan-build per query at sf0.1, dwarfing
+    execution for small queries. The cache holds only the resolved
+    *plan* (file index + schema); execution always re-scans data, so
+    results stay correct unless files are REPLACED mid-session — writers
+    that rewrite a table they already read must pass ``use_cache=False``.
+    """
+    cache = spark.__dict__.setdefault("_klrs_table_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    if use_cache and key in cache:
+        return cache[key]
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -49,6 +65,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    if use_cache:
+        cache[key] = df
     return df
 
 
