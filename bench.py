@@ -6,8 +6,10 @@ Prints ONE JSON line:
 
 value = total wall-clock over the headline set (best of N_RUNS warm
 runs per query, JVM warmed by a throwaway pass). Each query executes
-fully (count() forces every stage) but results never collect to the
-driver, so timings measure engine work, not row transfer.
+through the noop sink — count() would let Catalyst prune unreferenced
+aggregates and orderings, under-measuring the real plan — but results
+never collect to the driver, so timings measure engine work, not row
+transfer.
 """
 
 from __future__ import annotations
@@ -40,8 +42,12 @@ def main() -> None:
 
     queries = {k: v for k, v in all_queries().items() if k not in EXCLUDE}
 
+    def run(fn) -> None:
+        # noop sink: full execution, zero driver transfer, no pruning
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     # Warm the JVM + parquet footer caches with one cheap pass.
-    next(iter(sorted(queries.items())))[1](spark, SF_DIR).count()
+    run(next(iter(sorted(queries.items())))[1])
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
@@ -49,7 +55,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            run(fn)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -44,16 +44,18 @@ def main() -> None:
     oracles = entrymod.all_oracle_sql()
     selected = args or sorted(queries)
 
+    def s_run(name):
+        # noop sink: full execution (count() would let Catalyst prune)
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warm both engines
-    queries["q17_global_agg"](spark, sf_dir).count()
+    s_run("q17_global_agg")
     con.sql(oracles["q17_global_agg"]).fetchall()
 
     print(f"{'query':34s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
     offenders = []
     for name in selected:
-        s_best = min(
-            _time(lambda: queries[name](spark, sf_dir).count()) for _ in range(RUNS)
-        )
+        s_best = min(_time(lambda: s_run(name)) for _ in range(RUNS))
         if name in oracles:
             d_best = min(
                 _time(lambda: con.sql(oracles[name]).fetchall()) for _ in range(RUNS)
