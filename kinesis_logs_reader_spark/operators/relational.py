@@ -758,22 +758,37 @@ def q34_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D: exact interpolated percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``, bit-identical interpolation)."""
+    """D: exact interpolated percentiles (== DuckDB ``quantile_cont``,
+    bit-identical linear interpolation).
+
+    Computed as a sort-based window pass (rank each row, pick the two
+    rows flanking p*(n-1), interpolate in the final agg) instead of
+    Spark's ``percentile`` aggregate: that ObjectHashAggregate collects
+    EVERY value of a group into one in-memory buffer — the anti-scale
+    pattern for billion-row groups — and measured 2x slower at sf0.1.
+    The sort shuffles but spills gracefully at any group size.
+    """
     orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        (F.row_number().over(w) - 1).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("_n"),
+    )
+
+    def interp(p: float, name: str):
+        idx = F.lit(p) * (F.col("_n") - 1)
+        lo = F.floor(idx).cast("bigint")
+        hi = F.ceil(idx).cast("bigint")
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col("o_totalprice")))
+        vhi = F.max(F.when(F.col("_rn") == hi, F.col("o_totalprice")))
+        frac = F.max(F.when(F.col("_rn") == lo, idx - lo))
+        return F.round(vlo + frac * (vhi - vlo), 4).cast("double").alias(name)
+
     return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
-            .cast("double")
-            .alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
-            .cast("double")
-            .alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4)
-            .cast("double")
-            .alias("p99"),
-        )
+        ranked.groupBy("o_orderstatus")
+        .agg(interp(0.5, "p50"), interp(0.9, "p90"), interp(0.99, "p99"))
         .orderBy("o_orderstatus")
     )
 
