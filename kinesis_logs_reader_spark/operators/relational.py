@@ -116,7 +116,11 @@ def q01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            _r2d(_revenue()).alias("revenue"),
+            # per-row revenue in scaled int64; the division happens in
+            # double, which is exact here because a single row's 1e-4
+            # units stay far below 2^53 (unlike aggregated sums, which
+            # go through _money's decimal division)
+            F.round(_rev4() / F.lit(10000.0), 2).cast("double").alias("revenue"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
