@@ -1018,15 +1018,45 @@ def q67_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments make the derived doubles bit-identical in both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = _dec("l_quantity")
-    p = _dec("l_extendedprice")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(q).alias("sq"),
-        F.sum(q * q).alias("sqq"),
-        F.sum(p).alias("sp"),
-        F.sum(p * p).alias("spp"),
-        F.sum(q * p).alias("sqp"),
+    # Exact moments without per-row decimal (see the exact-money block):
+    # everything in integer cents. qty<=~5e3c and price<=~1e7c keep
+    # sum(q), sum(q^2), sum(p) and sum(q*p) inside int64 per partition,
+    # but p^2 reaches ~1e14/row, so price splits into hi/lo cents parts
+    # (p = a*1e4 + b): p^2 = a^2*1e8 + 2ab*1e4 + b^2, three long sums
+    # recombined in decimal at the merge. Per-partition bounds: a^2<=1e6,
+    # ab<=1e7, b^2<=1e8, qp<=5e10 per row — all safe past 1e7-row
+    # partitions.
+    qc = _c2("l_quantity")
+    pc = _c2("l_extendedprice")
+    a = (pc / F.lit(10000)).cast("bigint")  # hi cents (floor: pc >= 0)
+    b = pc - a * F.lit(10000)  # lo cents
+    lvl1 = _partials(
+        li,
+        ["l_returnflag"],
+        {
+            "sq2": qc,
+            "sqq4": qc * qc,
+            "sp2": pc,
+            "sqp4": qc * pc,
+            "sa": a * a,
+            "sab": a * b,
+            "sb": b * b,
+        },
+    )
+    agg = lvl1.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        (F.sum(_d38("sq2")) / 100).alias("sq"),
+        (F.sum(_d38("sqq4")) / 10000).alias("sqq"),
+        (F.sum(_d38("sp2")) / 100).alias("sp"),
+        (
+            (
+                F.sum(_d38("sa")) * F.lit(100000000)
+                + F.sum(_d38("sab")) * F.lit(20000)
+                + F.sum(_d38("sb"))
+            )
+            / 10000
+        ).alias("spp"),
+        (F.sum(_d38("sqp4")) / 10000).alias("sqp"),
     )
     n = F.col("n").cast("double")
     sq = F.col("sq").cast("double")
