@@ -317,7 +317,34 @@ def _simhash_one(text: str) -> int:
 
 
 def _simhash_series(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: format(_simhash_one(t), "016x"))
+    """Batch SimHash: md5 per token (C call), bit accumulation in numpy.
+
+    The naive per-token Python bit loop is 64 ops/token — ~300M
+    interpreter ops over the sf0.1 corpus, which dominated the 5 s
+    runtime. Here each doc's token hashes become one uint64 vector and
+    the +-1 accumulation is a single (n_tok, 64) numpy reduction.
+    Output is bit-identical to :func:`_simhash_one` (pinned by
+    tests/test_llm_ops.py::test_simhash_matches_pure_python).
+    """
+    import numpy as np
+
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        out.append(format(int(weights[acc > 0].sum()), "016x"))
+    return pd.Series(out, index=texts.index)
 
 
 # Vectorized (Arrow-batched) SimHash; hex string avoids int64 sign issues.
