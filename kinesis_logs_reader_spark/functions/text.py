@@ -27,8 +27,19 @@ def n_tokens(text: Column | str = "text") -> Column:
 
 
 def shingles(text: Column | str = "text", k: int = 3) -> Column:
-    """k-token shingles as an array<string> (1 row -> 1 array, no explode)."""
-    toks = tokens(text)
+    """k-token shingles as an array<string> (1 row -> 1 array, no explode).
+
+    NOTE: this inlines the token split into every shingle element (the
+    slice lambda re-evaluates it — O(n^2) characters per document,
+    measured 3.5x on q45). In any plan with more than a handful of
+    shingles per row, project :func:`tokens` into its own column first
+    and use :func:`shingles_from_tokens`.
+    """
+    return shingles_from_tokens(tokens(text), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-token shingles over a MATERIALIZED token-array column."""
     n_sh = F.size(toks) - F.lit(k - 1)
     # < k tokens -> empty (sequence(1,0) is DESCENDING [1,0]; slice at 0 faults)
     return F.when(

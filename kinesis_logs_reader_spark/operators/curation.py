@@ -96,14 +96,23 @@ def q92_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle moves (doc, distinct-token) pairs, not token instances.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    big = shingles(k=2)
-    per_row = docs.select(
+    # tokens, then bigrams, materialized stage by stage: the inline
+    # shingles(text) form re-splits the text per bigram element (see
+    # functions/text.py) and this expression uses the array twice
+    from kinesis_logs_reader_spark.functions.text import shingles_from_tokens, tokens
+
+    bigd = docs.select(
         "doc_id",
-        n_tokens().alias("nt"),
+        F.size(tokens()).alias("nt"),
+        shingles_from_tokens(tokens(), k=2).alias("_big"),
+    )
+    per_row = bigd.select(
+        "doc_id",
+        "nt",
         F.round(
             F.lit(1.0)
-            - F.size(F.array_distinct(big)).cast("double")
-            / F.greatest(F.size(big), F.lit(1)).cast("double"),
+            - F.size(F.array_distinct("_big")).cast("double")
+            / F.greatest(F.size("_big"), F.lit(1)).cast("double"),
             4,
         )
         .cast("double")

@@ -30,9 +30,10 @@ from kinesis_logs_reader_spark.functions.text import (
     MINHASH_P,
     band_hashes,
     minhash_signature,
-    shingles,
+    shingles_from_tokens,
     token_base_hashes,
     token_shingle_hashes,
+    tokens,
 )
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -62,10 +63,15 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle
     counts. Top-20 pairs by similarity, total order.
     """
-    docs = (
+    # token array materialized before shingling (inline shingles()
+    # re-splits the text per element; see functions/text.py)
+    tokd = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
-        .select("doc_id", F.array_distinct(shingles()).alias("sh"))
+        .select("doc_id", tokens().alias("_toks"))
+    )
+    docs = tokd.select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh")
     )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("s"))
