@@ -918,7 +918,10 @@ def q60_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
                COUNT(*) OVER w AS n_30d,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+               -- exact money in integer cents (see the scaled-int64
+               -- block above); per-frame sums are per-customer-month,
+               -- far below 2^53, so the double division is exact
+               CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w / 100.0, 2) AS DOUBLE)
                  AS rev_30d
         FROM orders_v60
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
