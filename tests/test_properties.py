@@ -98,3 +98,43 @@ def test_morton_z_spark_matches_python(spark):
         return out
 
     assert got == {(x, y): z(x, y) for x, y in rows}
+
+
+def test_scaled_int64_money_matches_decimal_sum(spark):
+    """The exact-money discipline (relational.py): cents-scaled int64
+    sums merged through decimal(38) must equal the per-row decimal(18,2)
+    sums for ANY 2-decimal inputs, negatives included (acctbal < 0)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.operators.relational import _c2, _d38, _money, _partials
+
+    vals = [
+        -999.99, -0.01, 0.0, 0.01, 0.05, 0.10, 9999.99, 104949.50,
+        123.45, -123.45, 50.00, 0.99, 1.005 - 0.005,  # representation edge
+    ] * 7
+    rows = [(i % 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, x double").repartition(5)
+
+    dec_sum = {
+        r.k: r.s
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("x").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    }
+    lvl1 = _partials(df, ["k"], {"x2": _c2("x")})
+    long_sum = {
+        r.k: r.s
+        for r in lvl1.groupBy("k")
+        .agg((F.sum(_d38("x2")) / 100).alias("s"))
+        .collect()
+    }
+    assert {k: Decimal(v) for k, v in dec_sum.items()} == {
+        k: Decimal(v) for k, v in long_sum.items()
+    }
+    money = {
+        r.k: r.m
+        for r in lvl1.groupBy("k").agg(_money(F.sum(_d38("x2")), 2).alias("m")).collect()
+    }
+    assert money == {k: float(round(v, 2)) for k, v in dec_sum.items()}
