@@ -97,14 +97,18 @@ def main() -> None:
         ("0.1", "/root/testdata/sf0.1"),
         ("~1", SCALE_DIR),
     ]
-    queries["q17_global_agg"](spark, sfs[2][1]).count()  # warm
+    def run(name, d):
+        # noop sink: count() lets Catalyst prune unreferenced work
+        queries[name](spark, d).write.format("noop").mode("overwrite").save()
+
+    run("q17_global_agg", sfs[2][1])  # warm
 
     print(f"\n{'query':26s}" + "".join(f"{s[0]:>10s}" for s in sfs) + f"{'x(0.1->1)':>12s}")
     for name in HEADLINE:
         row = []
         for _, d in sfs:
             t0 = time.perf_counter()
-            queries[name](spark, d).count()
+            run(name, d)
             row.append(time.perf_counter() - t0)
         growth = row[3] / row[2] if row[2] > 0 else float("nan")
         print(f"{name:26s}" + "".join(f"{t:10.2f}" for t in row) + f"{growth:12.1f}")
