@@ -196,3 +196,50 @@ def test_random_joins_agree(spark, li_view, orders_views, jt, pred):
     [srow] = spark.sql(sq).collect()
     [drow] = _duck(dq)
     assert tuple(srow) == tuple(drow), q
+
+
+# --- window grammar: random function x partition x order x predicate ------
+
+_WIN_FUNCS = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "COUNT(*)",
+    "SUM(l_linenumber)",
+    "MIN(l_orderkey)",
+    "LAG(l_linenumber, 1, 0)",
+    "LEAD(l_linenumber, 2, -1)",
+]
+_PART_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+_ORDER_COLS = ["l_quantity", "l_extendedprice", "l_shipdate"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    func=st.sampled_from(_WIN_FUNCS),
+    part=st.sampled_from(_PART_COLS),
+    order=st.sampled_from(_ORDER_COLS),
+    desc=st.booleans(),
+    pred=_predicate,
+)
+def test_random_windows_agree(spark, li_view, func, part, order, desc, pred):
+    """Random window function over a random partition/order, reduced to
+    a weighted checksum both engines must reproduce exactly. The ORDER
+    BY ends in a unique key so ranking/offset functions and default
+    frames are deterministic."""
+    direction = "DESC" if desc else "ASC"
+    q = (
+        "SELECT COUNT(*) AS n, "
+        "SUM(CAST(w AS BIGINT) * (l_orderkey % 97 + 1)) AS chk FROM ("
+        f"SELECT {func} OVER (PARTITION BY {part} "
+        f"ORDER BY {order} {direction}, l_orderkey * 8 + l_linenumber) AS w, "
+        "l_orderkey, l_linenumber "
+        "FROM {t} WHERE " + pred + ")"
+    )
+    [srow] = spark.sql(q.format(t=li_view)).collect()
+    [drow] = _duck(q.format(t="lineitem"))
+    assert (srow.n, srow.chk) == (drow[0], drow[1]), q
