@@ -145,7 +145,16 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = vecs.collect()  # bounded slice/bucket: small by contract
+    # The broadcast side must be a bounded slice/bucket — enforce the
+    # contract instead of trusting it: 1M x 64 float64 is ~512 MB of
+    # broadcast, already past sane driver/executor budgets.
+    max_broadcast_rows = 1_000_000
+    rows = vecs.limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_pairs_blas: broadcast side exceeds {max_broadcast_rows} "
+            "rows — pass an LSH bucket / IVF cell, not the full table"
+        )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
