@@ -23,23 +23,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Keys are exported through the driver-window rotation
-    (registry.DRIVER_WINDOW): the driver's correctness gate hashes only
-    the ~50 lexically-first keys, so queries still lacking a hard driver
-    row are surfaced under an ``a{NN}_<canonical>`` sort prefix this
-    round. ``registry.canonical_name`` inverts the mapping.
+    (registry.DRIVER_WINDOW): the driver's correctness gate hashes the
+    first ~50 keys of this dict in INSERTION order, so the 50 window
+    keys are inserted first (with an ``a{NN}_<canonical>`` sort prefix
+    as belt-and-braces). ``registry.canonical_name`` inverts the
+    mapping.
     """
-    from kinesis_logs_reader_spark.registry import export_queries
+    from kinesis_logs_reader_spark.registry import N_QUERIES, export_queries
 
     q = export_queries()
-    assert len(q) == 110, f"entry surface drifted: {len(q)} != 110"
+    if len(q) != N_QUERIES:  # not assert: must survive python -O
+        raise RuntimeError(f"entry surface drifted: {len(q)} != {N_QUERIES}")
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query key (same
     rotated key space as queries())."""
-    from kinesis_logs_reader_spark.registry import export_oracle_sql
+    from kinesis_logs_reader_spark.registry import N_ORACLES, export_oracle_sql
 
     o = export_oracle_sql()
-    assert len(o) == 104, f"oracle surface drifted: {len(o)} != 104"
+    if len(o) != N_ORACLES:  # not assert: must survive python -O
+        raise RuntimeError(f"oracle surface drifted: {len(o)} != {N_ORACLES}")
     return o

@@ -367,6 +367,36 @@ FULL OUTER JOIN (
 ORDER BY custkey
 """
 
+# Sketch queries hash the tolerance CHECK, not the sketch estimate:
+# each engine runs its own approx aggregate (HLL++ vs DuckDB HLL;
+# Greenwald-Khanna vs t-digest) and emits |approx-exact|/exact <= tol
+# as a boolean — identical across engines when both sketches meet
+# their accuracy bound. tests/test_queries.py separately asserts the
+# booleans are all TRUE (a matched pair of FALSEs would hash green).
+ORACLE["q28_approx_distinct"] = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_cust,
+       ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+         <= 0.05 * COUNT(DISTINCT o_custkey) AS approx_within_5pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLE["q103_approx_percentile"] = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ABS(approx_quantile(o_totalprice, 0.5)
+           - quantile_cont(o_totalprice, 0.5))
+         <= 0.02 * ABS(quantile_cont(o_totalprice, 0.5)) AS p50_within_2pct,
+       ABS(approx_quantile(o_totalprice, 0.95)
+           - quantile_cont(o_totalprice, 0.95))
+         <= 0.02 * ABS(quantile_cont(o_totalprice, 0.95)) AS p95_within_2pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 ORACLE["q29_embedding_norm"] = """
 SELECT vec_id,
        CAST(ROUND(SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),

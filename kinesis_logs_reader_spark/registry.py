@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
 N_QUERIES = 110
-N_ORACLES = 104
+N_ORACLES = 106  # q28/q103 upgraded r4 from rows-only to hashed tolerance
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -65,42 +65,47 @@ def all_queries() -> dict[str, QueryFn]:
             f"kinesis_logs_reader_spark.operators.{mod_name}"
         )
         queries.update(_collect(mod))
-    assert len(queries) == N_QUERIES, (
-        f"declared surface drifted: {len(queries)} queries != {N_QUERIES}"
-    )
+    if len(queries) != N_QUERIES:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"declared surface drifted: {len(queries)} queries != {N_QUERIES}"
+        )
     return queries
 
 
 def all_oracle_sql() -> dict[str, str]:
     oracles = dict(ORACLE)
-    assert len(oracles) == N_ORACLES, (
-        f"oracle surface drifted: {len(oracles)} != {N_ORACLES}"
-    )
+    if len(oracles) != N_ORACLES:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"oracle surface drifted: {len(oracles)} != {N_ORACLES}"
+        )
     return oracles
 
 
 # --- driver-window rotation -------------------------------------------------
-# The driver's CORRECTNESS gate hashes only the ~50 lexically-first keys of
-# queries() (r1/r2 artifacts each contain exactly the 50 first sorted keys),
-# so 60 of 110 queries had no hard correctness row after two rounds. Per
-# VERDICT r2 next-round item 1, each round front-loads the keys still lacking
-# a driver row by exporting them under an ``a{NN}_`` sort prefix (sorts
-# before every canonical ``q...`` key). Canonical names stay unchanged
-# internally — tests, bench, and tools use ``all_queries()``; only
-# __spark_entry__ exports the rotated view.
+# The driver's CORRECTNESS gate hashes the first 50 keys of queries() in
+# DICT-INSERTION order (VERDICT r3 verified: the r3 checked-key set equals
+# the first 50 entries of the exported dict — relational.py's functions —
+# identical to r1/r2; the round-3 lexical ``a{NN}_`` prefix alone changed
+# nothing). So the rotation mechanism is: build the exported dict with the
+# DRIVER_WINDOW keys inserted FIRST, in window order, then the rest. The
+# ``a{NN}_`` prefixes are kept as belt-and-braces in case the driver ever
+# sorts lexically instead. Canonical names stay unchanged internally —
+# tests, bench, and tools use ``all_queries()``; only __spark_entry__
+# exports the rotated view.
 #
-# Round-3 window: the 45 highest-value driver-untested oracle-backed queries
-# plus the 5 rows that were red in r1/r2 (q10/q26e/q107 HUGEINT casts,
-# q58/q66 array stringification) so the fixes earn green driver rows.
-# Still unwindowed after this round (rotate in round 4): q31-q33, q35,
-# q37-q39, q86, q88, q100, q102 + the 4 rows-only keys (q47/q48/q75/q109).
+# Round-4 window: the 45 oracle-backed flagships never driver-checked in
+# r1-r3 (every dedup/similarity/curation/preprocess/events/udfs/asof
+# flagship), plus the streaming batch-twins q31-q33, plus q28/q103 upgraded
+# this round from rows-only to hashed tolerance booleans. All 50 keys are
+# oracle-backed: target is 50/50 hash-green, zero no_oracle.
 DRIVER_WINDOW: list[str] = [
-    # fixed-red verification
-    "q10_join_range",
-    "q26e_json_funcs",
-    "q107_variant_json",
-    "q58_map_funcs",
-    "q66_array_agg",
+    # sketch-tolerance upgrades (rows-only in r1-r3, hashed from r4)
+    "q28_approx_distinct",
+    "q103_approx_percentile",
+    # streaming batch-twins
+    "q31_tumbling_window",
+    "q32_sliding_window",
+    "q33_session_window",
     # dedup / similarity flagships
     "q40_dedup_exact",
     "q44_ngram_jaccard",
@@ -154,6 +159,65 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
+# Staged round-5 window (swap into DRIVER_WINDOW next round): the last
+# 10 keys still lacking any driver row after r4 — q35/q37/q38/q39/q86/
+# q88/q100/q102 (oracle-backed) + q47/q48/q75/q109 (rows-only by design)
+# — topped up with relational re-checks to fill the 50 slots.
+DRIVER_WINDOW_R5: list[str] = [
+    "q35_median_segment",
+    "q37_zscore",
+    "q38_price_histogram",
+    "q39_mode_per_group",
+    "q86_unpivot",
+    "q88_date_spine",
+    "q100_scd2",
+    "q102_adaptive_length_filter",
+    "q47_simhash",
+    "q48_ann_ivf",
+    "q75_ann_ivf_kmeans",
+    "q109_semdedup",
+    # relational re-checks (regression coverage) fill the remaining slots
+    "q01_project_arith",
+    "q05_join_inner",
+    "q10_join_range",
+    "q13_tpch_q1",
+    "q15_rollup",
+    "q18_window_rank",
+    "q20_window_running_sum",
+    "q22_topk",
+    "q24_intersect_except",
+    "q26a_string_funcs",
+    "q26b_datetime_funcs",
+    "q26c_math_funcs",
+    "q26d_array_funcs",
+    "q26e_json_funcs",
+    "q27_join_full_outer",
+    "q29_embedding_norm",
+    "q34_join_right",
+    "q36_supplier_nation",
+    "q52_percentiles",
+    "q53_pivot",
+    "q54_posexplode",
+    "q55_scalar_subquery",
+    "q57_string_extra",
+    "q58_map_funcs",
+    "q59_exists_subquery",
+    "q60_range_frame",
+    "q63_window_analytics",
+    "q64_date_format",
+    "q65_grouping_sets",
+    "q66_array_agg",
+    "q103_approx_percentile",
+    "q107_variant_json",
+    "q108_cube",
+    "q02_filter_predicates",
+    "q14_count_distinct",
+    "q17_global_agg",
+    "q23_union",
+    "q25_distinct",
+]
+
+
 def export_name(key: str) -> str:
     """Driver-facing key: 'a{NN}_<canonical>' inside the window, else
     the canonical key unchanged."""
@@ -169,9 +233,24 @@ def canonical_name(exported: str) -> str:
     return exported
 
 
+def _window_first(items: dict) -> dict:
+    """Re-key by export_name with DRIVER_WINDOW keys inserted FIRST.
+
+    The driver hashes the first 50 keys of queries() in dict-insertion
+    order (r3 evidence), so insertion position — not key spelling — is
+    what selects the correctness window.
+    """
+    windowed = set(DRIVER_WINDOW)
+    out = {export_name(k): items[k] for k in DRIVER_WINDOW if k in items}
+    out.update(
+        (export_name(k), v) for k, v in items.items() if k not in windowed
+    )
+    return out
+
+
 def export_queries() -> dict[str, QueryFn]:
-    return {export_name(k): fn for k, fn in all_queries().items()}
+    return _window_first(all_queries())
 
 
 def export_oracle_sql() -> dict[str, str]:
-    return {export_name(k): sql for k, sql in all_oracle_sql().items()}
+    return _window_first(all_oracle_sql())

@@ -70,5 +70,8 @@ def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").cast("string").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        # session-window agg already clusters on user_id and sorts by
+        # (user_id, session start); per-partition sort keeps that order
+        # without the range exchange a global ORDER BY would add
+        .sortWithinPartitions("user_id", "session_start")
     )
