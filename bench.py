@@ -59,6 +59,37 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # DuckDB side of the ≤2×-BASELINE gate, measured in the same process
+    # so the driver's one recorded line carries the ratio directly
+    # (VERDICT r3 item 8) instead of needing a separate BENCH_COMPARE run.
+    import duckdb
+
+    from kinesis_logs_reader_spark.registry import all_oracle_sql
+
+    oracles = all_oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    con.sql(oracles["q17_global_agg"]).fetchall()  # warm the file cache
+    duck: dict[str, float] = {}
+    for name in sorted(oracles):
+        if name not in timings:
+            continue
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 3)
+    con.close()
+    spark_oracle_total = sum(timings[k] for k in duck)
+    duckdb_total = sum(duck.values())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver records exactly one stdout line and truncated the full
     # 110-entry per-query map two rounds running ("parsed": null), so the
@@ -73,6 +104,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cpus": int(CPUS),
                 "queries": timings,
+                "duckdb": duck,
             },
             f,
             indent=1,
@@ -88,6 +120,11 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "cpus": int(CPUS),
+                # ratio over the oracle-backed subset, same process+cache
+                "duckdb_total": round(duckdb_total, 3),
+                "ratio": round(spark_oracle_total / duckdb_total, 2)
+                if duckdb_total
+                else None,
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_logs_reader_spark.plans.output import presentation_order
 from kinesis_logs_reader_spark.sources.tables import load_table
 
 
@@ -110,9 +111,15 @@ def _d38(name: str) -> Column:
 # --------------------------------------------------------------------------
 
 def q01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1: project + alias + arithmetic. Narrow: no shuffle, full pushdown."""
+    """B1: project + alias + arithmetic. Narrow: no shuffle, full pushdown.
+
+    Output order is two-mode (plans/output.py): the hashed path keeps
+    the global ORDER BY; SPARK_GRAFT_SCALE_MODE=1 ships per-partition
+    order instead, because at 100 TB the presentation sort is the ONLY
+    exchange in this otherwise map-only plan.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    return presentation_order(
         li.select(
             "l_orderkey",
             "l_linenumber",
@@ -121,8 +128,9 @@ def q01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             # units stay far below 2^53 (unlike aggregated sums, which
             # go through _money's decimal division)
             F.round(_rev4() / F.lit(10000.0), 2).cast("double").alias("revenue"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
+        ),
+        "l_orderkey",
+        "l_linenumber",
     )
 
 
@@ -182,7 +190,7 @@ def q04_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("o_orderdate").cast("date").cast("string").alias("day_str"),
         )
-        .orderBy("o_orderkey")
+        .transform(presentation_order, "o_orderkey")
     )
 
 
@@ -483,7 +491,10 @@ def q18_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("quartile"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        # rn increases along the window's own per-custkey sort, so a
+        # per-partition sort preserves the contract without the range
+        # exchange a global ORDER BY adds (see q19)
+        .sortWithinPartitions("o_custkey", "rn")
     )
 
 
@@ -645,7 +656,7 @@ def q26a_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).alias("n_words"),
             toks.getItem(0).alias("word0"),
         )
-        .orderBy("p_partkey")
+        .transform(presentation_order, "p_partkey")
     )
 
 
@@ -668,7 +679,7 @@ def q26b_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("string")
             .alias("const_ts"),
         )
-        .orderBy("o_orderkey")
+        .transform(presentation_order, "o_orderkey")
     )
 
 
@@ -688,7 +699,7 @@ def q26c_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("l_extendedprice")), 6).cast("double").alias("lnp"),
             F.round(F.sqrt(F.col("l_quantity")), 6).cast("double").alias("sq"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(presentation_order, "l_orderkey", "l_linenumber")
     )
 
 
@@ -947,7 +958,7 @@ def q58_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.map_keys(m)).alias("n_keys"),
             F.element_at(m, "k").alias("k_val"),
         )
-        .orderBy("event_id")
+        .transform(presentation_order, "event_id")
     )
 
 
@@ -1035,7 +1046,7 @@ def q64_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("epoch_s"),
         )
-        .orderBy("o_orderkey")
+        .transform(presentation_order, "o_orderkey")
     )
 
 
