@@ -7,14 +7,18 @@ each Python worker touches one partition's batches and nothing ever
 collects to the driver. Partitioning: repartition by a content-hash
 bucket before heavy decode so stragglers (huge payloads) spread evenly.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-``decode_image_batch`` ships a deterministic fake decoder behind the
-same signature, and ``decode_image_real`` raises NotImplementedError —
-the Spark-side plumbing (schema, batching, partitioning) is real and
-tested either way.
+Codecs are an OPTIONAL import (VERDICT r3 item 6): when Pillow is
+installed, ``codec="real"`` (or ``"auto"``) decodes/resizes through it;
+without it, the deterministic fake decoder keeps the plumbing testable
+and ``codec="real"`` raises loudly. The oracle-checked q49 pins
+``codec="fake"`` explicitly so its output is deterministic regardless
+of what's installed. tests/test_multimodal.py carries a
+skipped-if-unavailable real-codec test.
 """
 
 from __future__ import annotations
+
+import io
 
 from collections.abc import Iterator
 
@@ -22,6 +26,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency: real image codec
+    from PIL import Image as _PILImage
+except ImportError:  # container lacks image libs; fake decoder stands in
+    _PILImage = None
+
+HAVE_PIL = _PILImage is not None
 
 # Output schema of the decode stage: typed metadata + a fixed-size
 # feature vector, the shape a training pipeline would feed downstream.
@@ -37,11 +48,20 @@ DECODED_SCHEMA = T.StructType(
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real codec hook — image libs are not in this container."""
-    raise NotImplementedError(
-        "image codecs (PIL/opencv) unavailable; use the deterministic "
-        "fake decoder (decode_image_batch) for plumbing tests"
-    )
+    """Real codec: Pillow decode + an 8-dim luminance feature vector
+    (per-pixel RGB means of a 4x2 thumbnail — cheap, deterministic).
+    Raises loudly when Pillow is absent rather than silently faking."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "Pillow not installed; install it for codec='real' or use "
+            "the deterministic fake decoder (codec='fake')"
+        )
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    width, height = img.size
+    thumb = img.convert("RGB").resize((4, 2))
+    feats = [sum(px) / (3.0 * 255.0) for px in thumb.getdata()]
+    return width, height, feats
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
@@ -54,26 +74,45 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas stage: (doc_id, payload) -> DECODED_SCHEMA rows."""
-    for pdf in batches:
-        ws, hs, fs, nb = [], [], [], []
-        for payload in pdf["payload"]:
-            raw = bytes(payload)
-            w, h, f = _fake_decode(raw)
-            ws.append(w)
-            hs.append(h)
-            fs.append(f)
-            nb.append(len(raw))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": nb,
-                "width": ws,
-                "height": hs,
-                "features": fs,
-            }
-        )
+def _resolve_codec(codec: str):
+    """'fake' | 'real' | 'auto' -> decode function. 'auto' prefers the
+    real codec when Pillow is importable on the WORKER (checked lazily
+    inside the stage, not on the driver — a cluster can have different
+    images driver-side vs executor-side)."""
+    if codec == "fake":
+        return _fake_decode
+    if codec == "real":
+        return decode_image_real
+    if codec == "auto":
+        return decode_image_real if HAVE_PIL else _fake_decode
+    raise ValueError(f"codec must be 'fake' | 'real' | 'auto', got {codec!r}")
+
+
+def decode_image_batch(codec: str = "fake"):
+    """mapInPandas stage factory: (doc_id, payload) -> DECODED_SCHEMA."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _resolve_codec(codec)
+        for pdf in batches:
+            ws, hs, fs, nb = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                w, h, f = decode(raw)
+                ws.append(w)
+                hs.append(h)
+                fs.append(f)
+                nb.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "width": ws,
+                    "height": hs,
+                    "features": fs,
+                }
+            )
+
+    return _decode
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -86,24 +125,45 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_batch(target_w: int, target_h: int):
+def _fake_resize(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in: samples target_w*target_h payload bytes,
+    preserving the batch shape a real resizer produces."""
+    n = max(len(raw), 1)
+    return bytes(
+        raw[(i * n) // (target_w * target_h)] if raw else 0
+        for i in range(target_w * target_h)
+    )
+
+
+def _real_resize(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Pillow resize -> raw grayscale bytes (target_w*target_h)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "Pillow not installed; install it for codec='real' or use "
+            "the deterministic fake resizer (codec='fake')"
+        )
+    img = _PILImage.open(io.BytesIO(raw))
+    return img.convert("L").resize((target_w, target_h)).tobytes()
+
+
+def resize_batch(target_w: int, target_h: int, codec: str = "fake"):
     """mapInPandas stage factory: (doc_id, payload) -> fixed-size thumb.
 
-    Real resize needs PIL/opencv (absent here); the deterministic fake
-    samples ``target_w*target_h`` bytes from the payload, preserving the
-    batch shape a real resizer produces (binary out, typed dims).
+    ``codec`` as in :func:`decode_images`: 'fake' | 'real' | 'auto'.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "real" or (codec == "auto" and HAVE_PIL):
+            kernel = _real_resize
+        elif codec in ("fake", "auto"):
+            kernel = _fake_resize
+        else:
+            raise ValueError(f"codec must be 'fake' | 'real' | 'auto', got {codec!r}")
         for pdf in batches:
-            thumbs = []
-            for payload in pdf["payload"]:
-                raw = bytes(payload)
-                n = max(len(raw), 1)
-                thumbs.append(
-                    bytes(raw[(i * n) // (target_w * target_h)] if raw else 0
-                          for i in range(target_w * target_h))
-                )
+            thumbs = [
+                kernel(bytes(payload), target_w, target_h)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -149,10 +209,14 @@ def sample_frames_batch(n_frames: int, frame_bytes: int = 64):
 
 
 def resize_images(
-    df: DataFrame, target_w: int, target_h: int, payload_col: str = "payload"
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    codec: str = "fake",
 ) -> DataFrame:
     src = df.select("doc_id", F.col(payload_col).alias("payload"))
-    return src.mapInPandas(resize_batch(target_w, target_h), RESIZED_SCHEMA)
+    return src.mapInPandas(resize_batch(target_w, target_h, codec), RESIZED_SCHEMA)
 
 
 def sample_frames(
@@ -162,13 +226,20 @@ def sample_frames(
     return src.mapInPandas(sample_frames_batch(n_frames), FRAMES_SCHEMA)
 
 
-def decode_images(df: DataFrame, payload_col: str = "payload", buckets: int = 0) -> DataFrame:
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    buckets: int = 0,
+    codec: str = "fake",
+) -> DataFrame:
     """Run the decode stage over a (doc_id, payload: binary) DataFrame.
 
     ``buckets > 0`` pre-repartitions on a payload-hash bucket so heavy
     payloads spread across executors instead of skewing one partition.
+    ``codec``: 'fake' (deterministic, always available), 'real'
+    (Pillow, raises if absent), 'auto' (real when installed).
     """
     src = df.select("doc_id", F.col(payload_col).alias("payload"))
     if buckets:
         src = src.repartition(buckets, F.abs(F.xxhash64("payload")) % buckets)
-    return src.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+    return src.mapInPandas(decode_image_batch(codec), DECODED_SCHEMA)

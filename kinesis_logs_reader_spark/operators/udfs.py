@@ -106,6 +106,37 @@ def q37_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("custkey", "orderkey")
 
 
+def q37b_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of q37 (VERDICT r3 item 7): the same per-customer
+    z-score as pure JVM window functions — AVG/STDDEV_POP OVER
+    (PARTITION BY o_custkey) — with no Python boundary at all.
+
+    q37 stays in the surface as the applyInPandas escape-hatch demo
+    (and its measured ~30x cost is the argument for this twin); this is
+    the formulation the engine recommends: one hash exchange on
+    o_custkey, whole-stage codegen throughout, identical output.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mu = F.avg("o_totalprice").over(w)
+    sd = F.stddev_pop("o_totalprice").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise(
+        (F.col("o_totalprice") - mu) / sd
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            # + 0.0 collapses IEEE -0.0, matching q37's canonical zero
+            (F.round(z, 4).cast("double") + F.lit(0.0)).alias("zscore"),
+        )
+        # clustered by the window exchange already; local sort only
+        .sortWithinPartitions("custkey", "orderkey")
+    )
+
+
 def register_sql_udfs(spark: SparkSession) -> None:
     """Expose Python kernels to SQL users (reference-style gunzip + a
     tokenizer), e.g. ``SELECT gunzip_str(data) FROM raw``."""

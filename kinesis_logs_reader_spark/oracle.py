@@ -670,6 +670,8 @@ WINDOW w AS (PARTITION BY o_custkey)
 ORDER BY custkey, orderkey
 """
 
+ORACLE["q37b_zscore_window"] = ORACLE["q37_zscore"]
+
 ORACLE["q61_token_regex"] = """
 WITH tok AS (
   SELECT doc_id,

@@ -86,6 +86,33 @@ def test_multimodal_decode_plumbing(spark):
     }
 
 
+@pytest.mark.skipif(not multimodal.HAVE_PIL, reason="Pillow not installed")
+def test_multimodal_real_codec(spark):
+    """Real Pillow path (skipped where image libs are absent): decode a
+    generated PNG through the same mapInPandas stage as the fake."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (12, 7), (200, 10, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    docs = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = multimodal.decode_images(docs, codec="real").collect()[0]
+    assert (row.width, row.height) == (12, 7)
+    assert len(row.features) == 8 and all(0.0 <= f <= 1.0 for f in row.features)
+    thumb = multimodal.resize_images(docs, 8, 8, codec="real").collect()[0]
+    assert len(bytes(thumb.thumb)) == 64
+
+
+def test_real_codec_raises_without_pil():
+    """codec='real' must fail loudly, never silently fake."""
+    if multimodal.HAVE_PIL:
+        pytest.skip("Pillow installed; loud-failure path not reachable")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"not-an-image")
+
+
 def test_multimodal_resize_plumbing(spark):
     docs = (
         load_table(spark, SF_DIR, "documents")
