@@ -221,6 +221,29 @@ def _kmeans_index_path(index_key: str, n_clusters: int, n_iter: int) -> str:
     )
 
 
+def _corpus_fingerprint(df: DataFrame) -> str:
+    """Cheap content fingerprint of the frame's input files (path +
+    mtime + size, digested). Folded into the index key so a REGENERATED
+    corpus retrains instead of silently reusing stale centroids
+    (ADVICE r3) — preserving the 'cold fit == loaded index' invariant."""
+    import hashlib
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # non-file-backed frame (e.g. createDataFrame)
+        return "nofiles"
+    h = hashlib.md5()
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+        except OSError:
+            h.update(f"{p}:unstat;".encode())
+    return h.hexdigest()[:12]
+
+
 def get_or_fit_kmeans(
     emb: DataFrame, index_key: str, n_clusters: int = 16, n_iter: int = 3
 ):
@@ -242,11 +265,12 @@ def get_or_fit_kmeans(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    key = (index_key, n_clusters, n_iter)
+    fp = _corpus_fingerprint(emb)
+    key = (index_key, fp, n_clusters, n_iter)
     if key in _KMEANS_CACHE:
         return _KMEANS_CACHE[key]
 
-    path = _kmeans_index_path(index_key, n_clusters, n_iter)
+    path = _kmeans_index_path(f"{index_key}_{fp}", n_clusters, n_iter)
     if os.path.exists(path):
         t = pq.read_table(path)
         order = np.argsort(t["cluster"].to_numpy())

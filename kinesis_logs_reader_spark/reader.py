@@ -23,10 +23,14 @@ Sources, in precedence order:
 - ``path=``: hermetic batch replay of a directory of gzipped envelope
   blobs; ``start_time`` maps to ``modifiedAfter`` (the AT_TIMESTAMP
   analog for replay).
+- ``kinesis_options=``: the EXPLICIT opt-in to the Spark Kinesis
+  streaming connector — ``to_df()`` returns a streaming DataFrame.
 - otherwise: a boto3 client is built from ``**kwargs`` when boto3 is
   importable (reference ``_get_client``, kinesis_logs_reader.py:57-58);
-  failing that, ``**kwargs`` pass through as Spark Kinesis connector
-  options and ``to_df()`` returns the streaming DataFrame.
+  ``**kwargs`` must be boto3 Session parameters (validated at the
+  boundary) — connector options never ride in implicitly, so the
+  batch-vs-streaming mode of ``to_df()`` follows the construction
+  route, never what happens to be importable.
 """
 
 from __future__ import annotations
@@ -44,7 +48,22 @@ from kinesis_logs_reader_spark.sources.envelope import (
 )
 
 
-def drain_kinesis_client(kinesis_client, stream_name: str, start_time=None) -> list[bytes]:
+# Driver-drain budget: the boto3 tap materializes blobs driver-side
+# before handing them to Spark, so it is for BOUNDED catch-up reads
+# only. Past these caps the right tool is the streaming connector
+# (``kinesis_options=``) or a path replay — fail loud, don't swap.
+MAX_DRAIN_RECORDS = 1_000_000
+MAX_DRAIN_BYTES = 1 << 30  # 1 GiB of raw gzipped payload
+
+
+def drain_kinesis_client(
+    kinesis_client,
+    stream_name: str,
+    start_time=None,
+    *,
+    max_records: int = MAX_DRAIN_RECORDS,
+    max_bytes: int = MAX_DRAIN_BYTES,
+) -> list[bytes]:
     """Drain every shard of ``stream_name`` to a list of raw gzipped blobs.
 
     Mirrors the reference's shard protocol 1:1 (kinesis_logs_reader.py:
@@ -53,6 +72,13 @@ def drain_kinesis_client(kinesis_client, stream_name: str, start_time=None) -> l
     stop when every shard reports ``MillisBehindLatest == 0`` — the
     reference's AvailableNow semantics. Record payloads are NOT decoded
     here; that happens distributed, in the envelope chain.
+
+    Unlike the reference, the drain is BOUNDED (ADVICE r3): a live
+    stream that never reports ``MillisBehindLatest == 0`` (or a huge
+    backlog) raises RuntimeError at the record/byte caps instead of
+    accumulating driver memory forever, and a closed shard whose
+    ``NextShardIterator`` is null is marked finished instead of
+    KeyError-ing.
     """
     paginator = kinesis_client.get_paginator("describe_stream")
     shard_ids = [
@@ -75,14 +101,46 @@ def drain_kinesis_client(kinesis_client, stream_name: str, start_time=None) -> l
 
     finished = {shard_id: False for shard_id in shard_ids}
     blobs: list[bytes] = []
+    total_bytes = 0
     while shard_ids and not all(finished.values()):
         for shard_id in shard_ids:
+            if finished[shard_id]:
+                continue
             response = kinesis_client.get_records(ShardIterator=iterators[shard_id])
-            iterators[shard_id] = response["NextShardIterator"]
-            finished[shard_id] = response["MillisBehindLatest"] == 0
+            next_it = response.get("NextShardIterator")
+            if next_it is None:  # closed shard: fully consumed
+                finished[shard_id] = True
+            else:
+                iterators[shard_id] = next_it
+                finished[shard_id] = response["MillisBehindLatest"] == 0
             for record in response.get("Records", []):
                 blobs.append(record["Data"])
+                total_bytes += len(record["Data"])
+            if len(blobs) > max_records or total_bytes > max_bytes:
+                raise RuntimeError(
+                    f"drain exceeded its driver budget ({len(blobs)} records, "
+                    f"{total_bytes} bytes; caps {max_records}/{max_bytes}): "
+                    "this tap is for bounded catch-up reads — use the "
+                    "streaming connector (kinesis_options=) or a path= "
+                    "replay for unbounded streams"
+                )
     return blobs
+
+
+# boto3.session.Session's own keyword surface; **kwargs outside this
+# set cannot be session parameters, so routing them to boto3 would
+# TypeError deep inside the SDK instead of at our API boundary.
+_BOTO3_SESSION_KWARGS = frozenset(
+    {
+        "aws_access_key_id",
+        "aws_secret_access_key",
+        "aws_session_token",
+        "region_name",
+        "botocore_session",
+        "profile_name",
+        "aws_account_id",
+    }
+)
 
 
 class KinesisLogsReader:
@@ -97,6 +155,7 @@ class KinesisLogsReader:
         spark: SparkSession | None = None,
         path: str | None = None,
         typed: bool = False,
+        kinesis_options: dict | None = None,
         **kwargs,
     ) -> None:
         self.spark = spark or SparkSession.builder.getOrCreate()
@@ -105,10 +164,19 @@ class KinesisLogsReader:
         self._typed = typed
         self._iterator: Iterator[dict] | None = None
 
-        if kinesis_client is None and path is None:
+        if kinesis_client is None and path is None and kinesis_options is None:
             # Reference default: build a client from session kwargs
-            # (kinesis_logs_reader.py:33-34,57-58). boto3 is an optional
-            # dependency here; without it fall through to the connector.
+            # (kinesis_logs_reader.py:33-34,57-58). Only kwargs that ARE
+            # boto3 Session parameters take this path (ADVICE r3) —
+            # connector options must come in via kinesis_options= so a
+            # typo'd kwarg fails here, at the boundary, not in the SDK.
+            unknown = set(kwargs) - _BOTO3_SESSION_KWARGS
+            if unknown:
+                raise TypeError(
+                    f"unknown keyword(s) {sorted(unknown)}: boto3 session "
+                    f"parameters are {sorted(_BOTO3_SESSION_KWARGS)}; Spark "
+                    "Kinesis connector options go in kinesis_options="
+                )
             try:
                 from boto3.session import Session  # type: ignore
 
@@ -132,12 +200,20 @@ class KinesisLogsReader:
                 self.spark, path, typed=typed, start_time=start_time
             )
         else:
-            options = {"streamName": stream_name or "", **kwargs}
+            options = {"streamName": stream_name or "", **(kinesis_options or {}), **kwargs}
             if start_time is not None:
                 options["startingPosition"] = start_time.isoformat()
             self.df = read_cwl_stream(self.spark, kinesis_options=options, typed=typed)
 
     def to_df(self) -> DataFrame:
+        """The underlying DataFrame.
+
+        BATCH when the reader drained a boto3-style client (bounded
+        catch-up, reference semantics) or replayed a ``path=``;
+        STREAMING (``df.isStreaming``) only on the explicit
+        ``kinesis_options=`` connector route — the mode follows the
+        construction route, never silently from what's importable.
+        """
         return self.df
 
     def _rows(self) -> Iterator[dict]:

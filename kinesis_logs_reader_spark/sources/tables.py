@@ -52,11 +52,21 @@ def load_table(
     that rewrite a table they already read must pass ``use_cache=False``.
     """
     cache = spark.__dict__.setdefault("_klrs_table_cache", {})
-    key = (os.path.abspath(sf_dir), name)
+    # The path's (mtime, size) is part of the key: a table REPLACED
+    # mid-session (rebuild, external writer) misses and re-resolves
+    # instead of silently serving a stale file index (ADVICE r3). One
+    # os.stat per call vs 230-450 ms of re-planning — still ~free.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None  # nonexistent/remote path: let Spark error out
+    key = (os.path.abspath(sf_dir), name, fingerprint)
     if use_cache and key in cache:
         return cache[key]
     configure_runtime(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns since epoch (long) -> us TIMESTAMP_NTZ; `div` truncates like
         # DuckDB's ns->us truncation, so both engines see identical values.
@@ -68,6 +78,12 @@ def load_table(
     if use_cache:
         cache[key] = df
     return df
+
+
+def clear_table_cache(spark: SparkSession) -> None:
+    """Drop every cached table plan (the explicit safety valve for
+    writers that rewrite a directory in place with unchanged stat)."""
+    spark.__dict__.pop("_klrs_table_cache", None)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

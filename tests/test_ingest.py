@@ -219,3 +219,55 @@ def test_reader_next_protocol(spark):
     rest = list(chain([first], reader))
     assert len(rest) == 5
     assert reader.next.__call__  # py2-compat alias present
+
+
+def test_drain_skips_closed_shards():
+    """A shard whose NextShardIterator is null (closed, fully read) is
+    marked finished instead of KeyError-ing (ADVICE r3)."""
+    from unittest.mock import MagicMock
+
+    from kinesis_logs_reader_spark.reader import drain_kinesis_client
+
+    describe = {"StreamDescription": {"Shards": [{"ShardId": "s1"}]}}
+    client = MagicMock()
+    client.get_paginator.return_value.paginate.return_value = [describe]
+    client.get_shard_iterator.return_value = {"ShardIterator": "it-1"}
+    client.get_records.return_value = {
+        "Records": [{"Data": b"blob"}],
+        "NextShardIterator": None,  # closed shard
+        "MillisBehindLatest": 500,  # never reports caught-up
+    }
+    assert drain_kinesis_client(client, "s") == [b"blob"]
+
+
+def test_drain_record_cap_fails_loud():
+    """A live stream that never catches up hits the drain budget and
+    raises instead of accumulating driver memory forever."""
+    from unittest.mock import MagicMock
+
+    import pytest as _pytest
+
+    from kinesis_logs_reader_spark.reader import drain_kinesis_client
+
+    describe = {"StreamDescription": {"Shards": [{"ShardId": "s1"}]}}
+    client = MagicMock()
+    client.get_paginator.return_value.paginate.return_value = [describe]
+    client.get_shard_iterator.return_value = {"ShardIterator": "it"}
+    client.get_records.return_value = {
+        "Records": [{"Data": b"x" * 10}] * 7,
+        "NextShardIterator": "it",
+        "MillisBehindLatest": 999,  # perpetually behind
+    }
+    with _pytest.raises(RuntimeError, match="driver budget"):
+        drain_kinesis_client(client, "s", max_records=20)
+    with _pytest.raises(RuntimeError, match="driver budget"):
+        drain_kinesis_client(client, "s", max_bytes=100)
+
+
+def test_reader_rejects_unknown_kwargs(spark):
+    """Connector options can't ride in via **kwargs: a non-boto3 kwarg
+    fails at the API boundary with a pointer to kinesis_options=."""
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="kinesis_options"):
+        KinesisLogsReader("s", spark=spark, **{"kinesis.region": "us-east-1"})
