@@ -88,7 +88,9 @@ def q76_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = updates.unionByName(inserts)
     return merge_upsert(
         target, source, key="o_orderkey", columns=["status", "price"]
-    ).orderBy("o_orderkey")
+        # the merge's full-outer SMJ leaves output clustered+sorted on
+        # the key; per-partition sort avoids a second range exchange
+    ).sortWithinPartitions("o_orderkey")
 
 
 def q77_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:

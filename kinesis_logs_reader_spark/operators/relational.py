@@ -974,7 +974,9 @@ def q59_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
                  AS has_bulk_item
         FROM orders_v59 o
-        ORDER BY o_orderkey
+        -- the existence join's SMJ already sorts by o_orderkey within
+        -- partitions; per-partition SORT BY elides the second sort
+        SORT BY o_orderkey
         """
     )
 

@@ -1,8 +1,9 @@
 """Per-query wall-clock: Spark vs DuckDB (the BASELINE.md ≤2× gate).
 
 Times each declared query on both engines at the given sf (default
-sf0.1). Spark runs count() (full execution, no row transfer); DuckDB
-runs the oracle SQL and drains it. Prints a table plus offenders.
+sf0.1). Spark executes through the noop sink (full execution, no row
+transfer, no pruning); DuckDB runs the oracle SQL and drains it.
+Prints a table plus offenders.
 
 Usage: python tools/bench_compare.py [sf_dir] [query ...]
 """
