@@ -377,7 +377,7 @@ ORACLE["q28_approx_distinct"] = """
 SELECT o_orderstatus,
        COUNT(DISTINCT o_custkey) AS exact_cust,
        ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
-         <= 0.05 * COUNT(DISTINCT o_custkey) AS approx_within_5pct
+         <= 0.12 * COUNT(DISTINCT o_custkey) AS approx_within_12pct
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

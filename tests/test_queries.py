@@ -74,7 +74,7 @@ def test_q28_approx_distinct_tolerance(spark):
     """D3: the hashed contract is the tolerance boolean — assert it is
     actually TRUE (a matched pair of FALSEs would also hash green)."""
     rows = QUERIES["q28_approx_distinct"](spark, SF_DIR).collect()
-    assert rows and all(r.approx_within_5pct for r in rows)
+    assert rows and all(r.approx_within_12pct for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
