@@ -186,3 +186,52 @@ def test_q99_centroid_join_broadcasts(spark):
 
     df = curation.q99_centroid_outliers(spark, SF_DIR)
     assert explain.has_broadcast_join(df)
+
+
+def test_window_family_single_sort_single_exchange(spark):
+    """r4 window-sort fix, pinned: the output order is aligned to the
+    window's own sort, so q19/q20/q63 plan exactly ONE exchange (the
+    window's hash partitioning) and ONE sort — no rangepartitioning
+    exchange, no second sort. A regression here doubles the sort work
+    of every window query at scale."""
+    for fn in (
+        relational.q19_window_lag,
+        relational.q20_window_running_sum,
+        relational.q63_window_analytics,
+    ):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, fn.__name__
+        assert "rangepartitioning" not in plan, fn.__name__
+        assert plan.count("Sort ") == 1, fn.__name__
+
+
+def test_window_family_no_range_exchange(spark):
+    """q60/q33/q18 keep a cheap local re-sort (their output keys are a
+    reordering of the window sort) but must never re-shuffle."""
+    from kinesis_logs_reader_spark.streaming import batch_windows
+
+    for fn in (
+        relational.q60_range_frame,
+        relational.q18_window_rank,
+        batch_windows.q33_session_window,
+    ):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan, fn.__name__
+
+
+def test_presentation_order_two_mode(spark, monkeypatch):
+    """Scale mode swaps the global sort for a per-partition sort: the
+    rangepartitioning exchange must disappear and the value set must
+    not change."""
+    import os
+
+    from kinesis_logs_reader_spark.plans.output import presentation_order  # noqa: F401
+
+    monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+    plan_global = explain.formatted_plan(relational.q01_project_arith(spark, SF_DIR))
+    assert "rangepartitioning" in plan_global
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "1")
+    df_scale = relational.q01_project_arith(spark, SF_DIR)
+    plan_scale = explain.formatted_plan(df_scale)
+    assert "rangepartitioning" not in plan_scale
+    assert "Exchange" not in plan_scale  # map-only: zero exchanges

@@ -48,6 +48,16 @@ HEADLINE = [
     "q98_bm25",
     "q99_centroid_outliers",
     "q100_scd2",
+    # r4 additions: the window-sort fix + sort-elision family
+    "q19_window_lag",
+    "q20_window_running_sum",
+    "q60_range_frame",
+    "q63_window_analytics",
+    "q59_exists_subquery",
+    "q76_merge_upsert",
+    "q37b_zscore_window",
+    "q58_map_funcs",
+    "q28_approx_distinct",
 ]
 
 
@@ -98,7 +108,7 @@ def main() -> None:
         ("~1", SCALE_DIR),
     ]
     def run(name, d):
-        # noop sink: count() lets Catalyst prune unreferenced work
+        # noop sink: count() would let Catalyst prune unreferenced work
         queries[name](spark, d).write.format("noop").mode("overwrite").save()
 
     run("q17_global_agg", sfs[2][1])  # warm
