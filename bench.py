@@ -104,6 +104,14 @@ def main() -> None:
     con.close()
     spark_oracle_total = sum(timings[k] for k in duck)
     duckdb_total = sum(duck.values())
+    # Compute-bound subset (DuckDB >= 100 ms): the overall ratio is
+    # dominated by Spark's fixed per-query job floor (~0.2 s x 100+
+    # queries vs DuckDB's ~1 ms floor), which amortizes away with data
+    # size (SCALE.md); this subset is where the engines do comparable
+    # work per query.
+    cb = [k for k in duck if duck[k] >= 0.1]
+    cb_spark = sum(timings[k] for k in cb)
+    cb_duck = sum(duck[k] for k in cb)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver records exactly one stdout line and truncated the full
@@ -140,6 +148,10 @@ def main() -> None:
                 "duckdb_total": round(duckdb_total, 3),
                 "ratio": round(spark_oracle_total / duckdb_total, 2)
                 if duckdb_total
+                else None,
+                # over queries with DuckDB >= 100 ms (floor amortized)
+                "ratio_compute_bound": round(cb_spark / cb_duck, 2)
+                if cb_duck
                 else None,
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
