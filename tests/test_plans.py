@@ -235,3 +235,19 @@ def test_presentation_order_two_mode(spark, monkeypatch):
     plan_scale = explain.formatted_plan(df_scale)
     assert "rangepartitioning" not in plan_scale
     assert "Exchange" not in plan_scale  # map-only: zero exchanges
+
+
+def test_two_mode_values_identical(spark, monkeypatch):
+    """The two-mode contract's core invariant: global ORDER BY and
+    scale-mode SORT BY differ only in row layout, never in values."""
+    for fn in (
+        relational.q04_cast_coalesce,
+        relational.q26c_math_funcs,
+        relational.q58_map_funcs,
+        relational.q64_date_format,
+    ):
+        monkeypatch.delenv("SPARK_GRAFT_SCALE_MODE", raising=False)
+        a = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "1")
+        b = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+        assert a == b, fn.__name__
