@@ -65,13 +65,20 @@ def build_session(
     app_name: str = "kinesis-logs-reader-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build the engine's SparkSession.
 
     ``master=None`` defers to the environment (spark-submit / cluster
-    manager); tests pass ``local[32]``.
+    manager); tests pass ``local[32]``. ``extra_conf`` is for
+    deployment-mode conf that must be set before the context starts
+    (e.g. bench.py disables shuffle compression on local[32], where
+    shuffle bytes never cross a network and lz4 is pure CPU overhead —
+    a cluster deployment keeps the compression default).
     """
     builder = SparkSession.builder.appName(app_name)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master:
         builder = builder.config("spark.master", master)
     builder = (
