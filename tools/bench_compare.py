@@ -32,7 +32,16 @@ def main() -> None:
     from kinesis_logs_reader_spark import registry as entrymod
     from kinesis_logs_reader_spark.session import build_session
 
-    spark = build_session(master="local[32]", shuffle_partitions=32)
+    spark = build_session(
+        master="local[32]",
+        shuffle_partitions=32,
+        # match bench.py's local deployment conf (no network => no
+        # shuffle compression) so the two tools report the same numbers
+        extra_conf={
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
