@@ -93,6 +93,26 @@ def q35_median_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35b_median_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of q35: Spark 4's native MEDIAN aggregate — same
+    exact interpolated median, no Python boundary. q35 stays as the
+    grouped-agg pandas UDF demo; this is the recommended formulation
+    (JVM-side, map-side partial, whole-stage codegen around the agg).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("o_totalprice"), 3)
+            .cast("double")
+            .alias("median_price")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q37_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J (applyInPandas grouped map), oracle-backed: per-customer
     z-score vs DuckDB's windowed AVG/STDDEV_POP."""

@@ -659,6 +659,8 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
+ORACLE["q35b_median_native"] = ORACLE["q35_median_segment"]
+
 ORACLE["q37_zscore"] = """
 SELECT o_custkey AS custkey, o_orderkey AS orderkey,
        CAST(ROUND(

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 111  # +q37b (r4): JVM-window production twin of the q37 demo
-N_ORACLES = 107  # q28/q103 upgraded r4 from rows-only to hashed tolerance
+N_QUERIES = 112  # +q37b/q35b (r4): JVM production twins of the J demos
+N_ORACLES = 108  # q28/q103 upgraded r4 from rows-only to hashed tolerance
 
 _OPERATOR_MODULES = (
     "analytics",
