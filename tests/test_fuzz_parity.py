@@ -243,3 +243,75 @@ def test_random_windows_agree(spark, li_view, func, part, order, desc, pred):
     [srow] = spark.sql(q.format(t=li_view)).collect()
     [drow] = _duck(q.format(t="lineitem"))
     assert (srow.n, srow.chk) == (drow[0], drow[1]), q
+
+
+# --- dedup fuzz: planted exact copies on random corpora -------------------
+
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+          "hotel", "india", "juliet", "kilo", "lima"]
+_doc_text = st.lists(
+    st.sampled_from(_WORDS), min_size=4, max_size=14
+).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=3, max_size=12),
+    copy_idx=st.data(),
+)
+def test_fuzz_minhash_finds_planted_copies(spark, texts, copy_idx):
+    """On ANY corpus, an exact copy collides with its source in every
+    MinHash band, so minhash_pairs must report the (src, copy) pair.
+    Generalizes the fixed-data planted test the way the predicate fuzz
+    generalizes q02."""
+    from kinesis_logs_reader_spark.operators.dedup import minhash_pairs
+
+    n = len(texts)
+    k = copy_idx.draw(st.integers(min_value=0, max_value=n - 1))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((1000 + k, texts[k]))  # planted exact copy
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.ida, r.idb) for r in minhash_pairs(docs).collect()}
+    assert (k, 1000 + k) in pairs, (texts[k], sorted(pairs))
+    # output contract: ida < idb, no self-pairs, no duplicates
+    assert all(a < b for a, b in pairs)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc_text, min_size=2, max_size=15))
+def test_fuzz_exact_dedup_matches_duckdb(spark, texts):
+    """Exact dedup kernel (md5-keyed min-id survivor) agrees with
+    DuckDB on arbitrary corpora — the cross-engine md5 + grouping
+    contract q40/q78 rely on, fuzzed over generated inputs."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = sorted(
+        tuple(r)
+        for r in docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        d = sorted(
+            tuple(r)
+            for r in con.sql(
+                "SELECT md5(text) AS h, MIN(doc_id) AS keep, COUNT(*) AS n "
+                "FROM d GROUP BY h"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert s == d
