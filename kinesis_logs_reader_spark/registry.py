@@ -159,13 +159,15 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
-# Staged round-5 window (swap into DRIVER_WINDOW next round): the last
-# 10 keys still lacking any driver row after r4 — q35/q37/q38/q39/q86/
-# q88/q100/q102 (oracle-backed) + q47/q48/q75/q109 (rows-only by design)
-# — topped up with relational re-checks to fill the 50 slots.
+# Staged round-5 window (swap into DRIVER_WINDOW next round): the keys
+# still lacking any driver row after r4 — q35/q35b/q37/q37b/q38/q39/
+# q86/q88/q100/q102 (oracle-backed) + q47/q48/q75/q109 (rows-only by
+# design) — topped up with relational re-checks to fill the 50 slots.
 DRIVER_WINDOW_R5: list[str] = [
     "q35_median_segment",
+    "q35b_median_native",
     "q37_zscore",
+    "q37b_zscore_window",
     "q38_price_histogram",
     "q39_mode_per_group",
     "q86_unpivot",
@@ -213,8 +215,6 @@ DRIVER_WINDOW_R5: list[str] = [
     "q02_filter_predicates",
     "q14_count_distinct",
     "q17_global_agg",
-    "q23_union",
-    "q25_distinct",
 ]
 
 
