@@ -264,6 +264,7 @@ def test_kmeans_index_persists_and_reloads(spark, tmp_path):
 
     from kinesis_logs_reader_spark.operators.similarity import (
         _KMEANS_CACHE,
+        _corpus_fingerprint,
         _kmeans_index_path,
         get_or_fit_kmeans,
     )
@@ -273,7 +274,10 @@ def test_kmeans_index_persists_and_reloads(spark, tmp_path):
     cold = get_or_fit_kmeans(emb, key, n_clusters=8, n_iter=2)
     import os
 
-    assert os.path.exists(_kmeans_index_path(key, 8, 2))
+    # The on-disk path folds in a corpus fingerprint so a regenerated
+    # embeddings table retrains instead of reusing stale centroids.
+    fp = _corpus_fingerprint(emb)
+    assert os.path.exists(_kmeans_index_path(f"{key}_{fp}", 8, 2))
     _KMEANS_CACHE.clear()
     warm = get_or_fit_kmeans(emb, key, n_clusters=8, n_iter=2)
     assert np.array_equal(cold, warm)
