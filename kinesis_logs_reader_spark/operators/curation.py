@@ -333,17 +333,16 @@ def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rule")
 
 
-def q98_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 relevance ranking of documents for a fixed term query —
-    the retrieval scorer for corpus search / dedup triage.
+def bm25_scored(
+    docs: DataFrame, terms: tuple[str, ...], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 scores (unrounded double ``bm25_raw``, ``n_terms_hit``) for
+    every document hitting at least one query term.
 
-    Same data movement as q95: corpus-level stats (df per query term,
-    avg doc length, N) are tiny and broadcast; per-doc tf comes from
-    one filtered explode-aggregate. Top-20 via TakeOrderedAndProject.
+    Corpus-level stats (df per query term, avg doc length, N) are tiny
+    and broadcast; per-doc tf comes from one filtered explode-aggregate.
+    Shared by q98 (ranking) and q110 (hybrid RRF fusion).
     """
-    k1, b = 1.2, 0.75
-    terms = ("table", "spark", "key")
-    docs = load_table(spark, sf_dir, "documents")
     # corpus stats as a lazy 1-row broadcast: exact N, integer-exact
     # avgdl numerator (sum of token counts) so both engines divide the
     # same two integers instead of averaging floats in partition order
@@ -373,13 +372,28 @@ def q98_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfn = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
     )
-    scored = (
+    return (
         tf_tbl.join(F.broadcast(df_tbl), "t")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(idf * tfn), 4).cast("double").alias("bm25"),
+            F.sum(idf * tfn).alias("bm25_raw"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
+    )
+
+
+def q98_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of documents for a fixed term query —
+    the retrieval scorer for corpus search / dedup triage.
+
+    One corpus scan + broadcast stats (see :func:`bm25_scored`);
+    top-20 via TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs, ("table", "spark", "key")).select(
+        "doc_id",
+        F.round("bm25_raw", 4).cast("double").alias("bm25"),
+        "n_terms_hit",
     )
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
     return top.orderBy("doc_id")
@@ -513,4 +527,134 @@ def q105_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_coverage"),
         )
         .orderBy("rank")
+    )
+
+
+def q110_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse a lexical BM25 ranking and an embedding-cosine ranking
+    of the same corpus into one list via rrf = sum(1 / (60 + rank)).
+
+    The fusion needs only the two rank lists, never the raw scores, so
+    at scale each retriever emits its own top-k (TakeOrdered over
+    candidates) and the fusion is a join of two k-row frames. Here the
+    ranks are exact over the full corpus so the oracle can reproduce
+    them: ranks come from the ROUNDED scores (bm25 @4, cosine @4) with
+    doc_id tie-breaks, which makes the rank integers — and therefore
+    the rrf doubles — bit-identical across engines.
+    """
+    from kinesis_logs_reader_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = bm25_scored(docs, ("table", "spark", "key")).select(
+        "doc_id", F.round("bm25_raw", 4).alias("bm25")
+    )
+    w_bm = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_rank = scored.select(
+        "doc_id", F.row_number().over(w_bm).alias("rank_bm25")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = emb.join(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+    )
+    w_cos = Window.orderBy(F.col("sim").desc(), "doc_id")
+    cos_rank = sims.select(
+        "doc_id", F.row_number().over(w_cos).alias("rank_cos")
+    )
+    fused = (
+        cos_rank.join(bm_rank, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rank_cos",
+            "rank_bm25",
+            F.round(
+                F.lit(1.0) / (60 + F.col("rank_cos"))
+                + F.coalesce(
+                    F.lit(1.0) / (60 + F.col("rank_bm25")), F.lit(0.0)
+                ),
+                6,
+            ).cast("double").alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    return top.orderBy("doc_id")
+
+
+def q113_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-blocklist + flagged-term filtering — the "remove these
+    domains and spammy pages" pass of a crawl-curation pipeline.
+
+    The blocklist is a real (tiny) DataFrame joined with an explicit
+    broadcast — the pattern that scales to a million-entry blocklist —
+    not an ``isin`` literal. Flagged-term counting is a per-row
+    ``filter`` lambda over the token array (JVM codegen, no explode).
+    Map-only over the corpus scan + one tiny aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    block = spark.createDataFrame(
+        [("src3",), ("src7",), ("src13",)], "source string"
+    ).withColumn("blocked", F.lit(True))
+    flagged = F.size(
+        F.filter(tokens(), lambda t: (t == "slow") | (t == "big"))
+    )
+    staged = (
+        docs.join(F.broadcast(block), "source", "left")
+        .select(
+            "source",
+            F.coalesce("blocked", F.lit(False)).alias("is_blocked"),
+            flagged.alias("n_flagged"),
+        )
+        .withColumn(
+            "kept", (~F.col("is_blocked")) & (F.col("n_flagged") <= 4)
+        )
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_blocked").cast("int")).alias("n_blocked"),
+            F.sum((F.col("n_flagged") > 4).cast("int")).alias("n_overflagged"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def q114_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (the multilingual /
+    multi-source sampling rule of mBERT/XLM-R and data-mix papers):
+    w_i = n_i^alpha / sum_j n_j^alpha at alpha = 0.7 — upsamples the
+    tail sources relative to their natural frequency.
+
+    Exactness across engines: n^0.7 is quantized to int64
+    (floor(pow * 1e6 + 0.5)) BEFORE the denominator sum, so the
+    normalizing total is exact integer arithmetic and the final
+    weight is one deterministic double division — no float-sum-order
+    nondeterminism. One tiny aggregate (|sources| rows) + a 1-row
+    broadcast total back over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    keyed = counts.withColumn(
+        "k",
+        F.floor(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e6 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    total = keyed.agg(F.sum("k").alias("tot"))
+    return (
+        keyed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "k",
+            F.round(F.col("k").cast("double") / F.col("tot"), 6)
+            .cast("double")
+            .alias("weight"),
+            F.floor(F.col("k") * 100000 / F.col("tot")).cast("bigint")
+            .alias("per_100k"),
+        )
+        .orderBy("source")
     )

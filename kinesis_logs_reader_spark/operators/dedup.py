@@ -56,6 +56,31 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_pair_counts(tokd: DataFrame) -> DataFrame:
+    """Candidate pairs (ida < idb) with exact distinct-shingle overlap
+    counts, via an inverted-index self-join (shingle -> docs).
+
+    Returns (ida, idb, common, na, nb) — the sufficient statistics for
+    any set-overlap measure (Jaccard q44, containment q116). Only
+    pairs sharing >= 1 shingle ever materialize; the shuffles are
+    keyed by shingle strings and doc-id pairs, never full documents.
+    """
+    docs = tokd.select(
+        "doc_id", F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh")
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))
+    return common.join(F.broadcast(sa), "ida").join(F.broadcast(sb), "idb")
+
+
 def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by exact 3-gram Jaccard over a fixed doc slice.
 
@@ -70,22 +95,8 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id", tokens().alias("_toks"))
     )
-    docs = tokd.select(
-        "doc_id", F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh")
-    )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = docs.select("doc_id", F.explode("sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))
     jac = (
-        common.join(F.broadcast(sa), "ida")
-        .join(F.broadcast(sb), "idb")
+        shingle_pair_counts(tokd)
         .select(
             "ida",
             "idb",
@@ -455,3 +466,78 @@ def q101_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fps"), F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % F.lit(MINHASH_P)
         ).alias("fp_checksum"),
     ).orderBy("doc_id")
+
+
+def q112_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (CCNet-style paragraph) exact dedup: split every
+    document into fixed-size non-overlapping token chunks, hash each
+    chunk, count global occurrences, and report per document how much
+    of it is corpus-duplicated material.
+
+    The chunk size is 2 tokens here so the synthetic word-soup corpus
+    actually produces collisions; a crawl pipeline uses paragraphs or
+    ~100-token spans — the plan is identical. Data movement at scale:
+    chunks shuffle as 16-byte md5 digests only (never chunk text), one
+    digest-keyed aggregate for global counts, one digest-keyed join
+    back, one per-doc aggregate.
+    """
+    cw = 2
+    tokd = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("_toks")
+    )
+    n_chunks = F.ceil(F.size("_toks") / F.lit(float(cw))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * cw + 1, cw), " "),
+    )
+    hashed = (
+        tokd.filter(F.size("_toks") > 0)
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("h"))
+    )
+    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        hashed.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_chunks"),
+            F.round(
+                F.sum((F.col("n_occ") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).cast("double").alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q116_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by shingle CONTAINMENT — |A∩B| / min(|A|, |B|) — the
+    asymmetric companion to q44's Jaccard. Containment catches a short
+    document wholly embedded in a longer one (quote farms, boilerplate
+    wrappers), which Jaccard under-scores because the union is large.
+
+    Same inverted-index candidate generation as q44
+    (:func:`shingle_pair_counts`); only the scoring differs. Top-20
+    pairs by containment, total order.
+    """
+    tokd = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", tokens().alias("_toks"))
+    )
+    cont = shingle_pair_counts(tokd).select(
+        "ida",
+        "idb",
+        "common",
+        F.round(
+            F.col("common").cast("double") / F.least("na", "nb"),
+            6,
+        ).cast("double").alias("containment"),
+    )
+    return (
+        cont.orderBy(F.col("containment").desc(), "ida", "idb")
+        .limit(20)
+        .orderBy("ida", "idb")
+    )

@@ -281,3 +281,54 @@ def q104_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup_incremental(new_batch, known)
     return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q111_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before shipping vectors to an ANN index or a
+    feature store (4x smaller than float32, 8x smaller than float64).
+
+    Per vector: scale = max|x| / 127, code_i = floor(x_i * 127 /
+    max|x| + 0.5). Everything is a per-row higher-order-function chain
+    (transform / array_max / aggregate) running inside whole-stage
+    codegen — map-only over the scan, no shuffle, no Python.
+
+    Exactness across engines: float32 -> double casts are exact, the
+    multiply-divide chain is written with explicit parentheses so both
+    engines evaluate the identical double expression, and the audit
+    sums (|code| L1 mass, saturation count) are integer aggregates
+    with a bigint accumulator — no float-sum-order nondeterminism.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    # amax is referenced twice (scale + every code) -> project it into
+    # its own column first so it materializes once per row
+    staged = (
+        emb.select("vec_id", amax.alias("_amax"), "embedding")
+        .select(
+            "vec_id",
+            F.round(F.col("_amax") / 127.0, 6).cast("double").alias("scale"),
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(
+                    (v.cast("double") * 127.0) / F.col("_amax") + 0.5
+                ).cast("bigint"),
+            ).alias("codes"),
+        )
+    )
+    return (
+        staged.select(
+            "vec_id",
+            "scale",
+            F.aggregate(
+                "codes",
+                F.lit(0).cast("bigint"),
+                lambda acc, c: acc + F.abs(c),
+            ).alias("code_l1"),
+            F.size(F.filter("codes", lambda c: F.abs(c) == 127)).alias("n_sat"),
+            F.size(F.filter("codes", lambda c: c == 0)).alias("n_zero"),
+        )
+        .orderBy("vec_id")
+    )

@@ -190,3 +190,55 @@ def q49_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q115_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the cheap stand-in for
+    the KenLM/CCNet perplexity filter: score each document by the mean
+    log-probability of its tokens under the corpus unigram
+    distribution. Gibberish and off-distribution documents score low.
+
+    Two passes: (1) corpus token counts (explode -> agg; partial
+    map-side combine shuffles (token, count) pairs, bounded by vocab
+    size, not corpus size); (2) re-join tokens to the broadcast
+    count table and aggregate per doc. At 100 TB the vocab table
+    stays small (heavy-hitter truncation if not) and both passes ride
+    one corpus scan each.
+
+    Exactness across engines: ln(c/T) of exact integer ratios is one
+    deterministic double op; it is quantized to int64 micro-nats
+    (floor(ln * 1e6)) BEFORE the per-doc sum so accumulation is exact
+    integer math — the mean is one final double division, rounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+            * 1e6
+        ).cast("bigint").alias("lp_q"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lp_q").alias("sum_lp_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_lp_q",
+            F.round(
+                F.col("sum_lp_q").cast("double")
+                / 1e6
+                / F.col("n_tok").cast("double"),
+                4,
+            ).cast("double").alias("avg_logprob"),
+        )
+        .withColumn("keep", F.col("avg_logprob") > -3.4)
+        .orderBy("doc_id")
+    )

@@ -1675,3 +1675,189 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY CUBE (n_name, c_mktsegment)
 ORDER BY g_nation, g_segment, n_name NULLS FIRST, c_mktsegment NULLS FIRST
 """
+
+# --- round-4 additions: q110-q116 (LLM-pipeline extension batch 2) ---------
+
+ORACLE["q110_rrf_hybrid"] = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_corpus, SUM(len(str_split(text, ' '))) AS sum_dl
+  FROM documents
+), df AS (
+  SELECT t, COUNT(*) AS df
+  FROM (SELECT unnest(list_distinct(str_split(text, ' '))) AS t FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY t
+), tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+               unnest(str_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY doc_id, dl, t
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN((CAST(s.n_corpus AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_corpus)))
+         ), 4) AS bm25
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), bm_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+  FROM scored
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(q.qe, q.qe))),
+           4) AS sim
+  FROM embeddings e, q
+), cos_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_cos
+  FROM sims
+), fused AS (
+  SELECT c.doc_id, c.rank_cos, b.rank_bm25,
+         CAST(ROUND(1.0 / (60 + c.rank_cos)
+                    + COALESCE(1.0 / (60 + b.rank_bm25), 0.0), 6) AS DOUBLE) AS rrf
+  FROM cos_rank c LEFT JOIN bm_rank b ON c.doc_id = b.doc_id
+)
+SELECT doc_id, rank_cos, rank_bm25, rrf FROM (
+  SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+) t
+ORDER BY doc_id
+"""
+
+ORACLE["q111_embedding_quantize"] = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(ROUND(amax / 127.0, 6) AS DOUBLE) AS scale,
+       CAST(list_aggregate(
+         list_transform(e, x -> ABS(CAST(FLOOR((x * 127.0) / amax + 0.5) AS BIGINT))),
+         'sum') AS BIGINT) AS code_l1,
+       CAST(len(list_filter(
+         e, x -> ABS(CAST(FLOOR((x * 127.0) / amax + 0.5) AS BIGINT)) = 127))
+         AS INT) AS n_sat,
+       CAST(len(list_filter(
+         e, x -> CAST(FLOOR((x * 127.0) / amax + 0.5) AS BIGINT) = 0))
+         AS INT) AS n_zero
+FROM s
+ORDER BY vec_id
+"""
+
+ORACLE["q112_chunk_dedup"] = """
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, md5(array_to_string(toks[i*2+1 : i*2+2], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(CEIL(len(toks) / 2.0) AS BIGINT))) AS i
+        FROM tok WHERE len(toks) > 0)
+), counts AS (
+  SELECT h, COUNT(*) AS n_occ FROM chunks GROUP BY h
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       CAST(ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) AS DOUBLE) AS dup_ratio
+FROM chunks c JOIN counts USING (h)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+ORACLE["q113_blocklist_filter"] = """
+WITH block AS (
+  SELECT * FROM (VALUES ('src3'), ('src7'), ('src13')) b(source)
+), staged AS (
+  SELECT d.source,
+         (b.source IS NOT NULL) AS is_blocked,
+         len(list_filter(str_split(d.text, ' '),
+                         x -> x = 'slow' OR x = 'big')) AS n_flagged
+  FROM documents d LEFT JOIN block b ON d.source = b.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS n_blocked,
+       SUM(CASE WHEN n_flagged > 4 THEN 1 ELSE 0 END) AS n_overflagged,
+       SUM(CASE WHEN (NOT is_blocked) AND n_flagged <= 4 THEN 1 ELSE 0 END) AS n_kept
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE["q114_mixture_weights"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), keyed AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT) AS k
+  FROM counts
+), total AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS tot FROM keyed
+)
+SELECT source, n_docs, k,
+       CAST(ROUND(CAST(k AS DOUBLE) / tot, 6) AS DOUBLE) AS weight,
+       CAST(FLOOR((k * 100000) / CAST(tot AS DOUBLE)) AS BIGINT) AS per_100k
+FROM keyed, total
+ORDER BY source
+"""
+
+ORACLE["q115_unigram_lm"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT SUM(c) AS tot FROM counts
+), lp AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM counts, total
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
+  FROM tok JOIN lp USING (t)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tok, sum_lp_q,
+       CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+            AS DOUBLE) AS avg_logprob,
+       (CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+             AS DOUBLE) > -3.4) AS keep
+FROM agg
+ORDER BY doc_id
+"""
+
+ORACLE["q116_containment_dup"] = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 200
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sized AS (
+  SELECT ida, idb, common,
+         CAST(ROUND(common / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS DOUBLE)
+           AS containment
+  FROM common
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sa ON sa.doc_id = ida
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sb ON sb.doc_id = idb
+)
+SELECT ida, idb, common, containment FROM (
+  SELECT * FROM sized ORDER BY containment DESC, ida, idb LIMIT 20
+) t
+ORDER BY ida, idb
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 112  # +q37b/q35b (r4): JVM production twins of the J demos
-N_ORACLES = 108  # q28/q103 upgraded r4 from rows-only to hashed tolerance
+N_QUERIES = 119  # +q110-q116 (r4): LLM-pipeline extension batch 2
+N_ORACLES = 115  # all seven r4 additions are oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -162,7 +162,8 @@ DRIVER_WINDOW: list[str] = [
 # Staged round-5 window (swap into DRIVER_WINDOW next round): the keys
 # still lacking any driver row after r4 — q35/q35b/q37/q37b/q38/q39/
 # q86/q88/q100/q102 (oracle-backed) + q47/q48/q75/q109 (rows-only by
-# design) — topped up with relational re-checks to fill the 50 slots.
+# design) + the seven r4 additions q110-q116 — topped up with
+# relational re-checks to fill the 50 slots.
 DRIVER_WINDOW_R5: list[str] = [
     "q35_median_segment",
     "q35b_median_native",
@@ -178,6 +179,14 @@ DRIVER_WINDOW_R5: list[str] = [
     "q48_ann_ivf",
     "q75_ann_ivf_kmeans",
     "q109_semdedup",
+    # round-4 additions (LLM-pipeline extension batch 2)
+    "q110_rrf_hybrid",
+    "q111_embedding_quantize",
+    "q112_chunk_dedup",
+    "q113_blocklist_filter",
+    "q114_mixture_weights",
+    "q115_unigram_lm",
+    "q116_containment_dup",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",
