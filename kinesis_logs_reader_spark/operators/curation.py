@@ -350,18 +350,19 @@ def bm25_scored(
         F.count(F.lit(1)).alias("n_corpus"),
         F.sum(n_tokens()).alias("sum_dl"),
     )
-    df_tbl = (
-        docs.select(F.explode(F.array_distinct(tokens())).alias("t"))
-        .filter(F.col("t").isin(*terms))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
-    )
     tf_tbl = (
         docs.select("doc_id", n_tokens().alias("dl"), F.explode(tokens()).alias("t"))
         .filter(F.col("t").isin(*terms))
         .groupBy("doc_id", "dl", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df(t) = number of documents containing t — derivable from the tf
+    # table (one row per (doc, term)) instead of a second corpus-wide
+    # explode + array_distinct pass: same value, one scan saved.
+    df_tbl = (
+        tf_tbl.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_corpus").cast("double")
     idf = F.log(

@@ -495,10 +495,17 @@ def q112_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("chunk"))
         .select("doc_id", F.md5("chunk").alias("h"))
     )
-    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    # Global occurrence count as a window over the digest: ONE shuffle
+    # on h (vs aggregate + join back = two), and the counts side never
+    # materializes as a join table that would outgrow a broadcast at
+    # corpus scale.
+    from pyspark.sql.window import Window
+
+    occ = hashed.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        hashed.join(counts, "h")
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_chunks"),
