@@ -565,7 +565,7 @@ def q110_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w_cos).alias("rank_cos")
     )
     fused = (
-        cos_rank.join(bm_rank, "doc_id", "left")
+        cos_rank.join(F.broadcast(bm_rank), "doc_id", "left")
         .select(
             "doc_id",
             "rank_cos",

@@ -251,3 +251,63 @@ def test_two_mode_values_identical(spark, monkeypatch):
         monkeypatch.setenv("SPARK_GRAFT_SCALE_MODE", "1")
         b = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
         assert a == b, fn.__name__
+
+
+# --- round-4 batch (q110-q116) scale-posture pins --------------------------
+
+
+def test_quantize_is_map_only(spark):
+    """q111 must ride the scan: per-row HOF chain, zero exchanges other
+    than the presentation sort."""
+    from kinesis_logs_reader_spark.operators import preprocess
+
+    df = preprocess.q111_embedding_quantize(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_chunk_dedup_single_digest_shuffle(spark):
+    """q112's occurrence count is a window over md5 digests: exactly one
+    hash exchange (on h) before the per-doc aggregate's."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q112_chunk_dedup(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    # one exchange for the digest window + one for the doc_id aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_blocklist_join_broadcasts(spark):
+    """q113's blocklist side must broadcast, never shuffle the corpus."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q113_blocklist_filter(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_mixture_weights_broadcasts_total(spark):
+    """q114's normalizing total is a 1-row broadcast back over the
+    per-source aggregate — no shuffle of the counts frame."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q114_mixture_weights(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """q115's per-token log-prob table joins broadcast, so the corpus
+    token stream shuffles only for the vocab aggregate and per-doc agg."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q115_unigram_lm(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_rrf_fusion_broadcasts_rank_lists(spark):
+    """q110 fuses two rank lists; the bm25 rank side must broadcast
+    into the cosine side."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q110_rrf_hybrid(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
