@@ -659,3 +659,57 @@ def q114_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q117_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostic: OLS fit of the Zipf slope over the top-100
+    token ranks — ln(freq) ~ slope * ln(rank) + intercept. A healthy
+    natural-language corpus sits near slope -1; a synthetic or
+    template-heavy corpus is much flatter. The tokenizer/mixture teams
+    read this before trusting a new crawl.
+
+    One corpus explode -> token counts (map-side combinable, vocab-
+    bounded), then the regression runs over <= 100 rows: rank window,
+    ln() quantized to int64 micro-units, integer moment sums (exact in
+    both engines; the OLS slope is scale-invariant so the 1e6
+    quantization cancels), one final double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("t"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.floor(F.log(F.col("rank").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("xq"),
+            F.floor(F.log(F.col("c").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("yq"),
+        )
+    )
+    moments = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / 1e6
+    )
+    return moments.select(
+        "n",
+        F.round(slope, 4).cast("double").alias("zipf_slope"),
+        F.round(intercept, 4).cast("double").alias("zipf_intercept"),
+    )

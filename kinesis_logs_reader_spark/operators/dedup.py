@@ -548,3 +548,50 @@ def q116_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .orderBy("ida", "idb")
     )
+
+
+def q118_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after normalize-dedup grouping
+    (q78's canonical form), KEEP exactly one document per duplicate
+    group — the longest raw text, ties by min doc_id — instead of just
+    counting copies. This is the "which copy survives" step of a real
+    dedup pipeline, where the kept copy's formatting/provenance matters.
+
+    Variants are planted in-query (docs id < 15 re-emitted uppercased
+    with doubled spaces at id+2000000) so every group has a genuine
+    quality spread: the planted variant is longer and must win its
+    group. One shuffle on the 16-byte canonical digest; selection is a
+    row_number window inside each group (group sizes are tiny — dup
+    cardinality, not corpus cardinality).
+
+    Reference analog: none (beyond-reference mandate; composes q78 +
+    argmax selection).
+    """
+    from pyspark.sql.window import Window
+
+    from kinesis_logs_reader_spark.operators.preprocess import normalize_text
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 15)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
+        )
+    )
+    staged = base.unionByName(planted).select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_len", "n_copies")
+        .orderBy("doc_id")
+    )

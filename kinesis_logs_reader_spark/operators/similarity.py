@@ -492,3 +492,40 @@ def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         all_vecs, n_clusters=16, threshold=0.999, index_key=f"semdedup_{sf_dir}"
     ).orderBy("vec_id", "dup_of")
+
+
+def q119_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact top-3 cosine neighbors for EVERY query
+    vector in a batch (vec_id < 10) against the candidate corpus
+    (vec_id >= 10) — the retrieval building block q43 singles out,
+    joined for a whole query table at once.
+
+    Scale shape: the query batch broadcasts (it is the small side by
+    construction), similarity is a JVM-side zip_with/aggregate per
+    (candidate, query) pair riding the corpus scan, and per-query
+    top-k is a rank window keyed by query id — the shuffle is
+    (candidates x |queries|) rows of (id, id, sim), never embeddings.
+    At millions of queries the batch is chunked and the IVF path
+    (q75) replaces brute force; the join contract stays identical.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.filter(F.col("vec_id") >= 10)
+    scored = cands.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+        .cast("double")
+        .alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "rn", "vec_id", "sim")
+        .orderBy("query_id", "rn")
+    )

@@ -1861,3 +1861,84 @@ SELECT ida, idb, common, containment FROM (
 ) t
 ORDER BY ida, idb
 """
+
+# --- round-4 additions batch 3: q117-q119 ----------------------------------
+
+ORACLE["q117_zipf_fit"] = """
+WITH counts AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), ranked AS (
+  SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+  FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank FROM counts)
+  WHERE rank <= 100
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT n,
+       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS DOUBLE) AS zipf_slope,
+       CAST(ROUND((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) / 1e6, 4) AS DOUBLE) AS zipf_intercept
+FROM m
+"""
+
+ORACLE["q118_canonical_select"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         regexp_replace(upper(text), ' ', '  ', 'g') AS text
+  FROM documents WHERE doc_id < 15
+), staged AS (
+  SELECT doc_id, length(text) AS text_len,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS h
+  FROM all_docs
+), ranked AS (
+  SELECT doc_id, text_len,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY text_len DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_copies
+  FROM staged
+)
+SELECT doc_id, text_len, n_copies
+FROM ranked
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+ORACLE["q119_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id >= 10
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(ROUND(
+           list_inner_product(c.e, q.qe)
+           / (SQRT(list_inner_product(c.e, c.e))
+              * SQRT(list_inner_product(q.qe, q.qe))),
+           4) AS DOUBLE) AS sim
+  FROM c, q
+)
+SELECT query_id, rn, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+) ranked
+WHERE rn <= 3
+ORDER BY query_id, rn
+"""

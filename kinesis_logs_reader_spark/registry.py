@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 119  # +q110-q116 (r4): LLM-pipeline extension batch 2
-N_ORACLES = 115  # all seven r4 additions are oracle-backed
+N_QUERIES = 122  # +q110-q119 (r4): LLM-pipeline extension batches 2-3
+N_ORACLES = 118  # all ten r4 additions are oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -187,6 +187,10 @@ DRIVER_WINDOW_R5: list[str] = [
     "q114_mixture_weights",
     "q115_unigram_lm",
     "q116_containment_dup",
+    # round-4 additions (batch 3)
+    "q117_zipf_fit",
+    "q118_canonical_select",
+    "q119_knn_join",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

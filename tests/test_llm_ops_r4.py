@@ -9,7 +9,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from kinesis_logs_reader_spark.operators import curation, dedup, preprocess, textstats
+from kinesis_logs_reader_spark.operators import curation, dedup, preprocess, similarity, textstats
 from kinesis_logs_reader_spark.functions.text import tokens
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -140,3 +140,49 @@ def test_containment_full_for_embedded_doc(spark):
     tokd = df.select("doc_id", tokens().alias("_toks"))
     [r] = dedup.shingle_pair_counts(tokd).collect()
     assert r.common == min(r.na, r.nb)
+
+
+def test_zipf_fit_negative_slope(spark):
+    """Token frequencies decay with rank, so the fitted slope must be
+    negative. The synthetic vocab is ~31 tokens, so the top-100 cap
+    leaves the whole vocabulary in the fit."""
+    [r] = curation.q117_zipf_fit(spark, SF_DIR).collect()
+    assert 10 <= r.n <= 100
+    assert r.zipf_slope < 0
+
+
+def test_canonical_select_planted_variant_wins(spark):
+    """The uppercased double-spaced variant of docs 0-14 is longer than
+    the original, so id+2000000 must be the kept doc for those groups
+    and the original ids 0-14 must NOT survive."""
+    kept = {r.doc_id for r in dedup.q118_canonical_select(spark, SF_DIR).collect()}
+    for i in range(15):
+        assert i + 2000000 in kept
+        assert i not in kept
+
+
+def test_knn_join_matches_single_query_topk(spark):
+    """q119's rows for query_id 0 must equal q43-style exact top-k over
+    the same candidate set (vec_id >= 10)."""
+    from kinesis_logs_reader_spark.operators.similarity import cosine
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    expect = (
+        emb.filter(F.col("vec_id") >= 10)
+        .join(F.broadcast(q0))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(3)
+        .collect()
+    )
+    got = (
+        similarity.q119_knn_join(spark, SF_DIR)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [(r.vec_id, r.sim) for r in got] == [(r.vec_id, r.sim) for r in expect]
