@@ -186,3 +186,60 @@ def test_knn_join_matches_single_query_topk(spark):
         .collect()
     )
     assert [(r.vec_id, r.sim) for r in got] == [(r.vec_id, r.sim) for r in expect]
+
+
+def test_quantizer_matches_numpy_reference(spark):
+    """The Spark HOF quantizer chain must agree with a straight numpy
+    implementation of the same definition on random vectors."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    staged = df.select("vec_id", amax.alias("_amax"), "embedding").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                (v.cast("double") * 127.0) / F.col("_amax") + 0.5
+            ).cast("bigint"),
+        ).alias("codes"),
+    )
+    got = {r.vec_id: list(r.codes) for r in staged.collect()}
+    for i in range(50):
+        x = vecs[i].astype(np.float64)
+        a = np.abs(x).max()
+        expect = np.floor((x * 127.0) / a + 0.5).astype(np.int64)
+        assert got[i] == expect.tolist()
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """q117's integer-moment OLS must equal numpy's lstsq on the same
+    quantized (ln rank, ln freq) points."""
+    import math as m
+
+    import numpy as np
+
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = sorted(
+        (
+            (r.c, r.t)
+            for r in docs.select(F.explode(tokens()).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ),
+        key=lambda rc: (-rc[0], rc[1]),
+    )[:100]
+    xq = np.array([m.floor(m.log(i + 1) * 1e6) for i in range(len(counts))])
+    yq = np.array([m.floor(m.log(c) * 1e6) for c, _ in counts])
+    slope_ref, intercept_ref = np.polyfit(xq.astype(float), yq.astype(float), 1)
+    [r] = curation.q117_zipf_fit(spark, SF_DIR).collect()
+    assert abs(r.zipf_slope - slope_ref) < 1e-3
+    assert abs(r.zipf_intercept - intercept_ref / 1e6) < 1e-3
