@@ -713,3 +713,33 @@ def q117_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).cast("double").alias("zipf_slope"),
         F.round(intercept, 4).cast("double").alias("zipf_intercept"),
     )
+
+
+def q120_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: corpus-wide adjacent-token-pair
+    counts — the statistic the first BPE merge iteration maximizes
+    (Sennrich et al. 2016). Emits the top-20 pairs with their proposed
+    merged symbol.
+
+    Pairs are per-row array shingles (k=2, no shuffle until the count);
+    the one shuffle moves (pair, partial count) — map-side combinable,
+    bounded by vocab^2, not corpus size. A full BPE trainer loops this
+    query, applying the winning merge between iterations; each
+    iteration is one scan + one tiny aggregate.
+    """
+    from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(tokens().alias("_toks"))
+    pairs = tokd.select(
+        F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "pair",
+        "n",
+        F.regexp_replace("pair", " ", "").alias("merged"),
+    ).orderBy("rank")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.functions.text import (
     n_tokens,
@@ -241,4 +242,34 @@ def q115_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("avg_logprob") > -3.4)
         .orderBy("doc_id")
+    )
+
+
+def q121_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of q51's predictions
+    — per (true_lang, pred_lang) cell counts plus the per-truth recall.
+    The eval step that decides whether the classifier's profiles are
+    good enough to gate a training mix on.
+
+    Runs q51's prediction plan (broadcast profiles, shuffle-light) and
+    adds one tiny aggregate over the per-doc predictions; at 100 TB the
+    matrix is |langs|^2 rows regardless of corpus size.
+    """
+    preds = q51_lang_id(spark, sf_dir)
+    per_truth = Window.partitionBy("true_lang")
+    return (
+        preds.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "truth_total", F.sum("n").over(per_truth)
+        )
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("truth_total"), 4)
+            .cast("double")
+            .alias("frac_of_truth"),
+        )
+        .orderBy("true_lang", "pred_lang")
     )

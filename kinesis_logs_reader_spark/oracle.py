@@ -1942,3 +1942,56 @@ SELECT query_id, rn, vec_id, sim FROM (
 WHERE rn <= 3
 ORDER BY query_id, rn
 """
+
+_PAIRS = """list_transform(
+    generate_series(1, greatest(0, len(str_split(text, ' ')) - 1)),
+    i -> array_to_string(list_slice(str_split(text, ' '), i, i + 1), ' '))"""
+
+ORACLE["q120_bpe_pair_counts"] = f"""
+WITH pairs AS (
+  SELECT unnest({_PAIRS}) AS pair FROM documents
+), counts AS (
+  SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+), top AS (
+  SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 20
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank,
+       pair, n,
+       regexp_replace(pair, ' ', '', 'g') AS merged
+FROM top
+ORDER BY rank
+"""
+
+ORACLE["q121_lang_confusion"] = """
+WITH tok AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t
+), profile AS (
+  SELECT lang AS p_lang, t FROM (
+    SELECT lang, t, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, t) AS rn
+    FROM counts
+  ) WHERE rn <= 20
+), doc_toks AS (
+  SELECT doc_id, lang, unnest(list_distinct(str_split(text, ' '))) AS t
+  FROM documents WHERE doc_id < 500
+), overlap AS (
+  SELECT doc_id, lang, p_lang, COUNT(*) AS overlap
+  FROM doc_toks JOIN profile USING (t)
+  GROUP BY doc_id, lang, p_lang
+), preds AS (
+  SELECT doc_id, lang AS true_lang, p_lang AS pred_lang
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, p_lang) AS rn
+    FROM overlap
+  ) WHERE rn = 1
+), cells AS (
+  SELECT true_lang, pred_lang, COUNT(*) AS n FROM preds GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE), 4)
+            AS DOUBLE) AS frac_of_truth
+FROM cells
+ORDER BY true_lang, pred_lang
+"""

@@ -243,3 +243,34 @@ def test_zipf_fit_matches_numpy_ols(spark):
     [r] = curation.q117_zipf_fit(spark, SF_DIR).collect()
     assert abs(r.zipf_slope - slope_ref) < 1e-3
     assert abs(r.zipf_intercept - intercept_ref / 1e6) < 1e-3
+
+
+def test_bpe_pair_counts_top_pair_is_true_max(spark):
+    """q120's rank-1 pair must match a driver-side exact count."""
+    from collections import Counter
+
+    texts = [r.text for r in load_table(spark, SF_DIR, "documents").collect()]
+    counts = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        counts.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    [top] = curation.q120_bpe_pair_counts(spark, SF_DIR).filter(F.col("rank") == 1).collect()
+    assert (top.pair, top.n) == best
+    assert top.merged == top.pair.replace(" ", "")
+
+
+def test_lang_confusion_rows_sum_to_one(spark):
+    """Each truth row's fractions must sum to ~1 and the matrix totals
+    must equal q51's per-doc prediction counts. (The synthetic corpus
+    shares one vocabulary across langs, so classifier accuracy itself
+    is poor — the matrix CONTRACT, not the classifier, is under test.)
+    """
+    rows = textstats.q121_lang_confusion(spark, SF_DIR).collect()
+    by_truth: dict[str, list] = {}
+    for r in rows:
+        by_truth.setdefault(r.true_lang, []).append(r)
+    for cells in by_truth.values():
+        assert abs(sum(c.frac_of_truth for c in cells) - 1.0) < 1e-2
+    n_preds = textstats.q51_lang_id(spark, SF_DIR).count()
+    assert sum(r.n for r in rows) == n_preds
