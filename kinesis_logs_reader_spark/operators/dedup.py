@@ -595,3 +595,60 @@ def q118_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_len", "n_copies")
         .orderBy("doc_id")
     )
+
+
+def q122_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better" shape): find every position
+    where a document shares an exact >= k-token substring with ANY
+    other document, and merge adjacent duplicated positions into spans
+    — the per-doc report a span-removal pass consumes.
+
+    The suffix-array of the paper is replaced by the Spark-native
+    equivalent: positional k-gram digests. (1) posexplode k=8 shingles
+    with their offset; (2) global occurrence count as a window over the
+    md5 digest (one digest-keyed shuffle — the corpus shuffles 16-byte
+    hashes + positions, never text); (3) duplicated positions regroup
+    per doc, and a lag window turns runs of adjacent positions into
+    span starts. Full copies of docs id < 10 are planted at id+3000000
+    so duplicated substrings exist by construction: planted docs (and
+    their originals) must report exactly one span covering every
+    position.
+    """
+    from pyspark.sql.window import Window
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    tokd = docs.unionByName(planted).select(
+        "doc_id", tokens().alias("_toks")
+    )
+    positional = tokd.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("_toks"), k=k)).alias(
+            "pos", "sh"
+        ),
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    occ = positional.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup = occ.filter(F.col("n_occ") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = dup.withColumn("prev", F.lag("pos").over(w_doc)).withColumn(
+        "span_start",
+        (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1)).cast(
+            "int"
+        ),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pos"),
+            F.sum("span_start").alias("n_spans"),
+            F.min("pos").alias("first_dup_pos"),
+            F.max("pos").alias("last_dup_pos"),
+        )
+        .orderBy("doc_id")
+    )

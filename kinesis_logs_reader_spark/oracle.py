@@ -1995,3 +1995,37 @@ SELECT true_lang, pred_lang, n,
 FROM cells
 ORDER BY true_lang, pred_lang
 """
+
+ORACLE["q122_substring_dedup"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id < 10
+), tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM all_docs
+), posgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(0, len(toks) - 7))) AS i
+        FROM tok)
+), occ AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM posgrams
+), dup AS (
+  SELECT doc_id, pos FROM occ WHERE n_occ > 1
+), spans AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+              THEN 1 ELSE 0 END AS span_start
+  FROM dup
+)
+SELECT doc_id,
+       COUNT(*) AS n_dup_pos,
+       SUM(span_start) AS n_spans,
+       MIN(pos) AS first_dup_pos,
+       MAX(pos) AS last_dup_pos
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+"""

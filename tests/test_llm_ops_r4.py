@@ -274,3 +274,23 @@ def test_lang_confusion_rows_sum_to_one(spark):
         assert abs(sum(c.frac_of_truth for c in cells) - 1.0) < 1e-2
     n_preds = textstats.q51_lang_id(spark, SF_DIR).count()
     assert sum(r.n for r in rows) == n_preds
+
+
+def test_substring_dedup_planted_copy_is_one_full_span(spark):
+    """A full-copy pair duplicates EVERY k-gram position, so both the
+    planted doc and its original must report exactly one span covering
+    positions 0 .. n_tokens-k."""
+    out = {r.doc_id: r for r in dedup.q122_substring_dedup(spark, SF_DIR).collect()}
+    toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    }
+    for i, nt in toks.items():
+        for did in (i, i + 3000000):
+            r = out[did]
+            assert r.n_spans == 1
+            assert r.first_dup_pos == 0
+            assert r.last_dup_pos == nt - 8
+            assert r.n_dup_pos == nt - 7
