@@ -68,6 +68,10 @@ def test_driver_export_window():
     assert [canonical_name(k) for k in first_lex] == DRIVER_WINDOW
     # every window key is oracle-backed => 50/50 hashable rows possible
     assert set(DRIVER_WINDOW) <= set(ORACLES)
+    # the driver hashes exactly the first 50 keys: a shorter window
+    # leaks non-window keys into the checked set, a longer one silently
+    # drops window keys off the end
+    assert len(DRIVER_WINDOW) == 50
 
 
 def test_q28_approx_distinct_tolerance(spark):
