@@ -2029,3 +2029,61 @@ FROM spans
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+ORACLE["q123_minhash_accuracy"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents WHERE doc_id < 200
+), based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS bases
+  FROM tok
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,
+         list_aggregate({_MH.format(a=1299709, b=987654321)}, 'min') AS mh1,
+         list_aggregate({_MH.format(a=7368787, b=11939)}, 'min') AS mh2,
+         list_aggregate({_MH.format(a=104729, b=7919)}, 'min') AS mh3,
+         list_aggregate({_MH.format(a=179424673, b=104659)}, 'min') AS mh4,
+         list_aggregate({_MH.format(a=15485863, b=15487469)}, 'min') AS mh5,
+         list_aggregate({_MH.format(a=32452843, b=982451653)}, 'min') AS mh6,
+         list_aggregate({_MH.format(a=49979687, b=86028121)}, 'min') AS mh7
+  FROM based
+), inv AS (
+  SELECT doc_id, unnest(bases) AS b FROM based
+), common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT ida, idb,
+         CAST(ROUND(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS DOUBLE)
+           AS jaccard
+  FROM common
+  JOIN (SELECT doc_id, len(bases) AS n FROM based) sa ON sa.doc_id = ida
+  JOIN (SELECT doc_id, len(bases) AS n FROM based) sb ON sb.doc_id = idb
+), top AS (
+  SELECT ida, idb, jaccard FROM jac ORDER BY jaccard DESC, ida, idb LIMIT 20
+), est AS (
+  SELECT t.ida, t.idb, t.jaccard,
+         CAST(((CASE WHEN x.mh0 = y.mh0 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh1 = y.mh1 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh2 = y.mh2 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh3 = y.mh3 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh4 = y.mh4 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh5 = y.mh5 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh6 = y.mh6 THEN 1 ELSE 0 END
+              + CASE WHEN x.mh7 = y.mh7 THEN 1 ELSE 0 END) / 8.0) AS DOUBLE) AS est
+  FROM top t JOIN sigs x ON x.doc_id = t.ida JOIN sigs y ON y.doc_id = t.idb
+)
+SELECT ida, idb, jaccard, est,
+       CAST(ROUND(ABS(jaccard - est), 6) AS DOUBLE) AS abs_err
+FROM est
+ORDER BY ida, idb
+"""

@@ -294,3 +294,32 @@ def test_substring_dedup_planted_copy_is_one_full_span(spark):
             assert r.first_dup_pos == 0
             assert r.last_dup_pos == nt - 8
             assert r.n_dup_pos == nt - 7
+
+
+def test_minhash_estimate_is_eighths_and_exact_for_copies(spark):
+    """Estimates move in 1/8 steps; an exact-duplicate pair has
+    identical signatures, so est must be exactly 1.0."""
+    rows = dedup.q123_minhash_accuracy(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r.est * 8 - round(r.est * 8)) < 1e-9
+        assert abs(r.abs_err - round(abs(r.jaccard - r.est), 6)) < 1e-9
+    # planted identical docs: build a tiny frame through the same kernel
+    from kinesis_logs_reader_spark.functions.text import (
+        minhash_signature,
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    sig = (
+        df.select("doc_id", token_base_hashes().alias("tb"))
+        .select("doc_id", token_shingle_hashes(F.col("tb")).alias("bases"))
+        .select("doc_id", *minhash_signature(F.col("bases"), num_hashes=8))
+        .collect()
+    )
+    s1, s2 = ([r[f"mh{j}"] for j in range(8)] for r in sig)
+    assert s1 == s2
