@@ -311,3 +311,28 @@ def test_rrf_fusion_broadcasts_rank_lists(spark):
 
     df = curation.q110_rrf_hybrid(spark, SF_DIR)
     assert explain.has_broadcast_join(df)
+
+
+def test_substring_dedup_digest_window_shuffles(spark):
+    """q122: occurrence counting is a window over digests plus the
+    per-doc span window — no aggregate+join-back pattern."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q122_substring_dedup(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Window" in plan
+    # digest window + per-doc lag window + final doc aggregate
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_minhash_audit_reuses_cached_shingles(spark):
+    """q123 and q44/q116 run off persisted shingle-hash frames: the
+    plan must read InMemoryTableScan, not recompute the md5 chain in
+    every subtree."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q123_minhash_accuracy(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    df44 = dedup.q44_ngram_jaccard(spark, SF_DIR)
+    assert "InMemoryTableScan" in explain.formatted_plan(df44)
