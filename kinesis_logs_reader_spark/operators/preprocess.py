@@ -332,3 +332,44 @@ def q111_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def q124_reconstruct_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> reconstruct round-trip audit: re-assemble each document
+    from its q80 chunks (order by chunk_idx, join with spaces) and
+    verify byte-identity with the original text. The invertibility
+    guarantee a chunking pipeline must hold before chunks replace
+    documents downstream — run after any chunker change.
+
+    Reconstruction is one groupBy over (doc, chunk) rows using
+    sort_array over (chunk_idx, chunk) structs — exact order without a
+    window sort; the comparison joins the original text back by doc_id.
+    Emits md5 digests, not text, so the audit output stays narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    chunks = chunk_documents(docs, chunk_tokens=32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt"),
+        )
+    )
+    return (
+        rebuilt.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.md5("rebuilt").alias("rebuilt_md5"),
+            (F.md5("rebuilt") == F.md5("text")).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )

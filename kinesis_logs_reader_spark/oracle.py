@@ -2087,3 +2087,28 @@ SELECT ida, idb, jaccard, est,
 FROM est
 ORDER BY ida, idb
 """
+
+ORACLE["q124_reconstruct_chunks"] = """
+WITH toks AS (
+  SELECT doc_id, text, str_split(text, ' ') AS tk
+  FROM documents WHERE doc_id < 300
+), fan AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(CEIL(len(tk) / 32.0) AS INT) - 1)) AS chunk_idx
+  FROM toks
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk
+  FROM fan
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS rebuilt
+  FROM chunks
+  GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_chunks,
+       md5(r.rebuilt) AS rebuilt_md5,
+       md5(r.rebuilt) = md5(t.text) AS roundtrip_ok
+FROM rebuilt r JOIN toks t ON r.doc_id = t.doc_id
+ORDER BY r.doc_id
+"""

@@ -323,3 +323,11 @@ def test_minhash_estimate_is_eighths_and_exact_for_copies(spark):
     )
     s1, s2 = ([r[f"mh{j}"] for j in range(8)] for r in sig)
     assert s1 == s2
+
+
+def test_chunk_roundtrip_all_ok(spark):
+    """Every document must reconstruct byte-identically from its
+    chunks — the audit column is all-true by construction."""
+    rows = preprocess.q124_reconstruct_chunks(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.roundtrip_ok for r in rows)
