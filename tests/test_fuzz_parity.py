@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from kinesis_logs_reader_spark.sources.tables import load_table
@@ -80,7 +80,19 @@ def _duck(sql: str):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        return con.sql(sql).fetchall()
+        try:
+            return con.sql(sql).fetchall()
+        except duckdb.Error as e:
+            if "INTERNAL Error" in str(e) or "unsuccessful or closed" in str(e):
+                # DuckDB 1.0.0 optimizer assertion failure — minimal
+                # trigger: identical OR branches each containing a
+                # degenerate BETWEEN (x BETWEEN 0 AND 0), e.g.
+                #   (A AND x BETWEEN 0 AND 0) OR (A AND x BETWEEN 0 AND 0)
+                # (verified standalone, fresh connection, view AND table).
+                # The ORACLE crashed, not the engine under test: discard
+                # the example rather than fail the parity property.
+                assume(False)
+            raise
     finally:
         con.close()
 
