@@ -743,3 +743,73 @@ def q120_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.regexp_replace("pair", " ", "").alias("merged"),
     ).orderBy("rank")
+
+
+def q125_dsir_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" shape): score every
+    corpus document by the log-likelihood ratio of its tokens under a
+    TARGET-domain unigram model vs the general-corpus model, then keep
+    the top scorers — the importance-sampling step that tilts a crawl
+    toward a target domain. Target here: the lang='en' slice.
+
+    Both models are add-1-smoothed unigram tables built in one
+    aggregate each (vocab-bounded), broadcast back over one corpus
+    token pass. Exactness: each token's log-ratio is computed from
+    exact integer counts and quantized to int64 micro-nats BEFORE the
+    per-doc sum, so accumulation is exact integer math in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens()).alias("t"))
+    c_all = tok.groupBy("t").agg(F.count(F.lit(1)).alias("ca"))
+    c_tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = c_all.agg(
+        F.sum("ca").alias("ta"), F.count(F.lit(1)).alias("v")
+    )
+    t_tgt = c_tgt.agg(F.sum("ct").alias("tt"))
+    lr = (
+        c_all.join(c_tgt, "t", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "t",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("ca") + 1).cast("double")
+                        / (F.col("ta") + F.col("v")).cast("double")
+                    )
+                )
+                * 1e6
+            ).cast("bigint").alias("lr_q"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(lr), "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lr_q").alias("sum_lr_q"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.round(
+                F.col("sum_lr_q").cast("double")
+                / 1e6
+                / F.col("n_tok").cast("double"),
+                4,
+            ).cast("double").alias("dsir_score"),
+        )
+    )
+    top = scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(20)
+    return top.orderBy("doc_id")

@@ -2112,3 +2112,40 @@ SELECT r.doc_id, r.n_chunks,
 FROM rebuilt r JOIN toks t ON r.doc_id = t.doc_id
 ORDER BY r.doc_id
 """
+
+ORACLE["q125_dsir_sampling"] = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS t FROM documents
+), c_all AS (
+  SELECT t, COUNT(*) AS ca FROM tok GROUP BY t
+), c_tgt AS (
+  SELECT t, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t
+), totals AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS ta, COUNT(*) AS v FROM c_all
+), t_tgt AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM c_tgt
+), lr AS (
+  SELECT a.t,
+         CAST(FLOOR(
+           (LN(CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+            - LN(CAST(a.ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE))) * 1e6
+         ) AS BIGINT) AS lr_q
+  FROM c_all a LEFT JOIN c_tgt g ON a.t = g.t
+  CROSS JOIN totals CROSS JOIN t_tgt
+), scored AS (
+  SELECT tok.doc_id, tok.lang,
+         COUNT(*) AS n_tok,
+         CAST(SUM(lr.lr_q) AS BIGINT) AS sum_lr_q
+  FROM tok JOIN lr ON tok.t = lr.t
+  GROUP BY tok.doc_id, tok.lang
+), final AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(ROUND(CAST(sum_lr_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+              AS DOUBLE) AS dsir_score
+  FROM scored
+)
+SELECT doc_id, lang, n_tok, dsir_score FROM (
+  SELECT * FROM final ORDER BY dsir_score DESC, doc_id LIMIT 20
+) t
+ORDER BY doc_id
+"""

@@ -331,3 +331,16 @@ def test_chunk_roundtrip_all_ok(spark):
     rows = preprocess.q124_reconstruct_chunks(spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r.roundtrip_ok for r in rows)
+
+
+def test_dsir_top_selection_is_target_tilted(spark):
+    """The DSIR top-20 must be tilted toward the target domain: the
+    mean score of 'en' docs must exceed the mean of non-'en' docs
+    corpus-wide, and the top-20 en share must be >= the corpus share."""
+    top = curation.q125_dsir_sampling(spark, SF_DIR).collect()
+    assert len(top) == 20
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    top_en = sum(1 for r in top if r.lang == "en")
+    assert top_en / 20 >= n_en / n
