@@ -813,3 +813,45 @@ def q125_dsir_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = scored.orderBy(F.col("dsir_score").desc(), "doc_id").limit(20)
     return top.orderBy("doc_id")
+
+
+def q126_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing with a padding-waste audit: assign
+    every document to its power-of-2 token-length bucket and report,
+    per bucket, how many pad tokens a fixed-shape batch of that bucket
+    wastes — the statistic that decides bucket boundaries for batched
+    training/inference (pad-to-bucket vs pad-to-max).
+
+    Map-only over the scan (bucket = 2^ceil(log2(nt)) is a per-row
+    expression) + one tiny aggregate; at 100 TB the report is
+    |buckets| rows. Exactness: bucket edges and pad counts are pure
+    integer arithmetic; the waste ratio is one rounded division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = n_tokens()
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log(2.0, nt.cast("double")))
+    ).cast("bigint")
+    staged = docs.select(
+        nt.alias("nt"), F.greatest(bucket, F.lit(1)).alias("bucket")
+    )
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("real_tokens"),
+            F.sum(F.col("bucket") - F.col("nt")).alias("pad_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "real_tokens",
+            "pad_tokens",
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("real_tokens") + F.col("pad_tokens")).cast("double"),
+                4,
+            ).cast("double").alias("waste_ratio"),
+        )
+        .orderBy("bucket")
+    )

@@ -2149,3 +2149,22 @@ SELECT doc_id, lang, n_tok, dsir_score FROM (
 ) t
 ORDER BY doc_id
 """
+
+ORACLE["q126_length_buckets"] = """
+WITH staged AS (
+  SELECT len(str_split(text, ' ')) AS nt,
+         GREATEST(CAST(POW(2.0, CEIL(LOG2(CAST(len(str_split(text, ' ')) AS DOUBLE))))
+                       AS BIGINT), 1) AS bucket
+  FROM documents
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS real_tokens,
+       CAST(SUM(bucket - nt) AS BIGINT) AS pad_tokens,
+       CAST(ROUND(CAST(SUM(bucket - nt) AS DOUBLE)
+                  / CAST(SUM(nt) + SUM(bucket - nt) AS DOUBLE), 4)
+            AS DOUBLE) AS waste_ratio
+FROM staged
+GROUP BY bucket
+ORDER BY bucket
+"""

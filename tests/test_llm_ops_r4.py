@@ -344,3 +344,15 @@ def test_dsir_top_selection_is_target_tilted(spark):
     n_en = docs.filter(F.col("lang") == "en").count()
     top_en = sum(1 for r in top if r.lang == "en")
     assert top_en / 20 >= n_en / n
+
+
+def test_length_buckets_conserve_tokens(spark):
+    """Bucket >= every member's length (pad_tokens >= 0) and the
+    bucketed token total must equal the corpus token total."""
+    rows = curation.q126_length_buckets(spark, SF_DIR).collect()
+    assert all(r.pad_tokens >= 0 for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.select(F.sum(F.size(tokens())).alias("t")).collect()[0].t
+    assert sum(r.real_tokens for r in rows) == total
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0  # power of two
