@@ -529,3 +529,70 @@ def q119_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rn", "vec_id", "sim")
         .orderBy("query_id", "rn")
     )
+
+
+def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of the embedding table against
+    its own label centroids, reported as per-label accuracy — the
+    embedding-space sanity eval (are the labels linearly separated
+    enough for centroid routing?) that gates IVF/SemDeDup cell quality.
+
+    Exactness across engines: coordinates quantize to int
+    (floor(v*1000+0.5)), centroids to integer floor-means, so every
+    vector-to-centroid distance is an exact int64 sum of squared
+    integer differences — argmin (ties -> smaller label) is therefore
+    bit-stable. Data movement: one posexplode + (label, dim) aggregate
+    (64 x labels rows, broadcast back), the distance pass is one
+    (vec, label) aggregate — linear in vectors x labels, never
+    vectors x vectors.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000 + 0.5).cast("bigint").alias("q"),
+    )
+    cent = (
+        flat.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_label",
+            "dim",
+            F.floor(F.col("sum_q").cast("double") / F.col("n")).cast("bigint")
+            .alias("mu"),
+        )
+    )
+    dist = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("q") - F.col("mu")) * (F.col("q") - F.col("mu"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred"))
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("pred") == F.col("label")).cast("int")).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_vecs"), 4
+            ).cast("double").alias("accuracy"),
+        )
+        .orderBy("label")
+    )

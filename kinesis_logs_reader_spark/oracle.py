@@ -2168,3 +2168,34 @@ FROM staged
 GROUP BY bucket
 ORDER BY bucket
 """
+
+ORACLE["q127_centroid_classify"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label AS c_label, dim,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, f.label, c.c_label,
+         SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN cent c ON f.dim = c.dim
+  GROUP BY f.vec_id, f.label, c.c_label
+), pred AS (
+  SELECT vec_id, label, c_label AS pred FROM (
+    SELECT vec_id, label, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
+       CAST(ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) AS DOUBLE) AS accuracy
+FROM pred
+GROUP BY label
+ORDER BY label
+"""

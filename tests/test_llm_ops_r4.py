@@ -356,3 +356,15 @@ def test_length_buckets_conserve_tokens(spark):
     assert sum(r.real_tokens for r in rows) == total
     for r in rows:
         assert r.bucket & (r.bucket - 1) == 0  # power of two
+
+
+def test_centroid_classify_beats_chance(spark):
+    """10 labels -> chance accuracy is 0.1; centroid routing on the
+    synthetic clustered embeddings must beat it on every label, and
+    counts must partition the corpus."""
+    rows = similarity.q127_centroid_classify(spark, SF_DIR).collect()
+    emb_n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == emb_n
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_vecs
+        assert r.accuracy > 0.1
