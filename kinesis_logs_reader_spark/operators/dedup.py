@@ -758,3 +758,40 @@ def q123_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ida", "idb")
     )
+
+
+def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: after the deterministic train/val/test
+    hash split (q77's md5 rule), count MinHash-LSH near-dup pairs that
+    CROSS a split boundary — each one is evaluation contamination that
+    per-split dedup cannot see. The planted exact copies (id+1000000,
+    split-hashed independently of their originals) guarantee cross-
+    split duplicates exist, exactly as real crawl dups straddle splits.
+
+    Reuses the session-persisted LSH candidate-pair frame (q46/q74) —
+    the audit itself is one tiny join of the pair list against the
+    per-doc split assignment (broadcast; pairs are near-dups, orders
+    of magnitude fewer than docs). Output: pair counts per
+    (split_a, split_b) cell with the leaking (cross-cell) flag.
+    """
+    from kinesis_logs_reader_spark.functions.text import _base_hash
+
+    pairs = _cached_minhash_pairs(spark, sf_dir)
+    docs = _planted_docs(spark, sf_dir)
+    bucket = _base_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    sa = assign.select(F.col("doc_id").alias("ida"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("idb"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(sa), "ida")
+        .join(F.broadcast(sb), "idb")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaking", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )

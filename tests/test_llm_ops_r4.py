@@ -368,3 +368,14 @@ def test_centroid_classify_beats_chance(spark):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_vecs
         assert r.accuracy > 0.1
+
+
+def test_split_leakage_detects_planted_cross_split_dups(spark):
+    """The planted copies (id+1000000) hash to independent splits, so
+    with 20 planted pairs some must cross a split boundary — the audit
+    must report at least one leaking cell, and leaking must be exactly
+    split_a != split_b."""
+    rows = dedup.q128_split_leakage(spark, SF_DIR).collect()
+    assert any(r.leaking and r.n_pairs > 0 for r in rows)
+    for r in rows:
+        assert r.leaking == (r.split_a != r.split_b)
