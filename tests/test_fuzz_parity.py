@@ -14,6 +14,7 @@ import duckdb
 import pytest
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -327,3 +328,45 @@ def test_fuzz_exact_dedup_matches_duckdb(spark, texts):
     finally:
         con.close()
     assert s == d
+
+
+# --- text-normalization grammar: random strings through both engines ------
+
+_text_strategy = st.text(
+    alphabet=st.sampled_from(list("abcXYZ012 .,!?-_@#\t")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_text_strategy, min_size=1, max_size=8))
+def test_normalize_text_agrees_cross_engine(spark, texts):
+    """normalize_text (lowercase -> strip non-alnum-non-space ->
+    collapse spaces -> trim) must canonicalize identically in Spark
+    and DuckDB for arbitrary strings — the dedup keys of
+    q78/q90/q118 depend on it."""
+    from kinesis_logs_reader_spark.operators.preprocess import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    srows = {
+        r.i: r.n
+        for r in df.select("i", normalize_text(F.col("t")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        drows = {}
+        for i, t in enumerate(texts):
+            [(n,)] = con.execute(
+                "SELECT trim(regexp_replace(regexp_replace(lower(?), "
+                "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))",
+                [t],
+            ).fetchall()
+            drows[i] = n
+    finally:
+        con.close()
+    assert srows == drows, texts
