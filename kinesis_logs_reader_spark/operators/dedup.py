@@ -795,3 +795,62 @@ def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("leaking", F.col("split_a") != F.col("split_b"))
         .orderBy("split_a", "split_b")
     )
+
+
+def q129_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline capstone (the dedup analog of q90's curation
+    capstone): one declarative plan chaining
+    exact dedup (md5(text), keep min doc_id)
+    -> MinHash-LSH near-dup pairs over the survivors
+    -> greedy pair resolution (drop the larger id of every candidate
+       pair — the no-cluster-formation variant; q74 is the cluster
+       path) -> per-source survival report.
+
+    Every stage shuffles digests or id pairs, never text; the LSH
+    stage is the linear-cost candidate generator, so the whole
+    pipeline is corpus-scan + digest-keyed shuffles at any scale.
+    Duplicates are planted (exact copies at id+1000000 via the q46
+    frame) so both stages provably remove something.
+    """
+    docs = _planted_docs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # planted ids carry their original's source for the report
+    src_all = src.unionByName(
+        src.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source"
+        )
+    )
+    exact_keep = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_keep, "doc_id")
+    pairs = minhash_pairs(survivors)
+    near_drop = pairs.select(F.col("idb").alias("doc_id")).distinct()
+    near_keep = survivors.join(near_drop, "doc_id", "left_anti").select("doc_id")
+    stats = (
+        src_all.withColumn("raw", F.lit(1))
+        .join(exact_keep.withColumn("after_exact", F.lit(1)), "doc_id", "left")
+        .join(near_keep.withColumn("after_near", F.lit(1)), "doc_id", "left")
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.sum("raw").alias("n_raw"),
+            F.sum(F.coalesce("after_exact", F.lit(0))).alias("n_after_exact"),
+            F.sum(F.coalesce("after_near", F.lit(0))).alias("n_after_near"),
+        )
+        .select(
+            "source",
+            "n_raw",
+            "n_after_exact",
+            "n_after_near",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_after_near").cast("double") / F.col("n_raw"),
+                4,
+            ).cast("double").alias("removed_frac"),
+        )
+        .orderBy("source")
+    )

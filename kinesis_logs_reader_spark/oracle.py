@@ -2253,3 +2253,66 @@ FROM pairs p JOIN assign a ON p.ida = a.doc_id JOIN assign b ON p.idb = b.doc_id
 GROUP BY a.split, b.split
 ORDER BY split_a, split_b
 """
+
+ORACLE["q129_dedup_pipeline"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+), src_all AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source FROM documents WHERE doc_id < 20
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+), survivors AS (
+  SELECT d.doc_id, d.text FROM all_docs d JOIN exact_keep k ON d.doc_id = k.doc_id
+), tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM survivors
+), based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS bases
+  FROM tok
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,
+         list_aggregate({_MH.format(a=1299709, b=987654321)}, 'min') AS mh1,
+         list_aggregate({_MH.format(a=7368787, b=11939)}, 'min') AS mh2,
+         list_aggregate({_MH.format(a=104729, b=7919)}, 'min') AS mh3,
+         list_aggregate({_MH.format(a=179424673, b=104659)}, 'min') AS mh4,
+         list_aggregate({_MH.format(a=15485863, b=15487469)}, 'min') AS mh5,
+         list_aggregate({_MH.format(a=32452843, b=982451653)}, 'min') AS mh6,
+         list_aggregate({_MH.format(a=49979687, b=86028121)}, 'min') AS mh7
+  FROM based
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS digest FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+), near_drop AS (
+  SELECT DISTINCT r.doc_id
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.digest = r.digest AND l.doc_id < r.doc_id
+), near_keep AS (
+  SELECT doc_id FROM survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+)
+SELECT s.source,
+       COUNT(*) AS n_raw,
+       SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_after_exact,
+       SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_after_near,
+       CAST(ROUND(1.0 - CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS removed_frac
+FROM src_all s
+LEFT JOIN exact_keep e ON s.doc_id = e.doc_id
+LEFT JOIN near_keep n ON s.doc_id = n.doc_id
+GROUP BY s.source
+ORDER BY s.source
+"""

@@ -379,3 +379,17 @@ def test_split_leakage_detects_planted_cross_split_dups(spark):
     assert any(r.leaking and r.n_pairs > 0 for r in rows)
     for r in rows:
         assert r.leaking == (r.split_a != r.split_b)
+
+
+def test_dedup_pipeline_monotone_and_removes_planted(spark):
+    """Counts must be monotone (raw >= after_exact >= after_near) and
+    the planted exact copies must be removed: total survivors after
+    the exact stage equal the raw corpus size (500 docs), with 20
+    planted copies gone."""
+    rows = dedup.q129_dedup_pipeline(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_raw >= r.n_after_exact >= r.n_after_near
+        assert 0.0 <= r.removed_frac <= 1.0
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_raw for r in rows) == n_docs + 20
+    assert sum(r.n_after_exact for r in rows) == n_docs
