@@ -393,3 +393,21 @@ def test_dedup_pipeline_monotone_and_removes_planted(spark):
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.n_raw for r in rows) == n_docs + 20
     assert sum(r.n_after_exact for r in rows) == n_docs
+
+
+def test_session_caches_are_keyed_by_corpus(spark):
+    """The persisted shingle/pair caches key by sf_dir: two corpora in
+    one session must yield independent frames (a key bug would serve
+    the first corpus's shingles for the second — silently wrong)."""
+    a = dedup._cached_slice_shingles(spark, "/root/testdata/sf0.001")
+    b = dedup._cached_slice_shingles(spark, SF_DIR)
+    def digest(df):
+        rows = df.select(
+            F.md5(F.concat_ws("|", F.col("sh"))).alias("h")
+        ).collect()
+        return sorted(r.h for r in rows)
+
+    da, db = digest(a), digest(b)
+    # same slice size (both dirs hold 500 docs) but different content
+    assert len(da) == len(db)
+    assert da != db
