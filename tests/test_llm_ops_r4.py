@@ -399,7 +399,9 @@ def test_session_caches_are_keyed_by_corpus(spark):
     """The persisted shingle/pair caches key by sf_dir: two corpora in
     one session must yield independent frames (a key bug would serve
     the first corpus's shingles for the second — silently wrong)."""
-    a = dedup._cached_slice_shingles(spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_DIR_01
+
+    a = dedup._cached_slice_shingles(spark, SF_DIR_01)
     b = dedup._cached_slice_shingles(spark, SF_DIR)
     def digest(df):
         rows = df.select(
