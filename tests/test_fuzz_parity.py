@@ -370,3 +370,55 @@ def test_normalize_text_agrees_cross_engine(spark, texts):
     finally:
         con.close()
     assert srows == drows, texts
+
+
+# --- MinHash kernel pairing: the Python expression chain vs the SQL macro --
+
+_token_strategy = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=_token_strategy)
+def test_shingle_hash_kernel_agrees_cross_engine(spark, toks):
+    """token_base_hashes -> token_shingle_hashes (functions/text.py)
+    must produce the SAME distinct base-hash sets as the hand-written
+    DuckDB macro the q46/q74/q123/q128/q129 oracles embed — this pair
+    is maintained by hand, so fuzz the pairing itself."""
+    from kinesis_logs_reader_spark.functions.text import (
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    text = " ".join(toks) if toks else ""
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [row] = (
+        df.select(token_base_hashes().alias("tb"))
+        .select(token_shingle_hashes(F.col("tb")).alias("bases"))
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        [(dbases,)] = con.execute(
+            """
+            WITH tok AS (
+              SELECT list_transform(str_split(?, ' '),
+                t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+            )
+            SELECT list_distinct(list_transform(
+              generate_series(1, greatest(0, len(tb) - 2)),
+              i -> ((tb[i] * 912367891) % 2147483647
+                  + (tb[i+1] * 1500450271) % 2147483647
+                  + (tb[i+2] * 2038074743) % 2147483647) % 2147483647))
+            FROM tok
+            """,
+            [text],
+        ).fetchall()
+    finally:
+        con.close()
+    assert sorted(row.bases) == sorted(dbases), text
