@@ -859,3 +859,50 @@ def q129_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q130_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval decontamination — q89 flags contaminated DOCS;
+    this reports the contaminated token SPANS inside each training doc
+    (positional 3-gram hashes hitting the eval set, adjacent positions
+    merged via a lag window), which is what a surgical span-removal
+    pass (rather than whole-doc dropping) consumes.
+
+    Same slices as q89 (eval = doc_id % 101 == 0, train bounded to
+    doc_id < 500). The eval digest set broadcasts (semi join), so the
+    training side is one scan + one per-doc window; nothing text-sized
+    shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
+    possh = tok.select(
+        "doc_id",
+        token_shingle_hashes(F.col("tb"), distinct=False).alias("sh"),
+    )
+    ev = (
+        possh.filter(F.col("doc_id") % 101 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tr = (
+        possh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500))
+        .select(F.col("doc_id").alias("train_id"), F.posexplode("sh").alias("pos", "s"))
+    )
+    contam = tr.join(F.broadcast(ev), "s", "left_semi")
+    w = Window.partitionBy("train_id").orderBy("pos")
+    spans = contam.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "span_start",
+        (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1)).cast("int"),
+    )
+    return (
+        spans.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contam_pos"),
+            F.sum("span_start").alias("n_spans"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .orderBy("train_id")
+    )

@@ -2316,3 +2316,43 @@ LEFT JOIN near_keep n ON s.doc_id = n.doc_id
 GROUP BY s.source
 ORDER BY s.source
 """
+
+ORACLE["q130_span_decontamination"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents
+), possh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647) AS sh
+  FROM tok
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS s FROM possh WHERE doc_id % 101 = 0
+), tr AS (
+  SELECT doc_id AS train_id, i - 1 AS pos, sh[i] AS s
+  FROM (SELECT doc_id, sh, unnest(generate_series(1, len(sh))) AS i
+        FROM possh
+        WHERE doc_id % 101 <> 0 AND doc_id < 500)
+), contam AS (
+  SELECT train_id, pos FROM tr WHERE s IN (SELECT s FROM ev)
+), spans AS (
+  SELECT train_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY train_id ORDER BY pos) IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY train_id ORDER BY pos) > 1
+              THEN 1 ELSE 0 END AS span_start
+  FROM contam
+)
+SELECT train_id,
+       COUNT(*) AS n_contam_pos,
+       SUM(span_start) AS n_spans,
+       MIN(pos) AS first_pos,
+       MAX(pos) AS last_pos
+FROM spans
+GROUP BY train_id
+ORDER BY train_id
+"""

@@ -413,3 +413,15 @@ def test_session_caches_are_keyed_by_corpus(spark):
     # same slice size (both dirs hold 500 docs) but different content
     assert len(da) == len(db)
     assert da != db
+
+
+def test_span_decontam_consistent_with_doc_level(spark):
+    """Every training doc flagged at span level must also be flagged
+    by q89's doc-level check over the same 3-gram space, span counts
+    are positive, and positions are ordered."""
+    span_docs = {r.train_id for r in dedup.q130_span_decontamination(spark, SF_DIR).collect()}
+    doc_level = {r.train_id for r in dedup.q89_decontamination(spark, SF_DIR).collect()}
+    assert span_docs <= doc_level
+    for r in dedup.q130_span_decontamination(spark, SF_DIR).collect():
+        assert r.n_spans >= 1
+        assert r.first_pos <= r.last_pos
