@@ -425,3 +425,20 @@ def test_span_decontam_consistent_with_doc_level(spark):
     for r in dedup.q130_span_decontamination(spark, SF_DIR).collect():
         assert r.n_spans >= 1
         assert r.first_pos <= r.last_pos
+
+
+def test_md5_sampling_is_repartition_stable(spark):
+    """The md5-coin samplers (q77 split, q93 domain mix) must select
+    the SAME rows regardless of physical partitioning — the
+    reproducibility contract rand()-based sampling cannot give."""
+    from kinesis_logs_reader_spark.operators.curation import q93_domain_mix
+    from kinesis_logs_reader_spark.operators.preprocess import q77_hash_split
+
+    for fn in (q77_hash_split, q93_domain_mix):
+        base = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            alt = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert base == alt
