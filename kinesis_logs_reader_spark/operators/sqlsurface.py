@@ -21,6 +21,7 @@ feature users of a full engine expect:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -88,4 +89,50 @@ def q88_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         ORDER BY day
         """
+    )
+
+
+def q131_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling of orders — the DESCRIBE/df.summary
+    surface as an oracle-checkable query: per column, null count, exact
+    distinct count, and min/max rendered to strings.
+
+    One pass per profile row via a stacked aggregate (each column's
+    stats are map-side-combinable aggregates over the same scan;
+    Catalyst collapses them into a single Aggregate node). At 100 TB
+    the exact COUNT(DISTINCT) rows switch to approx_count_distinct —
+    the q28 pattern — keeping the profile a single scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    specs = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ]
+    aggs = []
+    for c, _t in specs:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # aggregate in the NATIVE type, then render: casting first
+            # would min/max lexically ('999' > '14999')
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _t in specs
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(specs)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_str, max_str)"
+            )
+        )
+        .orderBy("column_name")
     )

@@ -2356,3 +2356,37 @@ FROM spans
 GROUP BY train_id
 ORDER BY train_id
 """
+
+ORACLE["q131_table_profile"] = """
+WITH w AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c0n,
+    COUNT(DISTINCT o_orderkey) AS c0d,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS c0mn, CAST(MAX(o_orderkey) AS VARCHAR) AS c0mx,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c1n,
+    COUNT(DISTINCT o_custkey) AS c1d,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c1mn, CAST(MAX(o_custkey) AS VARCHAR) AS c1mx,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS c2n,
+    COUNT(DISTINCT o_orderstatus) AS c2d,
+    MIN(o_orderstatus) AS c2mn, MAX(o_orderstatus) AS c2mx,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS c3n,
+    COUNT(DISTINCT o_totalprice) AS c3d,
+    CAST(MIN(o_totalprice) AS VARCHAR) AS c3mn, CAST(MAX(o_totalprice) AS VARCHAR) AS c3mx,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS c4n,
+    COUNT(DISTINCT o_orderdate) AS c4d,
+    CAST(MIN(o_orderdate) AS VARCHAR) AS c4mn, CAST(MAX(o_orderdate) AS VARCHAR) AS c4mx,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS c5n,
+    COUNT(DISTINCT o_orderpriority) AS c5d,
+    MIN(o_orderpriority) AS c5mn, MAX(o_orderpriority) AS c5mx
+  FROM orders
+)
+SELECT column_name, n_nulls, n_distinct, min_str, max_str FROM (
+  SELECT 'o_orderkey' AS column_name, c0n AS n_nulls, c0d AS n_distinct, c0mn AS min_str, c0mx AS max_str FROM w
+  UNION ALL SELECT 'o_custkey', c1n, c1d, c1mn, c1mx FROM w
+  UNION ALL SELECT 'o_orderstatus', c2n, c2d, c2mn, c2mx FROM w
+  UNION ALL SELECT 'o_totalprice', c3n, c3d, c3mn, c3mx FROM w
+  UNION ALL SELECT 'o_orderdate', c4n, c4d, c4mn, c4mx FROM w
+  UNION ALL SELECT 'o_orderpriority', c5n, c5d, c5mn, c5mx FROM w
+)
+ORDER BY column_name
+"""

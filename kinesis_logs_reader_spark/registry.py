@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 133  # +q110-q130 (r4): LLM-pipeline extension batches 2-4
-N_ORACLES = 129  # all twenty-one r4 additions are oracle-backed
+N_QUERIES = 134  # +q110-q131 (r4): LLM-pipeline extension batches 2-4
+N_ORACLES = 130  # all twenty-two r4 additions are oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -202,6 +202,7 @@ DRIVER_WINDOW_R5: list[str] = [
     "q128_split_leakage",
     "q129_dedup_pipeline",
     "q130_span_decontamination",
+    "q131_table_profile",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

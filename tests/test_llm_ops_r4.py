@@ -442,3 +442,16 @@ def test_md5_sampling_is_repartition_stable(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
         assert base == alt
+
+
+def test_table_profile_matches_direct_queries(spark):
+    """Profile rows must agree with directly-computed stats."""
+    from kinesis_logs_reader_spark.operators.sqlsurface import q131_table_profile
+
+    rows = {r.column_name: r for r in q131_table_profile(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    n_distinct = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    assert rows["o_custkey"].n_distinct == n_distinct
+    assert rows["o_orderkey"].n_nulls == 0
+    mn = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    assert rows["o_orderkey"].min_str == str(mn)
