@@ -855,3 +855,87 @@ def q126_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def q133_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for eval contamination, with the exact
+    answer audited beside it (complements the exact 3-gram overlap scan
+    q89 and the span-level q130).
+
+    At 100 TB you cannot afford an exact anti-join of every train doc
+    against the eval set on every ingest batch; the production pattern
+    is a tiny immutable Bloom filter of eval-doc digests broadcast to
+    every executor, with the (rare) positives routed to the exact
+    check. This query builds that filter in pure SQL — m = 8192 bits,
+    k = 3 md5-derived bit positions per digest, the bit set being just
+    the DISTINCT positions the eval side lights up — probes every train
+    doc, and emits the per-source confusion: bloom flags vs exact
+    digest membership. ``n_missed`` (exact hit the filter missed) is
+    structurally zero — Bloom filters have no false negatives — so the
+    column doubles as a cross-engine proof of the construction.
+
+    Scale shape: eval side is the small relation (the bit set is at
+    most m DISTINCT ints, broadcast); the train side rides one scan,
+    map-only until the per-source rollup. False-positive rate rises
+    with eval-set saturation of the 8192 bits (1 - e^{-kn/m})^k — at
+    sf0.01's ~14 eval docs it is ~0; the audit columns make the
+    trade-off measurable rather than assumed.
+    """
+    m_bits, k_hashes = 8192, 3
+    docs = load_table(spark, sf_dir, "documents")
+    digested = docs.select("doc_id", "source", F.md5("text").alias("d"))
+    eval_side = digested.filter(F.col("doc_id") % 37 == 0)
+    train = digested.filter(F.col("doc_id") % 37 != 0)
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(k)), col)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+                for k in range(k_hashes)
+            ]
+        )
+
+    bits = eval_side.select(
+        F.explode(positions(F.col("d"))).alias("pos")
+    ).distinct()
+    probe = train.select(
+        "doc_id", F.explode(positions(F.col("d"))).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+    )
+    exact_set = eval_side.select("d").distinct().withColumn(
+        "is_exact", F.lit(True)
+    )
+    per_doc = (
+        train.join(hits, "doc_id", "left")
+        .withColumn(
+            "bloom_hit", F.coalesce(F.col("k_hits"), F.lit(0)) == k_hashes
+        )
+        .join(F.broadcast(exact_set), "d", "left")
+        .withColumn("exact_hit", F.coalesce(F.col("is_exact"), F.lit(False)))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom_flagged"),
+            F.sum(F.col("exact_hit").cast("int")).alias("n_exact_dups"),
+            F.sum((F.col("bloom_hit") & ~F.col("exact_hit")).cast("int")).alias(
+                "n_false_pos"
+            ),
+            F.sum((F.col("exact_hit") & ~F.col("bloom_hit")).cast("int")).alias(
+                "n_missed"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -906,3 +906,58 @@ def q130_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_id")
     )
+
+
+def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/repetition scan
+    run before adding a crawl snapshot to a training mix: what fraction
+    of a document's distinct 3-gram shingles has never appeared in any
+    earlier document (doc_id order = ingest order)?
+
+    Near-1.0 novelty means genuinely new text; near-0 means the doc is
+    assembled from already-seen fragments (boilerplate, templating,
+    partial duplication) even when no whole-doc or chunk-level dup
+    fires (q40/q112 both miss it). The "first seen" attribution is a
+    single min-over-shingle-hash window — the same digest-only shuffle
+    discipline as the rest of the dedup family: 16-byte md5s move, text
+    never does.
+
+    Scale shape: per-row shingling + within-doc distinct are map-only;
+    the one shuffle partitions by shingle hash (bounded by total
+    distinct shingles, heavily combinable). The per-doc rollup rides
+    the same partitioning since doc_id stays attached to each hash.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens().alias("_toks"))
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
+                )
+            )
+        ).alias("h"),
+    )
+    first_seen = F.min("doc_id").over(Window.partitionBy("h"))
+    per = sh.withColumn("novel", (first_seen == F.col("doc_id")).cast("int"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).cast("double").alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

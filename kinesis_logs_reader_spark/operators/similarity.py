@@ -596,3 +596,74 @@ def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def q135_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection of the 64-dim
+    embeddings down to 8 dims — the dimensionality-reduction step in
+    front of an ANN index or a clustering pass (the sparse cousin of
+    PCA that needs no training and no driver-side fit).
+
+    The +-1 projection matrix is derived from md5 parity
+    (functions/projections.py) so it is identical on every executor,
+    every run, and inside the DuckDB oracle — embedded as 512 literal
+    signs, no RNG, no broadcast of learned state. Per row the work is
+    8 integer dot products over the quantized vector: map-only,
+    whole-stage-codegen'd, zero shuffle before the final presentation
+    sort. At 100 TB this is the cheapest operator in the file.
+
+    Exactness across engines: elements are quantized to int64
+    micro-units (floor(x * 1e6 + 0.5), the q127 idiom — float32 ->
+    double is lossless and floor sidesteps ROUND-tie semantics), so
+    the dot products are exact integer math, and the output stays in
+    integer micro-units — no float appears anywhere downstream.
+    """
+    from kinesis_logs_reader_spark.functions.projections import (
+        JL_IN_DIMS,
+        JL_OUT_DIMS,
+        sign_matrix,
+    )
+
+    signs = sign_matrix()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("_q"),
+    )
+    proj_cols = []
+    for j in range(JL_OUT_DIMS):
+        sign_arr = F.array(*[F.lit(signs[j][i]) for i in range(JL_IN_DIMS)])
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(F.col("_q"), sign_arr, lambda x, s: x * s),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"_p{j}")
+        )
+    wide = q.select("vec_id", *proj_cols)
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.col(f"_p{j}").alias("p")
+            )
+            for j in range(JL_OUT_DIMS)
+        ]
+    )
+    # The projection is emitted in exact integer micro-units (the sum
+    # itself), not a rounded double: a sum landing on a .5 rounding
+    # boundary (observed: -710150 -> -0.71015) resolves differently in
+    # the two engines' ROUND, while the bigint is bit-identical.
+    return (
+        wide.select("vec_id", F.explode(stacked).alias("e"))
+        .select(
+            "vec_id",
+            F.col("e.j").alias("dim_out"),
+            F.col("e.p").alias("proj_micro"),
+        )
+        .orderBy("vec_id", "dim_out")
+    )

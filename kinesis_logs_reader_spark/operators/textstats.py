@@ -273,3 +273,67 @@ def q121_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+def q132_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch term-frequency estimation with an exact audit
+    (LLM-pipeline extension, sketch family alongside HLL q28 and the GK
+    quantile sketch q103).
+
+    A CMS is the streaming/mergeable way to track token frequencies on
+    a corpus too large for an exact vocab table: a depth x width grid
+    of counters where cell (j, h_j(t)) accumulates every occurrence of
+    t. The estimate min_j cell[j][h_j(t)] never under-counts (every
+    collision only adds), which this query PROVES per term by emitting
+    the ``lower_bounded`` boolean next to the exact count.
+
+    Scale shape: the exact per-term aggregate is the one data-sized
+    shuffle (vocab-bounded, map-side combined); the sketch itself is
+    built FROM the per-term counts (weighted by n), so the grid
+    (depth*width = 256 cells) and the probe join are both broadcast-
+    tiny regardless of corpus size. On a true stream the same grid is
+    a commutative monoid — per-partition partial grids merge by cell
+    addition (the reason CMS beats an exact table at 100 TB).
+
+    The hash family is md5-derived (``md5(j || ':' || term)``), the
+    same cross-engine-verifiable kernel as MinHash (functions/text.py),
+    so DuckDB reproduces the grid bit-identically.
+    """
+    depth, width = 4, 64
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    keyed = exact.select(
+        "term",
+        "n_exact",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("term"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width,
+    )
+    cells = keyed.groupBy("j", "bucket").agg(F.sum("n_exact").alias("cell"))
+    est = (
+        keyed.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cell").alias("n_cms"))
+    )
+    return est.select(
+        "term",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+        (F.col("n_cms") >= F.col("n_exact")).alias("lower_bounded"),
+    ).orderBy("term")

@@ -2390,3 +2390,115 @@ SELECT column_name, n_nulls, n_distinct, min_str, max_str FROM (
 )
 ORDER BY column_name
 """
+
+ORACLE["q132_countmin_sketch"] = """
+WITH occ AS (
+  SELECT unnest(str_split(text, ' ')) AS term FROM documents
+), exact AS (
+  SELECT term, COUNT(*) AS n_exact FROM occ WHERE term <> '' GROUP BY term
+), keyed AS (
+  SELECT term, n_exact, j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15)
+              AS BIGINT) % 64 AS bucket
+  FROM exact, (SELECT unnest([0, 1, 2, 3]) AS j)
+), cells AS (
+  SELECT j, bucket, CAST(SUM(n_exact) AS BIGINT) AS cell
+  FROM keyed GROUP BY j, bucket
+), est AS (
+  SELECT k.term, k.n_exact, MIN(c.cell) AS n_cms
+  FROM keyed k JOIN cells c USING (j, bucket)
+  GROUP BY k.term, k.n_exact
+)
+SELECT term, n_exact, n_cms,
+       n_cms - n_exact AS overcount,
+       n_cms >= n_exact AS lower_bounded
+FROM est
+ORDER BY term
+"""
+
+ORACLE["q133_bloom_decontamination"] = """
+WITH dg AS (
+  SELECT doc_id, source, md5(text) AS d FROM documents
+), ev AS (
+  SELECT * FROM dg WHERE doc_id % 37 = 0
+), tr AS (
+  SELECT * FROM dg WHERE doc_id % 37 <> 0
+), bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || d), 1, 15)
+              AS BIGINT) % 8192 AS pos
+  FROM ev, (SELECT unnest([0, 1, 2]) AS k)
+), probe AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || d), 1, 15)
+              AS BIGINT) % 8192 AS pos
+  FROM tr, (SELECT unnest([0, 1, 2]) AS k)
+), hits AS (
+  SELECT doc_id, COUNT(*) AS k_hits
+  FROM probe JOIN bits USING (pos) GROUP BY doc_id
+), per_doc AS (
+  SELECT t.source,
+         COALESCE(h.k_hits, 0) = 3 AS bloom_hit,
+         t.d IN (SELECT d FROM ev) AS exact_hit
+  FROM tr t LEFT JOIN hits h USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_flagged,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN exact_hit AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE["q134_ngram_novelty"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(list_transform({_SHINGLES}, s -> md5(s))) AS h
+        FROM documents)
+), fs AS (
+  SELECT doc_id, h, MIN(doc_id) OVER (PARTITION BY h) AS first_seen FROM sh
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(ROUND(CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 4) AS DOUBLE) AS novelty
+FROM fs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# q135: the +-1 JL sign matrix is derived once (md5 parity,
+# functions/projections.py — pure hashlib, no pyspark) and embedded as
+# 512 VALUES literals so both engines multiply the IDENTICAL matrix.
+from kinesis_logs_reader_spark.functions.projections import (  # noqa: E402
+    JL_IN_DIMS,
+    JL_OUT_DIMS,
+    sign_matrix,
+)
+
+_JL_SIGNS = sign_matrix()
+_JL_SIGN_ROWS = ", ".join(
+    f"({i}, {j}, {_JL_SIGNS[j][i]})"
+    for j in range(JL_OUT_DIMS)
+    for i in range(JL_IN_DIMS)
+)
+
+ORACLE["q135_jl_projection"] = f"""
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings, range({JL_IN_DIMS}) t(i)
+), s AS (
+  SELECT * FROM (VALUES {_JL_SIGN_ROWS}) sm(dim, dim_out, sgn)
+)
+SELECT q.vec_id, s.dim_out,
+       CAST(SUM(q.qv * s.sgn) AS BIGINT) AS proj_micro
+FROM q JOIN s USING (dim)
+GROUP BY q.vec_id, s.dim_out
+ORDER BY q.vec_id, s.dim_out
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 134  # +q110-q131 (r4): LLM-pipeline extension batches 2-4
-N_ORACLES = 130  # all twenty-two r4 additions are oracle-backed
+N_QUERIES = 138  # +q110-q135 (r4): LLM-pipeline extension batches 2-5
+N_ORACLES = 134  # all twenty-six r4 additions are oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -203,6 +203,11 @@ DRIVER_WINDOW_R5: list[str] = [
     "q129_dedup_pipeline",
     "q130_span_decontamination",
     "q131_table_profile",
+    # round-4 additions (batch 5: sketch/filter/novelty/projection)
+    "q132_countmin_sketch",
+    "q133_bloom_decontamination",
+    "q134_ngram_novelty",
+    "q135_jl_projection",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

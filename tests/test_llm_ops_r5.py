@@ -1,0 +1,155 @@
+"""Semantic tests for the round-4 batch-5 operators (q132-q135) —
+invariants the SQL oracle's value hash cannot express: the CMS
+lower-bound guarantee, the Bloom no-false-negative guarantee, novelty
+behavior on planted copies, and JL norm preservation in expectation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from kinesis_logs_reader_spark.functions.projections import (
+    JL_IN_DIMS,
+    JL_OUT_DIMS,
+    jl_sign,
+    sign_matrix,
+)
+from kinesis_logs_reader_spark.operators import curation, dedup, similarity, textstats
+
+from tests.conftest import SF_DIR
+
+
+def test_cms_never_undercounts_and_totals_match(spark):
+    """The CMS estimate is >= the exact count for EVERY term (the
+    sketch's defining guarantee), and equality holds for at least one
+    term at this vocab size (64 buckets >> ~35 terms, so some rows are
+    collision-free)."""
+    rows = textstats.q132_countmin_sketch(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.lower_bounded for r in rows)
+    assert all(r.n_cms >= r.n_exact for r in rows)
+    assert all(r.overcount == r.n_cms - r.n_exact for r in rows)
+    assert any(r.overcount == 0 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """n_missed (exact dup the Bloom filter failed to flag) must be
+    structurally zero in every source bucket; flags always dominate
+    exact hits (bloom_hit >= exact_hit row-wise implies the sums do)."""
+    rows = curation.q133_bloom_decontamination(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.n_missed == 0 for r in rows)
+    assert all(r.n_bloom_flagged >= r.n_exact_dups for r in rows)
+    assert all(r.n_false_pos == r.n_bloom_flagged - r.n_exact_dups for r in rows)
+
+
+def test_novelty_first_doc_is_fully_novel_copy_is_not(spark):
+    """On a planted corpus the first doc's shingles are all new
+    (novelty 1.0) and a verbatim later copy contributes nothing new
+    (novelty 0.0); a half-overlapping doc lands strictly between."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "a b c d x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_novelty_fixture")
+    # run the same plan shape on the fixture via the operator's internals
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_logs_reader_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(tokens()), lambda s: F.md5(s)
+                )
+            )
+        ).alias("h"),
+    )
+    first_seen = F.min("doc_id").over(Window.partitionBy("h"))
+    out = (
+        sh.withColumn("novel", (first_seen == F.col("doc_id")).cast("int"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("novel").alias("nn"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.nn / r.n for r in out}
+    assert by_id[1] == 1.0
+    assert by_id[2] == 0.0
+    assert 0.0 < by_id[3] < 1.0
+
+
+def test_novelty_monotone_on_real_corpus(spark):
+    """doc 0 (first in ingest order) is by construction 100% novel."""
+    rows = dedup.q134_ngram_novelty(spark, SF_DIR).collect()
+    first = [r for r in rows if r.doc_id == 0]
+    assert first and first[0].novelty == 1.0
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+
+
+def test_jl_sign_matrix_is_deterministic_and_balanced(spark):
+    """Matrix regenerates bit-identically (pure md5 derivation) and is
+    roughly sign-balanced — a degenerate all-+1 row would make the
+    'projection' a plain sum."""
+    m1, m2 = sign_matrix(), sign_matrix()
+    assert m1 == m2
+    assert all(s in (-1, 1) for row in m1 for s in row)
+    for row in m1:
+        pos = sum(1 for s in row if s == 1)
+        assert 16 <= pos <= 48  # not degenerate at 64 coins
+    # spot-check the derivation against a hand md5
+    h = hashlib.md5(b"0:0").hexdigest()
+    assert jl_sign(0, 0) == (1 if int(h[0], 16) % 2 == 0 else -1)
+
+
+def test_jl_projection_preserves_norms_in_expectation(spark):
+    """E[|proj|^2 / k] == |x|^2 for random-sign JL; with k=8 the
+    corpus-level mean ratio should land within 25% of 1.0 even though
+    individual vectors fluctuate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    proj = similarity.q135_jl_projection(spark, SF_DIR)
+    pn = (
+        proj.groupBy("vec_id")
+        .agg(F.sum(F.col("proj_micro") * F.col("proj_micro")).alias("p2"))
+    )
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1e6 + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x * x,
+        ).alias("x2"),
+    )
+    joined = pn.join(emb, "vec_id").select(
+        (F.col("p2") / (F.lit(JL_OUT_DIMS) * F.col("x2"))).alias("ratio")
+    )
+    mean_ratio = joined.agg(F.avg("ratio")).first()[0]
+    assert math.isfinite(mean_ratio)
+    assert 0.75 < mean_ratio < 1.25
+
+
+def test_projection_shape(spark):
+    out = similarity.q135_jl_projection(spark, SF_DIR)
+    assert out.columns == ["vec_id", "dim_out", "proj_micro"]
+    n_vecs = out.select("vec_id").distinct().count()
+    assert out.count() == n_vecs * JL_OUT_DIMS
+    assert JL_IN_DIMS == 64
