@@ -336,3 +336,46 @@ def test_minhash_audit_reuses_cached_shingles(spark):
     assert "InMemoryTableScan" in plan
     df44 = dedup.q44_ngram_jaccard(spark, SF_DIR)
     assert "InMemoryTableScan" in explain.formatted_plan(df44)
+
+
+def test_countmin_grid_and_probe_broadcast(spark):
+    """q132's CMS grid (256 cells) must reach the probe via broadcast —
+    the sketch stays executor-local at any corpus size; the only hash
+    exchanges are the vocab-bounded term aggregate."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q132_countmin_sketch(spark, SF_DIR)
+    assert explain.has_broadcast_join(df)
+
+
+def test_bloom_bit_set_broadcasts(spark):
+    """q133's bit set (<= 8192 distinct ints) and exact digest set must
+    both broadcast; the train-side scan is never shuffled by text."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q133_bloom_decontamination(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_novelty_single_digest_shuffle(spark):
+    """q134 is one min-window over shingle digests plus the per-doc
+    rollup: exactly one window, bounded hash exchanges, and only
+    (doc_id, digest) ever moves."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q134_ngram_novelty(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_jl_projection_is_map_only(spark):
+    """q135 must stay map-only before the presentation sort: no hash
+    exchange, no join — 512 literal signs, per-row integer folds."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q135_jl_projection(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
