@@ -939,3 +939,74 @@ def q133_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q139_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over adjacent token pairs — the statistic
+    behind phrase-vocabulary induction (which multi-token units deserve
+    their own tokenizer entries) and a complement to raw pair counts
+    (q120): PMI ranks pairs that co-occur MORE than their unigram
+    frequencies predict, not just often.
+
+    PMI(a,b) = ln( P(ab) / (P(a) P(b)) ) = ln( c_ab * T_u^2 /
+    (T_p * c_a * c_b) ), computed as ONE ln of an exact int64 rational
+    quantized to micro-nats (q115/q125 idiom). The int64 products are
+    safe through ~2e9 total tokens per partition-merged count; past
+    that the cluster profile computes the same value as a sum/difference
+    of per-factor lns.
+
+    Scale shape: unigram and pair counts are two vocab-bounded
+    map-side-combinable aggregates over one scan; the pair table joins
+    the broadcast unigram table twice; top-k via TakeOrdered. Rare-pair
+    noise is floored at c_ab >= 5 (PMI's classic failure mode).
+    """
+    from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(tokens().alias("_toks"))
+    uni = (
+        tokd.select(F.explode(F.col("_toks")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").alias("t_u"))
+    pairs = (
+        tokd.select(
+            F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+        .withColumn("a", F.split("pair", " ").getItem(0))
+        .withColumn("b", F.split("pair", " ").getItem(1))
+    )
+    t_pair = (
+        tokd.select(
+            F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("pair")
+        )
+        .agg(F.count(F.lit(1)).alias("t_p"))
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    j = (
+        pairs.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_pair))
+    )
+    num = F.col("c_ab") * F.col("t_u") * F.col("t_u")
+    den = F.col("t_p") * F.col("c_a") * F.col("c_b")
+    pmi_micro = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * 1e6
+    ).cast("bigint")
+    staged = j.select("pair", "c_ab", "c_a", "c_b", pmi_micro.alias("pmi_micro"))
+    top = staged.orderBy(F.col("pmi_micro").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("pmi_micro").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "pair",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "pmi_micro",
+    ).orderBy("rank")

@@ -961,3 +961,64 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source lexical-overlap matrix — the corpus diagnostic run
+    before choosing mixture weights: for every source pair, how much
+    3-gram phraseology do they share? High containment between two
+    "different" crawls means the mixture double-counts the same text
+    (and per-source dedup will miss it, q128's lesson at source
+    granularity).
+
+    Shape: distinct (shingle-digest, source) pairs -> self-join on
+    digest (fan-out bounded by sources-per-shingle <= |sources|, never
+    corpus size) -> per-pair count, normalized by the smaller side's
+    distinct-shingle vocabulary (containment, the q116 asymmetric
+    measure lifted to source granularity). Only 16-byte digests
+    shuffle; the output is |sources|^2 rows at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", tokens().alias("_toks"))
+    ds = tok.select(
+        "source",
+        F.explode(
+            F.transform(
+                shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    shared = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                4,
+            ).cast("double").alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

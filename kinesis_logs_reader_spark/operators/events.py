@@ -145,3 +145,59 @@ def q100_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+def q137_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift monitor — the data-pipeline health check that
+    catches an upstream producer change before it poisons a training
+    snapshot: per event type, the share of traffic before vs after a
+    boundary, and the per-type contribution to the KL divergence
+    KL(before || after) with add-1 smoothing.
+
+    Scale shape: two map-side-combinable aggregates over one scan
+    (|types| rows each), then pure expression math — no per-event
+    state, no window over the raw stream. The smoothed ratio is
+    computed as one ln of an exact integer rational and quantized to
+    micro-nats (the q115/q125 idiom) so both engines agree bit-for-bit;
+    at counts where the int64 product would overflow (~1e9 events per
+    cell) the same quantity is ln(a)-ln(b), noted here for the cluster
+    profile.
+    """
+    events = load_table(spark, sf_dir, "events")
+    boundary = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sides = events.select(
+        "event_type", (F.col("ts") < boundary).cast("int").alias("before")
+    )
+    per_type = sides.groupBy("event_type").agg(
+        F.sum("before").alias("n_before"),
+        F.sum(1 - F.col("before")).alias("n_after"),
+    )
+    totals = per_type.agg(
+        F.sum("n_before").alias("t_before"),
+        F.sum("n_after").alias("t_after"),
+        F.count(F.lit(1)).alias("k_types"),
+    )
+    j = per_type.crossJoin(F.broadcast(totals))
+    # smoothed log-ratio ln(p/q), p=(n_b+1)/(T_b+K), q=(n_a+1)/(T_a+K),
+    # as ONE ln of an exact int64 rational, quantized to micro-nats
+    num = (F.col("n_before") + 1) * (F.col("t_after") + F.col("k_types"))
+    den = (F.col("n_after") + 1) * (F.col("t_before") + F.col("k_types"))
+    lr_micro = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * 1e6
+    ).cast("bigint")
+    return (
+        j.select(
+            "event_type",
+            "n_before",
+            "n_after",
+            F.round(
+                F.col("n_before").cast("double") / F.col("t_before"), 4
+            ).cast("double").alias("share_before"),
+            F.round(
+                F.col("n_after").cast("double") / F.col("t_after"), 4
+            ).cast("double").alias("share_after"),
+            lr_micro.alias("lr_micro"),
+            ((F.col("n_before") + 1) * lr_micro).alias("kl_contrib_micro"),
+        )
+        .orderBy("event_type")
+    )

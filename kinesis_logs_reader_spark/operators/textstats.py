@@ -337,3 +337,90 @@ def q132_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
         (F.col("n_cms") >= F.col("n_exact")).alias("lower_bounded"),
     ).orderBy("term")
+
+
+def q138_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token vocabulary and
+    cumulative token count at 1/8, 1/4, 1/2, and full corpus prefixes
+    (ingest = doc_id order), with the inter-checkpoint log-log slope —
+    the tokenizer-sizing diagnostic (V ~ T^beta; natural text keeps
+    beta well below 1, a saturating vocab signals templated text).
+
+    Scale shape: token first-seen attribution is ONE vocab-bounded
+    aggregate (min doc_id per token); per-doc token counts ride the
+    same scan. Both tiny frames cross-join the 4-row broadcast
+    checkpoint spine and reduce with conditional sums — no per-prefix
+    rescan of the corpus. ln values are quantized to micro-units
+    (int64) before the slope division so both engines agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
+    first = tok.groupBy("t").agg(F.min("doc_id").alias("fs"))
+    per_doc = docs.select("doc_id", n_tokens().alias("nt"))
+    spine = (
+        docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+        .select(
+            "n_docs",
+            F.explode(F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))).alias(
+                "divisor"
+            ),
+        )
+        .select(
+            "divisor", F.floor(F.col("n_docs") / F.col("divisor")).alias("bound")
+        )
+    )
+    vocab = (
+        first.crossJoin(F.broadcast(spine))
+        .groupBy("divisor", "bound")
+        .agg(F.sum((F.col("fs") < F.col("bound")).cast("int")).alias("vocab"))
+    )
+    toks = (
+        per_doc.crossJoin(F.broadcast(spine))
+        .groupBy("divisor", "bound")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") < F.col("bound"), F.col("nt")).otherwise(
+                    0
+                )
+            ).alias("total_tokens"),
+            F.sum((F.col("doc_id") < F.col("bound")).cast("int")).alias(
+                "n_docs"
+            ),
+        )
+    )
+    ln_v = F.floor(F.log(F.col("vocab").cast("double")) * 1e6).cast("bigint")
+    ln_t = F.floor(F.log(F.col("total_tokens").cast("double")) * 1e6).cast(
+        "bigint"
+    )
+    staged = (
+        vocab.join(toks, ["divisor", "bound"])
+        .select(
+            "divisor",
+            "bound",
+            "n_docs",
+            "total_tokens",
+            "vocab",
+            ln_v.alias("ln_v_micro"),
+            ln_t.alias("ln_t_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("divisor").desc())
+    return (
+        staged.select(
+            "divisor",
+            "bound",
+            "n_docs",
+            "total_tokens",
+            "vocab",
+            F.round(
+                (F.col("ln_v_micro") - F.lag("ln_v_micro").over(w)).cast(
+                    "double"
+                )
+                / (F.col("ln_t_micro") - F.lag("ln_t_micro").over(w)).cast(
+                    "double"
+                ),
+                4,
+            ).cast("double").alias("heaps_beta"),
+        )
+        .orderBy(F.col("divisor").desc())
+    )

@@ -2502,3 +2502,119 @@ FROM q JOIN s USING (dim)
 GROUP BY q.vec_id, s.dim_out
 ORDER BY q.vec_id, s.dim_out
 """
+
+ORACLE["q136_source_overlap"] = f"""
+WITH ds AS (
+  SELECT DISTINCT source, h
+  FROM (SELECT source, unnest(list_transform({_SHINGLES}, s -> md5(s))) AS h
+        FROM documents)
+), sizes AS (
+  SELECT source, COUNT(*) AS n_sh FROM ds GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(ROUND(CAST(s.n_shared AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4)
+            AS DOUBLE) AS containment
+FROM shared s
+JOIN sizes sa ON s.source_a = sa.source
+JOIN sizes sb ON s.source_b = sb.source
+ORDER BY s.source_a, s.source_b
+"""
+
+ORACLE["q137_distribution_drift"] = """
+WITH per_type AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+  FROM events GROUP BY event_type
+), totals AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS t_before,
+         CAST(SUM(n_after) AS BIGINT) AS t_after,
+         COUNT(*) AS k_types
+  FROM per_type
+), j AS (
+  SELECT p.*, t.t_before, t.t_after, t.k_types,
+         CAST(FLOOR(LN(CAST((p.n_before + 1) * (t.t_after + t.k_types) AS DOUBLE)
+                       / CAST((p.n_after + 1) * (t.t_before + t.k_types) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS lr_micro
+  FROM per_type p, totals t
+)
+SELECT event_type, n_before, n_after,
+       CAST(ROUND(CAST(n_before AS DOUBLE) / t_before, 4) AS DOUBLE) AS share_before,
+       CAST(ROUND(CAST(n_after AS DOUBLE) / t_after, 4) AS DOUBLE) AS share_after,
+       lr_micro,
+       (n_before + 1) * lr_micro AS kl_contrib_micro
+FROM j
+ORDER BY event_type
+"""
+
+ORACLE["q138_heaps_law"] = """
+WITH spine AS (
+  SELECT divisor,
+         CAST(FLOOR(CAST(n_docs AS DOUBLE) / divisor) AS BIGINT) AS bound
+  FROM (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+       (SELECT unnest([8, 4, 2, 1]) AS divisor)
+), first_seen AS (
+  SELECT t, MIN(doc_id) AS fs
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), vocab AS (
+  SELECT divisor, bound,
+         CAST(SUM(CASE WHEN fs < bound THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+  FROM first_seen, spine GROUP BY divisor, bound
+), toks AS (
+  SELECT divisor, bound,
+         CAST(SUM(CASE WHEN doc_id < bound THEN len(str_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN doc_id < bound THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+  FROM documents, spine GROUP BY divisor, bound
+), staged AS (
+  SELECT v.divisor, v.bound, t.n_docs, t.total_tokens, v.vocab,
+         CAST(FLOOR(LN(CAST(v.vocab AS DOUBLE)) * 1e6) AS BIGINT) AS ln_v_micro,
+         CAST(FLOOR(LN(CAST(t.total_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS ln_t_micro
+  FROM vocab v JOIN toks t USING (divisor, bound)
+)
+SELECT divisor, bound, n_docs, total_tokens, vocab,
+       CAST(ROUND(CAST(ln_v_micro - LAG(ln_v_micro) OVER (ORDER BY divisor DESC) AS DOUBLE)
+                  / CAST(ln_t_micro - LAG(ln_t_micro) OVER (ORDER BY divisor DESC) AS DOUBLE), 4)
+            AS DOUBLE) AS heaps_beta
+FROM staged
+ORDER BY divisor DESC
+"""
+
+_PAIRS = """list_transform(
+    generate_series(1, greatest(0, len(str_split(text, ' ')) - 1)),
+    i -> array_to_string(list_slice(str_split(text, ' '), i, i + 1), ' '))"""
+
+ORACLE["q139_pmi_collocations"] = f"""
+WITH uni AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), t_uni AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_u FROM uni
+), pair_occ AS (
+  SELECT unnest({_PAIRS}) AS pair FROM documents
+), pairs AS (
+  SELECT pair, COUNT(*) AS c_ab FROM pair_occ GROUP BY pair HAVING COUNT(*) >= 5
+), t_pair AS (
+  SELECT COUNT(*) AS t_p FROM pair_occ
+), j AS (
+  SELECT p.pair, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+         CAST(FLOOR(LN(CAST(p.c_ab * t_uni.t_u * t_uni.t_u AS DOUBLE)
+                       / CAST(t_pair.t_p * ua.c * ub.c AS DOUBLE)) * 1e6)
+              AS BIGINT) AS pmi_micro
+  FROM pairs p
+  JOIN uni ua ON str_split(p.pair, ' ')[1] = ua.t
+  JOIN uni ub ON str_split(p.pair, ' ')[2] = ub.t,
+       t_uni, t_pair
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, pair) AS rank,
+       pair, c_ab, c_a, c_b, pmi_micro
+FROM j
+ORDER BY pmi_micro DESC, pair
+LIMIT 20
+"""

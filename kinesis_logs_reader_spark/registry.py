@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 138  # +q110-q135 (r4): LLM-pipeline extension batches 2-5
-N_ORACLES = 134  # all twenty-six r4 additions are oracle-backed
+N_QUERIES = 142  # +q110-q139 (r4): LLM-pipeline extension batches 2-6
+N_ORACLES = 138  # all thirty r4 additions are oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -208,6 +208,11 @@ DRIVER_WINDOW_R5: list[str] = [
     "q133_bloom_decontamination",
     "q134_ngram_novelty",
     "q135_jl_projection",
+    # round-4 additions (batch 6: corpus diagnostics)
+    "q136_source_overlap",
+    "q137_distribution_drift",
+    "q138_heaps_law",
+    "q139_pmi_collocations",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",
