@@ -978,16 +978,27 @@ def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure lifted to source granularity). Only 16-byte digests
     shuffle; the output is |sources|^2 rows at any corpus size.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", tokens().alias("_toks"))
-    ds = tok.select(
-        "source",
-        F.explode(
-            F.transform(
-                shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
+    # The distinct (source, digest) frame feeds THREE subtrees (sizes +
+    # both self-join sides) and lambda shingling defeats Catalyst CSE
+    # (the q44 finding), so persist it per session+corpus.
+    cache = spark.__dict__.setdefault("_klrs_source_shingles_cache", {})
+    if sf_dir not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        tok = docs.select("source", tokens().alias("_toks"))
+        cache[sf_dir] = (
+            tok.select(
+                "source",
+                F.explode(
+                    F.transform(
+                        shingles_from_tokens(F.col("_toks")),
+                        lambda s: F.md5(s),
+                    )
+                ).alias("h"),
             )
-        ).alias("h"),
-    ).distinct()
+            .distinct()
+            .persist()
+        )
+    ds = cache[sf_dir]
     sizes = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     shared = (

@@ -379,3 +379,40 @@ def test_jl_projection_is_map_only(spark):
     plan = explain.formatted_plan(df)
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_source_overlap_no_cartesian_and_cached(spark):
+    """q136's digest frame must come from the persisted cache (one
+    shingling pass per corpus) and the pair join must be keyed — no
+    cartesian product anywhere."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q136_source_overlap(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_and_heaps_are_agg_only(spark):
+    """q137/q138 are aggregates + broadcast spines: no hash-exchange
+    beyond the vocab-bounded aggregate, no sort-merge join."""
+    from kinesis_logs_reader_spark.operators import events, textstats
+
+    for df in (
+        events.q137_distribution_drift(spark, SF_DIR),
+        textstats.q138_heaps_law(spark, SF_DIR),
+    ):
+        plan = explain.formatted_plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastExchange" in plan
+
+
+def test_pmi_topk_uses_take_ordered(spark):
+    """q139's top-20 must be TakeOrdered (never a full global sort) and
+    its unigram tables must broadcast into the pair join."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q139_pmi_collocations(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
