@@ -2618,3 +2618,32 @@ FROM j
 ORDER BY pmi_micro DESC, pair
 LIMIT 20
 """
+
+# q47 upgraded from rows-only to oracle-backed (r4): the SimHash kernel
+# is md5-per-token-occurrence with +-1 bit accumulation — exactly
+# replicable in SQL. The UBIGINT hex cast carries the full 64-bit md5
+# prefix; the sketch is reassembled nibble-by-nibble into the same
+# 016x hex string the pandas UDF emits.
+ORACLE["q47_simhash"] = """
+WITH occ AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS hv
+  FROM occ
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, range(64) t(b)
+  GROUP BY doc_id, b
+), nibbles AS (
+  SELECT doc_id, b // 4 AS nib,
+         SUM(CASE WHEN acc > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv
+  FROM bits GROUP BY doc_id, b // 4
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                  '' ORDER BY nib DESC) AS simhash
+FROM nibbles
+GROUP BY doc_id
+ORDER BY doc_id
+"""
