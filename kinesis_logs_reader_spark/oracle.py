@@ -2647,3 +2647,58 @@ FROM nibbles
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def _lsh_plane(j: int, dim: int = 64) -> list[float]:
+    """Bit-exact mirror of operators/similarity.py::_plane (LCG
+    hyperplanes). Kept inline so oracle.py builds the identical
+    DOUBLE[] literals without importing the Spark operator module;
+    tests/test_llm_ops_r5.py pins the two derivations equal."""
+    vals, x = [], (j * 2654435761 + 1) % 2147483647
+    for _ in range(dim):
+        x = (x * 48271) % 2147483647
+        vals.append((x / 2147483647.0) * 2.0 - 1.0)
+    return vals
+
+
+_LSH_PLANE_ROWS = ", ".join(
+    "({}, [{}])".format(j, ", ".join(repr(v) for v in _lsh_plane(j)))
+    for j in range(6)
+)
+
+# q48 upgraded from rows-only to oracle-backed (r4): the hyperplane
+# family is a deterministic LCG (no RNG state), so the bucket codes,
+# the Hamming<=1 probe, and the candidate cosines are all replicable.
+# Residual cross-engine risk: the sign test dot(v, plane) > 0 under
+# different summation orders — a |dot| below double noise could flip a
+# bucket bit; magnitudes here are O(1), same acceptance as q43.
+ORACLE["q48_ann_ivf"] = f"""
+WITH pl AS (
+  SELECT * FROM (VALUES {_LSH_PLANE_ROWS}) p(j, plane)
+), b AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(plane AS DOUBLE[])) > 0
+                       THEN (1 << j) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings, pl
+  GROUP BY vec_id, embedding
+), q AS (
+  SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0
+), cand AS (
+  SELECT b.vec_id, b.embedding, q.qe
+  FROM b, q
+  WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 1
+), sims AS (
+  SELECT vec_id,
+         CAST(ROUND(
+           list_inner_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+           / (SQRT(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))),
+           4) AS DOUBLE) AS sim
+  FROM cand
+)
+SELECT vec_id, sim FROM (
+  SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+) t
+ORDER BY vec_id
+"""

@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
 N_QUERIES = 142  # +q110-q139 (r4): LLM-pipeline extension batches 2-6
-N_ORACLES = 139  # thirty r4 additions + q47 upgraded to oracle-backed
+N_ORACLES = 140  # thirty r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",

@@ -238,3 +238,13 @@ def test_pmi_definition_holds_on_planted_collocation(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert r.c_ab >= 5
+
+
+def test_oracle_lsh_planes_mirror_spark_planes(spark):
+    """oracle._lsh_plane must stay bit-identical to similarity._plane —
+    the q48 oracle's bucket codes depend on it."""
+    from kinesis_logs_reader_spark import oracle as om
+    from kinesis_logs_reader_spark.operators.similarity import _plane
+
+    for j in range(6):
+        assert om._lsh_plane(j) == _plane(j)

@@ -42,7 +42,6 @@ def test_registry_consistency():
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {
-        "q48_ann_ivf",
         "q75_ann_ivf_kmeans",
         "q109_semdedup",
     }
