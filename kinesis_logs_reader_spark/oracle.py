@@ -2702,3 +2702,65 @@ SELECT vec_id, sim FROM (
 ) t
 ORDER BY vec_id
 """
+
+ORACLE["q140_weighted_sample"] = """
+WITH staged AS (
+  SELECT lang, doc_id, n_chars AS w,
+         CAST(FLOOR(
+           LN(CAST(CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+           / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+  FROM documents
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key_nano DESC, doc_id) AS rank
+  FROM staged
+)
+SELECT lang, rank, doc_id, w, key_nano
+FROM ranked WHERE rank <= 20
+ORDER BY lang, rank
+"""
+
+ORACLE["q141_ivf_fixed_probe"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label AS cell, dim,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN cent c USING (dim)
+  GROUP BY f.vec_id, c.cell
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) t WHERE rn = 1
+), probe AS (
+  SELECT cell FROM dist WHERE vec_id = 0 ORDER BY d2, cell LIMIT 2
+), qv AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, a.cell, e.embedding, qv.qe
+  FROM embeddings e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell, qv
+  WHERE e.vec_id <> 0
+), sims AS (
+  SELECT vec_id, cell,
+         CAST(ROUND(
+           list_inner_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+           / (SQRT(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))),
+           4) AS DOUBLE) AS sim
+  FROM cand
+)
+SELECT vec_id, cell, sim FROM (
+  SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+) t
+ORDER BY vec_id
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 142  # +q110-q139 (r4): LLM-pipeline extension batches 2-6
-N_ORACLES = 140  # thirty r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 144  # +q110-q141 (r4): LLM-pipeline extension batches 2-7
+N_ORACLES = 142  # thirty-two r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -161,9 +161,9 @@ DRIVER_WINDOW: list[str] = [
 
 # Staged round-5 window (swap into DRIVER_WINDOW next round): the keys
 # still lacking any driver row after r4 — q35/q35b/q37/q37b/q38/q39/
-# q86/q88/q100/q102 (oracle-backed) + q47/q48/q75/q109 (rows-only by
-# design) + the seven r4 additions q110-q116 — topped up with
-# relational re-checks to fill the 50 slots.
+# q86/q88/q100/q102 + q47/q48 (upgraded to oracle-backed late in r4) +
+# q75/q109 (rows-only by design: k-means-trained index paths) + the r4
+# extension batches q110-q141 — topped up with relational re-checks.
 DRIVER_WINDOW_R5: list[str] = [
     "q35_median_segment",
     "q35b_median_native",
@@ -213,6 +213,9 @@ DRIVER_WINDOW_R5: list[str] = [
     "q137_distribution_drift",
     "q138_heaps_law",
     "q139_pmi_collocations",
+    # round-4 additions (batch 7: weighted sampling + IVF probe)
+    "q140_weighted_sample",
+    "q141_ivf_fixed_probe",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

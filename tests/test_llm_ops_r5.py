@@ -248,3 +248,53 @@ def test_oracle_lsh_planes_mirror_spark_planes(spark):
 
     for j in range(6):
         assert om._lsh_plane(j) == _plane(j)
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """Efraimidis-Spirakis: inclusion probability rises with weight, so
+    the sampled docs' mean n_chars must exceed the stratum mean; exact
+    top-20 per stratum; ranks contiguous."""
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.operators import curation as cu
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    out = cu.q140_weighted_sample(spark, SF_DIR)
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    corpus = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("mu"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = {r.lang: (r.mu, r.n) for r in corpus}
+    assert set(by_lang) == set(mu)
+    heavier = 0
+    for lang, rs in by_lang.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) == min(20, mu[lang][1])
+        if sum(r.w for r in rs) / len(rs) > mu[lang][0]:
+            heavier += 1
+    # weight-tilted in (at least) the clear majority of strata
+    assert heavier >= len(by_lang) - 1
+
+
+def test_ivf_probe_is_subset_of_exact_with_measurable_recall(spark):
+    """The probed-cell top-5 must (a) come only from the 2 probed
+    cells, (b) overlap the exact q43 top-5 — the recall/number-of-
+    probes trade-off made measurable. With UNTRAINED label cells and
+    nprobe=2 of ~8 cells, measured recall is 2/5 at sf0.001-0.01
+    (trained k-means cells — q75 — recall better); the floor pinned
+    here is >= 1, the mechanism (cell-bounded candidates, exact
+    within-cell ranking) is pinned exactly."""
+    from kinesis_logs_reader_spark.operators import similarity as sim
+
+    probe = sim.q141_ivf_fixed_probe(spark, SF_DIR).collect()
+    assert len(probe) == 5
+    assert len({r.cell for r in probe}) <= 2
+    exact = {r.vec_id for r in sim.q43_cosine_topk(spark, SF_DIR).collect()}
+    got = {r.vec_id for r in probe}
+    assert len(got & exact) >= 1
