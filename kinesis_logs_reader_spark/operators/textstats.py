@@ -441,3 +441,56 @@ def q138_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("divisor").desc())
     )
+
+
+def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition runs — the degenerate-loop detector
+    (same token emitted over and over) that complements q92's corpus-
+    level repetition ratios: per document, the LONGEST run of one
+    repeated adjacent token, the number of runs >= 3, and the fraction
+    of tokens inside such runs. Documents a generation loop or a
+    scraped page of repeated boilerplate produces score high here
+    while passing whole-doc and chunk dedup.
+
+    Classic gaps-and-islands over the cached token stream: run ids
+    from a lag-compare cumulative sum, run lengths from one (doc, run)
+    aggregate — both windows partition by doc_id and ride a single
+    shuffle of (doc_id, position, token).
+    """
+    pos = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens()).alias("i", "t"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    runs = pos.withColumn(
+        "new_run",
+        (F.coalesce(F.lag("t").over(w_doc) != F.col("t"), F.lit(True))).cast(
+            "int"
+        ),
+    ).withColumn("run_id", F.sum("new_run").over(w_doc))
+    run_lens = runs.groupBy("doc_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        run_lens.groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_tokens"),
+            F.max("run_len").alias("max_run"),
+            F.sum((F.col("run_len") >= 3).cast("int")).alias("n_runs_ge3"),
+            F.sum(
+                F.when(F.col("run_len") >= 3, F.col("run_len")).otherwise(0)
+            ).alias("tokens_in_runs"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_run",
+            "n_runs_ge3",
+            F.round(
+                F.col("tokens_in_runs").cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).cast("double").alias("run_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2764,3 +2764,55 @@ SELECT vec_id, cell, sim FROM (
 ) t
 ORDER BY vec_id
 """
+
+ORACLE["q142_interval_join"] = """
+WITH s AS (
+  SELECT user_id AS s_user, ts AS s_ts FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id AS p_user, ts AS p_ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT s.s_user, p.p_ts, p.amount
+  FROM s JOIN p
+    ON s.s_user = p.p_user
+   AND p.p_ts >= s.s_ts
+   AND p.p_ts <= s.s_ts + INTERVAL 60 MINUTE
+)
+SELECT s_user AS user_id,
+       COUNT(*) AS n_pairs,
+       CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_amount,
+       CAST(MIN(p_ts) AS VARCHAR) AS first_p_ts,
+       CAST(MAX(p_ts) AS VARCHAR) AS last_p_ts
+FROM j
+GROUP BY s_user
+ORDER BY user_id
+"""
+
+ORACLE["q143_repetition_runs"] = """
+WITH pos AS (
+  SELECT doc_id, i - 1 AS i, toks[i] AS t
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+), runs AS (
+  SELECT doc_id, i, t,
+         CASE WHEN LAG(t) OVER (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM t
+              THEN 1 ELSE 0 END AS new_run
+  FROM pos
+), rid AS (
+  SELECT doc_id,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+), run_lens AS (
+  SELECT doc_id, run_id, COUNT(*) AS run_len FROM rid GROUP BY doc_id, run_id
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs_ge3,
+       CAST(ROUND(CAST(SUM(CASE WHEN run_len >= 3 THEN run_len ELSE 0 END) AS DOUBLE)
+                  / SUM(run_len), 4) AS DOUBLE) AS run_frac
+FROM run_lens
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 144  # +q110-q141 (r4): LLM-pipeline extension batches 2-7
-N_ORACLES = 142  # thirty-two r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 146  # +q110-q143 (r4): LLM-pipeline extension batches 2-8
+N_ORACLES = 144  # thirty-four r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -216,6 +216,9 @@ DRIVER_WINDOW_R5: list[str] = [
     # round-4 additions (batch 7: weighted sampling + IVF probe)
     "q140_weighted_sample",
     "q141_ivf_fixed_probe",
+    # round-4 additions (batch 8: H9 batch twin + repetition runs)
+    "q142_interval_join",
+    "q143_repetition_runs",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

@@ -75,3 +75,45 @@ def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without the range exchange a global ORDER BY would add
         .sortWithinPartitions("user_id", "session_start")
     )
+
+
+def q142_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9's stream-stream interval join as an oracle-checkable batch
+    twin (same discipline as q31-q33 for H1-H3): purchases within 60
+    minutes after the same user's signup, aggregated per user to a
+    bounded summary. The join predicate is the exact condition
+    ``jobs.h9_stream_stream_join`` runs under watermarks — the
+    event-time bound on BOTH ends is what lets streaming state GC; in
+    batch the same bound is what keeps the join a band join instead of
+    a per-user cross product.
+
+    Scale shape: both sides shuffle once on user_id (the equi part of
+    the predicate); the band condition applies within each key group.
+    The per-user aggregate bounds the output at |users| rows at any
+    event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    return (
+        joined.groupBy(F.col("s_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(_dec("amount")), 2).cast("double").alias("sum_amount"),
+            F.min(F.col("p_ts").cast("string")).alias("first_p_ts"),
+            F.max(F.col("p_ts").cast("string")).alias("last_p_ts"),
+        )
+        .orderBy("user_id")
+    )
