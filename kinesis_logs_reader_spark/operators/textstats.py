@@ -452,42 +452,64 @@ def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scraped page of repeated boilerplate produces score high here
     while passing whole-doc and chunk dedup.
 
-    Classic gaps-and-islands over the cached token stream: run ids
-    from a lag-compare cumulative sum, run lengths from one (doc, run)
-    aggregate — both windows partition by doc_id and ride a single
-    shuffle of (doc_id, position, token).
+    ONE per-row array fold (F.aggregate with a struct accumulator +
+    finish lambda) — map-only, zero shuffle, linear in tokens. The
+    first formulation (posexplode + lag-window islands) shuffled the
+    whole (doc, pos, token) stream through two windows and grew 8x on
+    a 10x corpus at the sf~1 probe; the fold rides the scan. The
+    DuckDB oracle keeps the classical islands SQL — same values, two
+    independently-derived formulations hash-identical.
     """
-    pos = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(tokens()).alias("i", "t"))
+    docs = load_table(spark, sf_dir, "documents")
+    acc0 = F.struct(
+        F.lit("\u0000<init>").alias("prev"),
+        F.lit(0).cast("bigint").alias("cur"),
+        F.lit(0).cast("bigint").alias("mx"),
+        F.lit(0).cast("bigint").alias("nr3"),
+        F.lit(0).cast("bigint").alias("tir"),
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    runs = pos.withColumn(
-        "new_run",
-        (F.coalesce(F.lag("t").over(w_doc) != F.col("t"), F.lit(True))).cast(
-            "int"
-        ),
-    ).withColumn("run_id", F.sum("new_run").over(w_doc))
-    run_lens = runs.groupBy("doc_id", "run_id").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    return (
-        run_lens.groupBy("doc_id")
-        .agg(
-            F.sum("run_len").alias("n_tokens"),
-            F.max("run_len").alias("max_run"),
-            F.sum((F.col("run_len") >= 3).cast("int")).alias("n_runs_ge3"),
-            F.sum(
-                F.when(F.col("run_len") >= 3, F.col("run_len")).otherwise(0)
+
+    def step(acc, t):
+        same = t == acc["prev"]
+        cur2 = F.when(same, acc["cur"] + 1).otherwise(F.lit(1).cast("bigint"))
+        closing = ~same & (acc["cur"] >= 3)
+        return F.struct(
+            t.alias("prev"),
+            cur2.alias("cur"),
+            F.greatest(acc["mx"], cur2).alias("mx"),
+            (acc["nr3"] + closing.cast("bigint")).alias("nr3"),
+            (
+                acc["tir"]
+                + F.when(closing, acc["cur"]).otherwise(F.lit(0).cast("bigint"))
+            ).alias("tir"),
+        )
+
+    def finish(acc):
+        last_ge3 = acc["cur"] >= 3
+        return F.struct(
+            acc["mx"].alias("max_run"),
+            (acc["nr3"] + last_ge3.cast("bigint")).alias("n_runs_ge3"),
+            (
+                acc["tir"]
+                + F.when(last_ge3, acc["cur"]).otherwise(
+                    F.lit(0).cast("bigint")
+                )
             ).alias("tokens_in_runs"),
         )
-        .select(
+
+    staged = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        F.aggregate(tokens(), acc0, step, finish).alias("r"),
+    )
+    return (
+        staged.select(
             "doc_id",
             "n_tokens",
-            "max_run",
-            "n_runs_ge3",
+            F.col("r.max_run").alias("max_run"),
+            F.col("r.n_runs_ge3").alias("n_runs_ge3"),
             F.round(
-                F.col("tokens_in_runs").cast("double")
+                F.col("r.tokens_in_runs").cast("double")
                 / F.col("n_tokens").cast("double"),
                 4,
             ).cast("double").alias("run_frac"),
