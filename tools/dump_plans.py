@@ -43,6 +43,16 @@ ANNOTATED = {
     "q122_substring_dedup": "r4: positional k-gram digests — digest window + per-doc lag window, no join-back",
     "q127_centroid_classify": "r4: broadcast integer centroids; one (vec,label) aggregate, linear in vectors x labels",
     "q129_dedup_pipeline": "r4: dedup capstone — exact digest group-by feeds LSH pair generation; shuffles are digests and id pairs only",
+    "q131_table_profile": "r4 rewrite: NO Expand — stacked nulls/min/max aggregate + ONE unpivoted two-phase distinct count (combinable pre-aggregation)",
+    "q132_countmin_sketch": "r4: CMS grid built FROM per-term counts; 256-cell grid broadcast into the probe",
+    "q133_bloom_decontamination": "r4: bit set (<=8192 ints) and exact digest set both broadcast; train side never shuffles by text",
+    "q134_ngram_novelty": "r4: one min-window over shingle digests; only (doc_id, digest) moves",
+    "q135_jl_projection": "r4: map-only +- arithmetic chains (no lambdas, no shuffle) before the presentation sort",
+    "q136_source_overlap": "r4: persisted (source, digest) frame (InMemoryTableScan x3); keyed self-join, no cartesian",
+    "q139_pmi_collocations": "r4: unigram tables broadcast twice into the pair frame; top-20 via TakeOrderedAndProject",
+    "q141_ivf_fixed_probe": "r4: session-cached cell index (InMemoryTableScan); probe = routing + cell-bounded cosine",
+    "q142_interval_join": "r4: H9 batch twin — user-keyed equi join with band filter inside the key group",
+    "q143_repetition_runs": "r4: per-row struct-accumulator fold — zero shuffle, rides the scan",
 }
 
 
