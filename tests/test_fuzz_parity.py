@@ -422,3 +422,116 @@ def test_shingle_hash_kernel_agrees_cross_engine(spark, toks):
     finally:
         con.close()
     assert sorted(row.bases) == sorted(dbases), text
+
+
+# --- r4 batch 5-7 hash kernels: CMS bucket + md5-coin sampling key --------
+
+_term_strategy = st.lists(
+    st.text(alphabet="abcdefghij0123", min_size=1, max_size=8),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(terms=_term_strategy)
+def test_cms_bucket_kernel_agrees_cross_engine(spark, terms):
+    """The q132 Count-Min bucket hash (md5(j || ':' || term) -> 61-bit
+    int -> % width) must land every (j, term) in the same bucket in
+    both engines — the grid is meaningless otherwise."""
+    df = spark.createDataFrame(
+        [(j, t) for j in range(4) for t in terms], "j int, term string"
+    )
+    srows = {
+        (r.j, r.term): r.bucket
+        for r in df.select(
+            "j",
+            "term",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("j").cast("string"), F.col("term")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 64
+            ).alias("bucket"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        drows = {}
+        for j in range(4):
+            for t in terms:
+                [(b,)] = con.execute(
+                    "SELECT CAST('0x' || substr(md5(CAST(? AS VARCHAR) || ':' || ?), 1, 15) AS BIGINT) % 64",
+                    [j, t],
+                ).fetchall()
+                drows[(j, t)] = b
+    finally:
+        con.close()
+    assert srows == drows
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=20, unique=True
+    ),
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=20, max_size=20
+    ),
+)
+def test_weighted_sample_key_kernel_agrees_cross_engine(spark, ids, weights):
+    """The q140 Efraimidis-Spirakis key (md5 coin -> u in (0,1) ->
+    floor(ln(u)/w * 1e9)) must be bit-identical across engines for
+    arbitrary ids and weights — sampling membership depends on exact
+    key order."""
+    rows = [(i, w) for i, w in zip(ids, weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    m = 1_000_003
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("wsamp"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+        + 1
+    )
+    key = F.floor(
+        F.log(h.cast("double") / float(m + 1)) / F.col("w").cast("double") * 1e9
+    ).cast("bigint")
+    srows = {r.doc_id: r.k for r in df.select("doc_id", key.alias("k")).collect()}
+    con = duckdb.connect()
+    try:
+        drows = {}
+        for i, w in rows:
+            [(k,)] = con.execute(
+                "SELECT CAST(FLOOR(LN(CAST(CAST('0x' || substr(md5('wsamp:' || CAST(? AS VARCHAR)), 1, 15) AS BIGINT) % 1000003 + 1 AS DOUBLE) / 1000004.0) / CAST(? AS DOUBLE) * 1e9) AS BIGINT)",
+                [i, w],
+            ).fetchall()
+            drows[i] = k
+    finally:
+        con.close()
+    assert srows == drows
