@@ -68,9 +68,31 @@ def _revenue() -> Column:
 # directly.
 
 def _c2(c: str | Column) -> Column:
-    """2-decimal money column -> exact integer cents (bigint)."""
+    """2-decimal money column -> exact integer cents (bigint).
+
+    ``floor(x*100 + 0.5)`` instead of ``round(x*100)``: Spark's ROUND on
+    a double goes through a per-value BigDecimal allocation (measured
+    ~0.7 s over 600k rows x 6 rounds in q26c), while FLOOR is a single
+    codegen'd Math.floor. The two agree whenever x is a true 2-decimal
+    value stored as a double: x*100 then lands within ~1e-8 of the
+    integer cents (measured <=1.2e-10 across every money column at
+    every SF, negatives included), so it can never sit on the .5
+    boundary where HALF_UP and floor(+0.5) diverge.
+    """
     col = F.col(c) if isinstance(c, str) else c
-    return F.round(col * 100).cast("bigint")
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
+def _round_scaled(units: Column, pow10: int, digits: int = 2) -> Column:
+    """Exact HALF_UP of a NON-NEGATIVE scaled-int64 value to `digits`
+    decimals, returned as double — the per-row fast path that replaces
+    ``round(units/10^pow10, digits)``. Integer add-half + integer-div
+    is the textbook half-up; the final double division is exact because
+    the quotient stays far below 2^53 for per-row money values."""
+    q = 10 ** (pow10 - digits)
+    return F.floor((units + F.lit(q // 2)) / F.lit(q)).cast("bigint") / F.lit(
+        float(10**digits)
+    )
 
 
 def _rev4() -> Column:
@@ -123,11 +145,11 @@ def q01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            # per-row revenue in scaled int64; the division happens in
-            # double, which is exact here because a single row's 1e-4
-            # units stay far below 2^53 (unlike aggregated sums, which
-            # go through _money's decimal division)
-            F.round(_rev4() / F.lit(10000.0), 2).cast("double").alias("revenue"),
+            # per-row revenue in scaled int64; half-up happens in integer
+            # units (_round_scaled), so no per-row BigDecimal round and
+            # the final /100.0 is the exact nearest-double of a 2-decimal
+            # value (aggregated sums still use _money's decimal division)
+            _round_scaled(_rev4(), 4, 2).alias("revenue"),
         ),
         "l_orderkey",
         "l_linenumber",
@@ -209,21 +231,22 @@ def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # Aggregate-then-join: lineitem collapses to per-orderkey partials
-    # before touching orders, and the customer-name join runs on the
-    # per-customer aggregate (|customers| rows), so neither join ever
-    # shuffles raw line items. Same output, measured 1.3x at sf0.1 and
-    # the only shape that avoids a full fact-fact shuffle at 100 TB.
-    per_ord = li.groupBy("l_orderkey").agg(
-        F.sum(_rev4()).alias("_r4"), F.count(F.lit(1)).alias("_ni")
-    )
+    # Join-then-agg: lineitem is projected to (orderkey, rev4) — 16
+    # bytes/row — before the orderkey shuffle, then the per-customer
+    # partial agg runs map-side ahead of the custkey shuffle (the real
+    # reduction: |customers| << |line items|). A per-orderkey pre-agg
+    # buys almost nothing here (~4 items/order spread across partitions,
+    # so partials barely collapse) while costing an extra hash-agg pass
+    # — measured 1.2x slower at sf0.1. The customer-name join runs on
+    # the per-customer aggregate, broadcast-joined against the dim.
     per_cust = (
-        per_ord.join(
+        li.select("l_orderkey", _rev4().alias("_r4"))
+        .join(
             orders.select("o_orderkey", "o_custkey"),
-            per_ord.l_orderkey == F.col("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum("_r4").alias("_r4"), F.sum("_ni").alias("n_items"))
+        .agg(F.sum("_r4").alias("_r4"), F.count(F.lit(1)).alias("n_items"))
     )
     return (
         per_cust.join(
@@ -236,7 +259,7 @@ def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.col("_r4"), 4).alias("revenue"),
             "n_items",
         )
-        .orderBy("c_custkey")
+        .transform(presentation_order, "c_custkey")
     )
 
 
@@ -684,18 +707,30 @@ def q26b_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26c_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G: round/floor/ceil/abs/mod/power/ln/sqrt on lineitem."""
+    """G: round/floor/ceil/abs/mod/power/ln/sqrt on lineitem.
+
+    The rounds whose inputs are exact in integer units skip Spark's
+    per-value BigDecimal ROUND (measured ~0.7 s over this scan at
+    sf0.1) and round in int64 instead — provably identical because the
+    true values are 2-decimal money / integral quantities (see _c2):
+    - r1: half-up of integer cents to deci-dollars,
+    - ab: |cents(disc) - 5| is an exact multiple of 0.01, so ROUND(..,4)
+      is the identity,
+    - pw: l_quantity is integral (1..50), so qty^2 is an exact integer
+      and ROUND(..,2) is the identity.
+    ln/sqrt produce genuine irrationals, so those keep the real ROUND.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round("l_extendedprice", 1).alias("r1"),
+            (F.floor((_c2("l_extendedprice") + F.lit(5)) / F.lit(10)).cast("bigint") / F.lit(10.0)).alias("r1"),
             F.floor("l_extendedprice").cast("bigint").alias("fl"),
             F.ceil("l_extendedprice").cast("bigint").alias("ce"),
-            F.round(F.abs(F.col("l_discount") - 0.05), 4).cast("double").alias("ab"),
+            (F.abs(_c2("l_discount") - F.lit(5)).cast("double") / F.lit(100.0)).alias("ab"),
             (F.col("l_orderkey") % 7).cast("bigint").alias("md"),
-            F.round(F.pow(F.col("l_quantity"), 2), 2).cast("double").alias("pw"),
+            (F.col("l_quantity") * F.col("l_quantity")).cast("double").alias("pw"),
             F.round(F.log(F.col("l_extendedprice")), 6).cast("double").alias("lnp"),
             F.round(F.sqrt(F.col("l_quantity")), 6).cast("double").alias("sq"),
         )

@@ -313,15 +313,22 @@ def test_rrf_fusion_broadcasts_rank_lists(spark):
     assert explain.has_broadcast_join(df)
 
 
-def test_substring_dedup_digest_window_shuffles(spark):
-    """q122: occurrence counting is a window over digests plus the
-    per-doc span window — no aggregate+join-back pattern."""
+def test_substring_dedup_digest_counting_is_sort_free(spark):
+    """q122: occurrence counting is groupBy(h) + broadcast join-back
+    onto the persisted positional frame — a digest COUNT() OVER window
+    would shuffle AND sort every positional shingle. Only the per-doc
+    span lag-window sorts, and only duplicated positions reach it."""
     from kinesis_logs_reader_spark.operators import dedup
 
     df = dedup.q122_substring_dedup(spark, SF_DIR)
     plan = explain.formatted_plan(df)
-    assert "Window" in plan
-    # digest window + per-doc lag window + final doc aggregate
+    # the dup-digest set broadcasts back (map-only on the probe side)
+    assert "BroadcastHashJoin" in plan
+    # exactly one window left in the tree: the per-doc span detector
+    # (formatted explain prints each node twice — tree "Window (N)" and
+    # detail "(N) Window" — so count tree occurrences only)
+    assert plan.count("Window (") == 1
+    # digest groupBy + per-doc window + final doc aggregate
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
