@@ -527,9 +527,14 @@ def q112_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("chunk").alias("h"))
     )
     # Global occurrence count as a window over the digest: ONE shuffle
-    # on h (vs aggregate + join back = two), and the counts side never
-    # materializes as a join table that would outgrow a broadcast at
-    # corpus scale.
+    # on h. q122's groupBy + broadcast-join-back pattern was MEASURED
+    # here too (r4): 0.77 s vs 0.61 s — slower, because 2-token chunks
+    # make most digests duplicated, so the "tiny dup set" premise that
+    # wins for q122's rare k=8 shingle collisions inverts (the dup set
+    # approaches the full digest frame and the join-back recomputes the
+    # explode). Dup density decides the formulation, not a universal
+    # rule; a paragraph-level chunker (rare dups) should flip to q122's
+    # shape.
     from pyspark.sql.window import Window
 
     occ = hashed.withColumn(
