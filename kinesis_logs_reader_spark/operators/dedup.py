@@ -1055,3 +1055,54 @@ def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def q146_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: for a ladder of Jaccard cutoffs,
+    how many candidate pairs and how many distinct documents would a
+    near-dup pass at that threshold touch. This is the knob-setting
+    query a pipeline owner runs BEFORE committing a threshold — q123
+    audits the MinHash estimator's accuracy, this audits the
+    threshold's blast radius.
+
+    Reuses q44's exact candidate-pair statistics (shared persisted
+    shingle frame); the sweep itself is a 4-row broadcast ladder
+    crossed against the pair frame — pairs are counted once per
+    qualifying threshold, never recomputed. At corpus scale the pair
+    frame is the LSH candidate output (corpus-sized), the ladder agg
+    is |thresholds| rows.
+    """
+    pairs = shingle_pair_counts(
+        sh_frame=_cached_slice_shingles(spark, sf_dir)
+    ).select(
+        "ida",
+        "idb",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jac"),
+    )
+    ladder = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(0.3), F.lit(0.5), F.lit(0.7), F.lit(0.9))
+        ).alias("threshold")
+    )
+    hits = pairs.crossJoin(F.broadcast(ladder)).filter(
+        F.col("jac") >= F.col("threshold")
+    )
+    n_pairs = hits.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        hits.select("threshold", F.explode(F.array("ida", "idb")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs_affected"))
+    )
+    return (
+        ladder.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )

@@ -524,3 +524,183 @@ def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q144_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the classic
+    gibberish/boilerplate screen that q42's ratio features approximate:
+    keyboard mash and copy-paste loops collapse the within-doc token
+    distribution, so low normalized entropy flags them regardless of
+    length. (Corpus-LM score q115 measures a doc against the CORPUS
+    distribution; entropy measures it against ITSELF — a doc of rare
+    words scores low there but high here.)
+
+    Exactness idiom (q115/q117): H = (1/n) * sum_t c_t*(ln n - ln c_t).
+    Each per-term product is quantized to int64 micro-nats BEFORE the
+    per-doc sum (exact integer accumulation in both engines); the /n
+    and /ln(v) normalizations are single double ops at the end.
+
+    Scale shape: one (doc_id, token) aggregate (map-side combinable),
+    then a doc-keyed window for the doc totals over the already
+    vocab-collapsed per-doc counts — both shuffles move (doc, term,
+    count) rows bounded by per-doc vocab, never raw token occurrences
+    past the first combine.
+    """
+    tok = cached_doc_tokens(spark, sf_dir).select("doc_id", "t")
+    counts = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = Window.partitionBy("doc_id")
+    staged = counts.withColumn("n", F.sum("c").over(per_doc)).select(
+        "doc_id",
+        "n",
+        F.floor(
+            F.col("c").cast("double")
+            * (F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double")))
+            * 1e6
+        ).cast("bigint").alias("hq"),
+    )
+    return (
+        staged.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("hq").alias("_shq"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            F.round(
+                F.col("_shq").cast("double") / 1e6 / F.col("n_tok").cast("double"),
+                4,
+            ).cast("double").alias("entropy"),
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(
+                    F.col("_shq").cast("double")
+                    / 1e6
+                    / F.col("n_tok").cast("double")
+                    / F.log(F.col("n_distinct").cast("double")),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("norm_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q145_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate against a frequency-truncated vocabulary —
+    the statistic that sizes a tokenizer's vocab (complement of q105's
+    coverage curve: q105 asks "how much do the top-k cover", this asks
+    "what fraction of each language's stream falls OUTSIDE a fixed
+    top-V vocab", the quantity that becomes <unk> mass at training).
+
+    Vocab = top-256 tokens by corpus frequency (ties broken by token
+    text, so both engines pick the identical set). Scale shape: corpus
+    counts are vocab-bounded after the map-side combine; the rank
+    window runs over that bounded frame; the vocab broadcasts back
+    onto the token stream (map-only flag), and the per-language
+    rollup is |langs| rows.
+    """
+    tok = cached_doc_tokens(spark, sf_dir).select("lang", "t")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    rank_w = Window.orderBy(F.col("c").desc(), "t")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= 256)
+        .select("t", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "t", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).cast("double").alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-1 smoothing — the
+    next rung of the CCNet-style perplexity ladder above q115's
+    unigram: score each document by the mean conditional log-prob
+    ln((C(w1 w2)+1) / (C(w1 ·)+V)) of its bigram stream, where C(w1 ·)
+    counts bigrams starting with w1 and V is the corpus distinct-token
+    count. Word-salad whose unigrams are plausible but whose ORDER is
+    not scores low here and passes q115 — the discriminator the
+    unigram model cannot express.
+
+    Exactness: per-bigram log-probs quantized to int64 micro-nats
+    before the per-doc sum (q115 idiom). Scale shape: the bigram count
+    table is bigram-vocab-bounded after the map-side combine; context
+    counts derive from it (one more vocab-bounded agg, never a second
+    corpus pass); both broadcast back onto the per-doc bigram stream.
+    """
+    from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", tokens().alias("_toks"))
+    big = tokd.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("bg")
+    )
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg_counts.select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c_bg"
+    ).groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab_n = (
+        cached_doc_tokens(spark, sf_dir)
+        .select("t")
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    lp = (
+        bg_counts.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + 1).cast("double")
+                    / (F.col("c_ctx") + F.col("v")).cast("double")
+                )
+                * 1e6
+            ).cast("bigint").alias("lp_q"),
+        )
+    )
+    return (
+        big.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_q").alias("sum_lp_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_q",
+            F.round(
+                F.col("sum_lp_q").cast("double")
+                / 1e6
+                / F.col("n_bigrams").cast("double"),
+                4,
+            ).cast("double").alias("avg_logprob"),
+        )
+        .withColumn("keep", F.col("avg_logprob") > -6.0)
+        .orderBy("doc_id")
+    )

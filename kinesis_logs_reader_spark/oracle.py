@@ -2816,3 +2816,129 @@ FROM run_lens
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# --- round-4 additions batch 9: entropy / OOV / threshold sweep / bigram LM
+
+ORACLE["q144_token_entropy"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+), staged AS (
+  SELECT doc_id,
+         SUM(c) OVER (PARTITION BY doc_id) AS n,
+         CAST(FLOOR(CAST(c AS DOUBLE)
+                    * (LN(CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE))
+                       - LN(CAST(c AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS hq
+  FROM counts
+), agg AS (
+  SELECT doc_id,
+         MAX(n) AS n_tok,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(hq) AS BIGINT) AS shq
+  FROM staged GROUP BY doc_id
+)
+SELECT doc_id, n_tok, n_distinct,
+       CAST(ROUND(CAST(shq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+            AS DOUBLE) AS entropy,
+       CASE WHEN n_distinct > 1 THEN
+         CAST(ROUND(CAST(shq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE)
+                    / LN(CAST(n_distinct AS DOUBLE)), 4) AS DOUBLE)
+       ELSE 0.0 END AS norm_entropy
+FROM agg
+ORDER BY doc_id
+"""
+
+ORACLE["q145_oov_rate"] = """
+WITH tok AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM counts
+  ) WHERE r <= 256
+)
+SELECT lang,
+       COUNT(*) AS total_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       CAST(ROUND(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab v ON tok.t = v.t
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLE["q146_jaccard_threshold_sweep"] = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 200
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), common AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT ida, idb,
+         common / CAST(sa.n + sb.n - common AS DOUBLE) AS jac
+  FROM common
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sa ON sa.doc_id = ida
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) sb ON sb.doc_id = idb
+), ladder AS (
+  SELECT unnest(CAST([0.3, 0.5, 0.7, 0.9] AS DOUBLE[])) AS threshold
+), hits AS (
+  SELECT threshold, ida, idb FROM pairs, ladder WHERE jac >= threshold
+), np AS (
+  SELECT threshold, COUNT(*) AS n_pairs FROM hits GROUP BY threshold
+), nd AS (
+  SELECT threshold, COUNT(DISTINCT d) AS n_docs_affected
+  FROM (SELECT threshold, unnest([ida, idb]) AS d FROM hits)
+  GROUP BY threshold
+)
+SELECT threshold,
+       COALESCE(n_pairs, 0) AS n_pairs,
+       COALESCE(n_docs_affected, 0) AS n_docs_affected
+FROM ladder LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+ORDER BY threshold
+"""
+
+ORACLE["q147_bigram_lm"] = """
+WITH tokd AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, GREATEST(len(toks) - 1, 0) + 1),
+           i -> array_to_string(toks[i:i+1], ' ')
+         )) AS bg
+  FROM tokd
+), bgc AS (
+  SELECT bg, COUNT(*) AS c_bg FROM big GROUP BY bg
+), ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_ctx
+  FROM bgc GROUP BY split_part(bg, ' ', 1)
+), vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+), lp AS (
+  SELECT bg,
+         CAST(FLOOR(LN(CAST(c_bg + 1 AS DOUBLE)
+                       / CAST(c_ctx + v AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM bgc
+  JOIN ctx ON ctx.w1 = split_part(bgc.bg, ' ', 1)
+  CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
+  FROM big JOIN lp USING (bg)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_lp_q,
+       CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE), 4)
+            AS DOUBLE) AS avg_logprob,
+       (CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_bigrams AS DOUBLE), 4)
+             AS DOUBLE) > -6.0) AS keep
+FROM agg
+ORDER BY doc_id
+"""

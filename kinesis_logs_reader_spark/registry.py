@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 146  # +q110-q143 (r4): LLM-pipeline extension batches 2-8
-N_ORACLES = 144  # thirty-four r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 150  # +q110-q147 (r4): LLM-pipeline extension batches 2-9
+N_ORACLES = 148  # thirty-eight r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -219,6 +219,11 @@ DRIVER_WINDOW_R5: list[str] = [
     # round-4 additions (batch 8: H9 batch twin + repetition runs)
     "q142_interval_join",
     "q143_repetition_runs",
+    # round-4 additions (batch 9: entropy/OOV/threshold-sweep/bigram-LM)
+    "q144_token_entropy",
+    "q145_oov_rate",
+    "q146_jaccard_threshold_sweep",
+    "q147_bigram_lm",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

@@ -1,0 +1,99 @@
+"""Semantic tests for the round-4 batch-9 operators (q144-q147) —
+invariants the SQL oracle's value hash cannot express: entropy bounds
+and degenerate-document behavior, OOV/vocab accounting, threshold-sweep
+monotonicity, and the bigram model's word-order sensitivity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kinesis_logs_reader_spark.operators import dedup, textstats
+
+from tests.conftest import SF_DIR
+
+
+def _planted_corpus(spark, tmp_path, rows):
+    """Write a tiny documents.parquet corpus and return its dir."""
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    return d
+
+
+def test_entropy_bounds_and_degenerate_docs(spark, tmp_path):
+    """Constant doc -> entropy 0; all-distinct doc -> entropy == ln(n)
+    (norm_entropy == 1); mixed doc strictly between. Upper bound
+    ln(n_distinct) holds corpus-wide (+1 ulp of quantization slack)."""
+    d = _planted_corpus(
+        spark,
+        tmp_path,
+        [
+            (1, "x x x x x x x x"),
+            (2, "a b c d e f g h"),
+            (3, "a a a a b b c d"),
+        ],
+    )
+    rows = {r.doc_id: r for r in textstats.q144_token_entropy(spark, d).collect()}
+    assert rows[1].entropy == 0.0 and rows[1].norm_entropy == 0.0
+    assert abs(rows[2].entropy - round(math.log(8), 4)) < 1e-3
+    assert abs(rows[2].norm_entropy - 1.0) < 1e-3
+    assert 0.0 < rows[3].entropy < rows[2].entropy
+    corpus = textstats.q144_token_entropy(spark, SF_DIR).collect()
+    assert all(r.entropy >= 0.0 for r in corpus)
+    assert all(
+        r.entropy <= math.log(max(r.n_distinct, 2)) + 1e-3 for r in corpus
+    )
+
+
+def test_oov_accounting_against_exact_recount(spark):
+    """oov_tokens + in-vocab tokens == total_tokens per language, and
+    the corpus-wide totals reconcile with a direct token count."""
+    rows = textstats.q145_oov_rate(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+    assert all(r.oov_tokens <= r.total_tokens for r in rows)
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert sum(r.total_tokens for r in rows) == total
+
+
+def test_threshold_sweep_is_monotone_nonincreasing(spark):
+    """Raising the Jaccard cutoff can only shrink the hit set: both
+    n_pairs and n_docs_affected are non-increasing in threshold, and
+    docs-affected is bounded by 2*pairs (a pair touches 2 docs)."""
+    rows = dedup.q146_jaccard_threshold_sweep(spark, SF_DIR).collect()
+    assert [r.threshold for r in rows] == [0.3, 0.5, 0.7, 0.9]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert all(d <= 2 * p for p, d in zip(pairs, docs))
+
+
+def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
+    """The discriminator the unigram model cannot express: repeat a
+    frequent phrase to train the model, then score (a) another copy of
+    the phrase and (b) the same WORDS in scrambled order. Identical
+    unigrams, but the scrambled doc's bigrams are unseen (add-1 floor),
+    so its avg_logprob must be strictly lower."""
+    phrase = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy fox brown jumps the"
+    rows_src = [(i, phrase) for i in range(1, 9)]
+    rows_src.append((100, phrase))
+    rows_src.append((101, scrambled))
+    d = _planted_corpus(spark, tmp_path, rows_src)
+    rows = {r.doc_id: r for r in textstats.q147_bigram_lm(spark, d).collect()}
+    assert rows[100].n_bigrams == rows[101].n_bigrams
+    assert rows[100].avg_logprob > rows[101].avg_logprob
+    # keep is defined as avg_logprob > -6.0, whatever the corpus
+    assert all(r.keep == (r.avg_logprob > -6.0) for r in rows.values())
