@@ -114,6 +114,23 @@ def shingle_pair_counts(
     return common.join(F.broadcast(sa), "ida").join(F.broadcast(sb), "idb")
 
 
+def _cached_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted output of :func:`shingle_pair_counts` over the
+    shared slice-shingle frame. Three operators consume the identical
+    pair statistics (q44 Jaccard, q116 containment, q146 threshold
+    sweep) and each call re-ran the inverted-index self-join;
+    persisting the (ida, idb, common, na, nb) frame — pair-count rows,
+    tiny — runs it once per session+corpus. At 100 TB this is the
+    materialized candidate-pair table every scoring pass reads.
+    """
+    cache = spark.__dict__.setdefault("_klrs_pair_counts_cache", {})
+    if sf_dir not in cache:
+        cache[sf_dir] = shingle_pair_counts(
+            sh_frame=_cached_slice_shingles(spark, sf_dir)
+        ).persist()
+    return cache[sf_dir]
+
+
 def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by exact 3-gram Jaccard over a fixed doc slice.
 
@@ -122,7 +139,7 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Top-20 pairs by similarity, total order.
     """
     jac = (
-        shingle_pair_counts(sh_frame=_cached_slice_shingles(spark, sf_dir))
+        _cached_pair_counts(spark, sf_dir)
         .select(
             "ida",
             "idb",
@@ -565,9 +582,7 @@ def q116_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`shingle_pair_counts`); only the scoring differs. Top-20
     pairs by containment, total order.
     """
-    cont = shingle_pair_counts(
-        sh_frame=_cached_slice_shingles(spark, sf_dir)
-    ).select(
+    cont = _cached_pair_counts(spark, sf_dir).select(
         "ida",
         "idb",
         "common",
@@ -1066,15 +1081,13 @@ def q146_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold's blast radius.
 
     Reuses q44's exact candidate-pair statistics (shared persisted
-    shingle frame); the sweep itself is a 4-row broadcast ladder
+    pair frame); the sweep itself is a 4-row broadcast ladder
     crossed against the pair frame — pairs are counted once per
     qualifying threshold, never recomputed. At corpus scale the pair
     frame is the LSH candidate output (corpus-sized), the ladder agg
     is |thresholds| rows.
     """
-    pairs = shingle_pair_counts(
-        sh_frame=_cached_slice_shingles(spark, sf_dir)
-    ).select(
+    pairs = _cached_pair_counts(spark, sf_dir).select(
         "ida",
         "idb",
         (
