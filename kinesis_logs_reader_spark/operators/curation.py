@@ -1069,3 +1069,113 @@ def q140_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rank", "doc_id", "w", "key_nano")
         .orderBy("lang", "rank")
     )
+
+
+def q148_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate mining: collapse every digit run to '#' and
+    normalize case/whitespace, then group documents whose SKELETONS
+    collide — the mad-lib detector that catches machine-generated
+    families ("Error 404 at 10:32", "Error 500 at 11:07") that exact
+    and near-dup both miss (different digits -> different shingles, but
+    one template).
+
+    Variants are planted in-query (docs id < 15 re-emitted twice at
+    id+4000000/+4100000 with different numeric suffixes) so template
+    groups exist by construction and must surface with n_docs >= 3.
+    Scale shape: skeleton digest is a map-only expression; one
+    16-byte-keyed aggregate; output bounded to groups with >= 2 docs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" error 42 at 1032")).alias("text"),
+    )
+    v2 = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 4100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" error 500 at 911")).alias("text"),
+    )
+    base = docs.unionByName(v1).unionByName(v2)
+    skeleton = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+            " +",
+            " ",
+        )
+    )
+    return (
+        base.select("doc_id", skeleton.alias("skel"))
+        .groupBy("skel")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("exemplar_id", "n_docs")
+        .orderBy("exemplar_id")
+    )
+
+
+def q149_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-term mining per source: Monroe-style log-odds of a
+    term inside a source vs the rest of the corpus, add-1 smoothed —
+    "which words characterize this source", the per-source complement
+    of q95's per-document TF-IDF. A source whose signature terms are
+    spam markers gets its mixture weight cut; this query produces that
+    evidence.
+
+    lift(t, s) = ln((c_st+1)/(T_s-c_st+1)) - ln((c_t-c_st+1)/(T-T_s-(c_t-c_st)+1))
+
+    Exactness: every count is exact int64; the two lns are each one
+    deterministic double op quantized to int64 micro-nats before the
+    subtraction (q115 idiom), so ranking and values agree bit-for-bit
+    across engines. Scale shape: all four aggregates are vocab- or
+    |sources|-bounded after map-side combine; the final top-3 window
+    runs over a |sources| x vocab frame, never corpus rows.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens()).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    t_tot = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    corpus = s_tot.agg(F.sum("t_s").alias("tt"))
+    j = (
+        st.join(F.broadcast(t_tot), "t")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(corpus))
+    )
+    lift_q = (
+        F.floor(
+            F.log(
+                (F.col("c_st") + 1).cast("double")
+                / (F.col("t_s") - F.col("c_st") + 1).cast("double")
+            )
+            * 1e6
+        )
+        - F.floor(
+            F.log(
+                (F.col("c_t") - F.col("c_st") + 1).cast("double")
+                / (
+                    F.col("tt") - F.col("t_s") - (F.col("c_t") - F.col("c_st")) + 1
+                ).cast("double")
+            )
+            * 1e6
+        )
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_q").desc(), F.col("t")
+    )
+    return (
+        j.select("source", "t", lift_q.alias("lift_q"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "source",
+            F.col("rn").alias("rank"),
+            F.col("t").alias("term"),
+            F.round(F.col("lift_q").cast("double") / 1e6, 4)
+            .cast("double")
+            .alias("log_odds"),
+        )
+        .orderBy("source", "rank")
+    )

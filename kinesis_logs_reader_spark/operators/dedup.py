@@ -1124,3 +1124,27 @@ def q146_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+def q151_candidate_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the candidate-pair graph: how many
+    near-dup partners each document has, histogrammed. Hubs (high
+    degree) are boilerplate/template centers that pairwise dedup
+    handles quadratically badly — the diagnostic that says "resolve
+    this cluster with q74's connected components, not pair-at-a-time".
+
+    One endpoint-explode + two tiny aggregates over the shared
+    persisted pair frame (q44/q116/q146's); output is bounded by the
+    max degree, corpus-size-invariant.
+    """
+    deg = (
+        _cached_pair_counts(spark, sf_dir)
+        .select(F.explode(F.array("ida", "idb")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

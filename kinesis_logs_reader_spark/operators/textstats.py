@@ -712,3 +712,37 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("avg_logprob") > -6.0)
         .orderBy("doc_id")
     )
+
+
+def q150_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per document — the OCR-artifact /
+    mojibake screen: a clean prose doc is dominated by letters and
+    single spaces; scan glitches and binary-in-text show up as
+    punctuation/digit mass. Everything is a per-row regexp_count on
+    the scan (map-only, rides whole-stage codegen); the flag thresholds
+    are the knobs a crawl pipeline tunes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    alpha = F.regexp_count("text", F.lit("[a-zA-Z]")).cast("bigint")
+    digit = F.regexp_count("text", F.lit("[0-9]")).cast("bigint")
+    space = F.regexp_count("text", F.lit(" ")).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            alpha.alias("n_alpha"),
+            digit.alias("n_digit"),
+            space.alias("n_space"),
+            (F.length("text") - alpha - digit - space).alias("n_other"),
+            F.round(alpha.cast("double") / n, 4).cast("double").alias("alpha_ratio"),
+            F.round(
+                (F.length("text") - alpha - digit - space).cast("double") / n, 4
+            ).cast("double").alias("other_ratio"),
+        )
+        .withColumn(
+            "suspect",
+            (F.col("alpha_ratio") < 0.5) | (F.col("other_ratio") > 0.1),
+        )
+        .transform(presentation_order, "doc_id")
+    )

@@ -2942,3 +2942,104 @@ SELECT doc_id, n_bigrams, sum_lp_q,
 FROM agg
 ORDER BY doc_id
 """
+
+# --- round-4 additions batch 10: templates / signatures / charset / degree
+
+ORACLE["q148_template_mining"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000, text || ' error 42 at 1032'
+  FROM documents WHERE doc_id < 15
+  UNION ALL
+  SELECT doc_id + 4100000, text || ' error 500 at 911'
+  FROM documents WHERE doc_id < 15
+), skel AS (
+  SELECT doc_id,
+         md5(regexp_replace(
+               regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+               ' +', ' ', 'g')) AS skel
+  FROM base
+)
+SELECT MIN(doc_id) AS exemplar_id, COUNT(*) AS n_docs
+FROM skel
+GROUP BY skel
+HAVING COUNT(*) >= 2
+ORDER BY exemplar_id
+"""
+
+ORACLE["q149_source_signature"] = """
+WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS t FROM documents
+), st AS (
+  SELECT source, t, COUNT(*) AS c_st FROM tok GROUP BY source, t
+), t_tot AS (
+  SELECT t, SUM(c_st) AS c_t FROM st GROUP BY t
+), s_tot AS (
+  SELECT source, SUM(c_st) AS t_s FROM st GROUP BY source
+), corpus AS (
+  SELECT SUM(t_s) AS tt FROM s_tot
+), lifted AS (
+  SELECT st.source, st.t,
+         CAST(FLOOR(LN(CAST(c_st + 1 AS DOUBLE)
+                       / CAST(t_s - c_st + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(FLOOR(LN(CAST(c_t - c_st + 1 AS DOUBLE)
+                         / CAST(tt - t_s - (c_t - c_st) + 1 AS DOUBLE)) * 1e6)
+                AS BIGINT) AS lift_q
+  FROM st
+  JOIN t_tot USING (t)
+  JOIN s_tot USING (source)
+  CROSS JOIN corpus
+), ranked AS (
+  SELECT source, t, lift_q,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lift_q DESC, t) AS rn
+  FROM lifted
+)
+SELECT source, rn AS rank, t AS term,
+       CAST(ROUND(CAST(lift_q AS DOUBLE) / 1e6, 4) AS DOUBLE) AS log_odds
+FROM ranked WHERE rn <= 3
+ORDER BY source, rank
+"""
+
+ORACLE["q150_charset_profile"] = """
+WITH staged AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+         LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_space
+  FROM documents
+), full_row AS (
+  SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+         n_chars - n_alpha - n_digit - n_space AS n_other,
+         CAST(ROUND(n_alpha / CAST(n_chars AS DOUBLE), 4) AS DOUBLE) AS alpha_ratio,
+         CAST(ROUND((n_chars - n_alpha - n_digit - n_space)
+                    / CAST(n_chars AS DOUBLE), 4) AS DOUBLE) AS other_ratio
+  FROM staged
+)
+SELECT *, (alpha_ratio < 0.5 OR other_ratio > 0.1) AS suspect
+FROM full_row
+ORDER BY doc_id
+"""
+
+ORACLE["q151_candidate_degree"] = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 200
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), deg AS (
+  SELECT d, COUNT(*) AS degree
+  FROM (SELECT unnest([ida, idb]) AS d FROM pairs)
+  GROUP BY d
+)
+SELECT degree, COUNT(*) AS n_docs
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 150  # +q110-q147 (r4): LLM-pipeline extension batches 2-9
-N_ORACLES = 148  # thirty-eight r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 154  # +q110-q151 (r4): LLM-pipeline extension batches 2-10
+N_ORACLES = 152  # forty-two r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -224,6 +224,11 @@ DRIVER_WINDOW_R5: list[str] = [
     "q145_oov_rate",
     "q146_jaccard_threshold_sweep",
     "q147_bigram_lm",
+    # round-4 additions (batch 10: templates/signatures/charset/degree)
+    "q148_template_mining",
+    "q149_source_signature",
+    "q150_charset_profile",
+    "q151_candidate_degree",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

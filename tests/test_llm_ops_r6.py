@@ -1,7 +1,9 @@
-"""Semantic tests for the round-4 batch-9 operators (q144-q147) —
+"""Semantic tests for the round-4 batch-9/10 operators (q144-q151) —
 invariants the SQL oracle's value hash cannot express: entropy bounds
 and degenerate-document behavior, OOV/vocab accounting, threshold-sweep
-monotonicity, and the bigram model's word-order sensitivity.
+monotonicity, the bigram model's word-order sensitivity, planted
+template recovery, per-source signature shape, charset partition
+completeness, and pair/degree accounting.
 """
 
 from __future__ import annotations
@@ -97,3 +99,53 @@ def test_bigram_lm_penalizes_shuffled_word_order(spark, tmp_path):
     assert rows[100].avg_logprob > rows[101].avg_logprob
     # keep is defined as avg_logprob > -6.0, whatever the corpus
     assert all(r.keep == (r.avg_logprob > -6.0) for r in rows.values())
+
+
+def test_template_mining_recovers_planted_groups(spark):
+    """Each planted (original, +4000000-variant, +4100000-variant)
+    triple shares a digit-normalized skeleton... but the two planted
+    variants append EXTRA text, so they group with each other, not the
+    original. Every group must have >= 2 members and a planted
+    exemplar; there are exactly 15 planted groups on this corpus."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    rows = curation.q148_template_mining(spark, SF_DIR).collect()
+    planted = [r for r in rows if r.exemplar_id >= 4000000]
+    assert len(planted) == 15
+    assert all(r.n_docs >= 2 for r in rows)
+
+
+def test_source_signature_is_top3_per_source(spark):
+    """Exactly 3 ranked terms per source, ranks 1..3, lifts
+    non-increasing within a source."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    rows = curation.q149_source_signature(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert [r.rank for r in rs] == [1, 2, 3]
+        lifts = [r.log_odds for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_charset_profile_partitions_every_char(spark):
+    """alpha + digit + space + other == n_chars row-wise, and ratios
+    stay in [0, 1]."""
+    rows = textstats.q150_charset_profile(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_alpha + r.n_digit + r.n_space + r.n_other == r.n_chars
+        assert 0.0 <= r.alpha_ratio <= 1.0
+        assert 0.0 <= r.other_ratio <= 1.0
+
+
+def test_candidate_degree_accounts_for_every_pair(spark):
+    """sum(degree * n_docs) == 2 * |pairs|: every pair contributes
+    exactly two endpoint-degree units."""
+    from kinesis_logs_reader_spark.operators.dedup import _cached_pair_counts
+
+    rows = dedup.q151_candidate_degree(spark, SF_DIR).collect()
+    n_pairs = _cached_pair_counts(spark, SF_DIR).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
