@@ -2824,26 +2824,21 @@ WITH tok AS (
   SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
 ), counts AS (
   SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
-), staged AS (
-  SELECT doc_id,
-         SUM(c) OVER (PARTITION BY doc_id) AS n,
-         CAST(FLOOR(CAST(c AS DOUBLE)
-                    * (LN(CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE))
-                       - LN(CAST(c AS DOUBLE)))
-                    * 1e6) AS BIGINT) AS hq
-  FROM counts
 ), agg AS (
   SELECT doc_id,
-         MAX(n) AS n_tok,
+         SUM(c) AS n_tok,
          COUNT(*) AS n_distinct,
-         CAST(SUM(hq) AS BIGINT) AS shq
-  FROM staged GROUP BY doc_id
+         CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                             * 1e6) AS BIGINT)) AS BIGINT) AS sq
+  FROM counts GROUP BY doc_id
 )
 SELECT doc_id, n_tok, n_distinct,
-       CAST(ROUND(CAST(shq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+       CAST(ROUND(LN(CAST(n_tok AS DOUBLE))
+                  - CAST(sq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
             AS DOUBLE) AS entropy,
        CASE WHEN n_distinct > 1 THEN
-         CAST(ROUND(CAST(shq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE)
+         CAST(ROUND((LN(CAST(n_tok AS DOUBLE))
+                     - CAST(sq AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE))
                     / LN(CAST(n_distinct AS DOUBLE)), 4) AS DOUBLE)
        ELSE 0.0 END AS norm_entropy
 FROM agg
