@@ -373,3 +373,66 @@ def q124_reconstruct_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q153_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-shift audit: what exact dedup does to each source's
+    share of the corpus. Dedup is not mixture-neutral — a source that
+    is 30% of raw bytes but mostly copies can drop to 10% of the
+    deduplicated corpus, silently re-weighting training data. This
+    reports per-source docs before, survivors after (keep = min doc_id
+    per md5 group, q40's rule), and the share drift in micro-units.
+
+    Copies are planted in-query (docs id < 25 re-emitted at id+5000000
+    under a skewed source label 'mirror') so one source is duplicate-
+    heavy by construction and must lose share. Scale shape: survivor
+    attribution is min_by(source, doc_id) INSIDE the one 16-byte-digest
+    aggregate — no join back to the corpus at all; everything after is
+    |sources|-bounded. Shares are exact int64 micro-unit ratios.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    base = docs.unionByName(planted).select(
+        "doc_id", "source", F.md5("text").alias("_h")
+    )
+    keep = base.groupBy("_h").agg(
+        F.min_by("source", "doc_id").alias("source")
+    )
+    pre = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    post = keep.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
+    joined = (
+        pre.join(post, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_before",
+            "n_after",
+            (F.floor(F.col("n_before") * 1000000 / F.col("tb")))
+            .cast("bigint")
+            .alias("share_before_micro"),
+            (F.floor(F.col("n_after") * 1000000 / F.col("ta")))
+            .cast("bigint")
+            .alias("share_after_micro"),
+        )
+        .withColumn(
+            "share_drift_micro",
+            F.col("share_after_micro") - F.col("share_before_micro"),
+        )
+        .orderBy("source")
+    )

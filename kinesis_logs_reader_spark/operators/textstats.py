@@ -752,3 +752,39 @@ def q150_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(presentation_order, "doc_id")
     )
+
+
+def q152_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partition, generalized to deciles:
+    bucket the corpus by its unigram-LM score (q115's avg_logprob) and
+    report per-bucket volume and length stats. This is the table a
+    pipeline owner reads to SET the q115 keep-threshold — where the
+    mass sits, and whether low-score buckets are short-doc noise or
+    genuine off-distribution text.
+
+    Bucketing uses NTILE(10) over (avg_logprob, doc_id) — the doc_id
+    tiebreak makes bucket assignment total-order deterministic, so both
+    engines cut identical deciles. The ntile window is a single global
+    sort of |docs| score rows (id + two numbers, not text); at 100 TB
+    the same statement runs on range-partitioned quantile cuts
+    (q52's sort-based percentile discipline).
+    """
+    scored = q115_unigram_lm(spark, sf_dir).select(
+        "doc_id", "n_tok", "avg_logprob", "keep"
+    )
+    w = Window.orderBy("avg_logprob", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).cast("double").alias("avg_lp"),
+            F.round(F.min("avg_logprob"), 4).cast("double").alias("min_lp"),
+            F.round(F.max("avg_logprob"), 4).cast("double").alias("max_lp"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 4)
+            .cast("double")
+            .alias("avg_tokens"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        )
+        .orderBy("bucket")
+    )

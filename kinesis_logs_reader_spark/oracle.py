@@ -3038,3 +3038,67 @@ FROM deg
 GROUP BY degree
 ORDER BY degree
 """
+
+# --- round-4 additions batch 11: perplexity buckets / dedup survivorship
+
+ORACLE["q152_perplexity_buckets"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT SUM(c) AS tot FROM counts
+), lp AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM counts, total
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_tok,
+         CAST(ROUND(CAST(SUM(lp_q) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 4)
+              AS DOUBLE) AS avg_logprob
+  FROM tok JOIN lp USING (t)
+  GROUP BY doc_id
+), bucketed AS (
+  SELECT doc_id, n_tok, avg_logprob,
+         (avg_logprob > -3.4) AS keep,
+         NTILE(10) OVER (ORDER BY avg_logprob, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(AVG(avg_logprob), 4) AS DOUBLE) AS avg_lp,
+       CAST(ROUND(MIN(avg_logprob), 4) AS DOUBLE) AS min_lp,
+       CAST(ROUND(MAX(avg_logprob), 4) AS DOUBLE) AS max_lp,
+       CAST(ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS DOUBLE) AS avg_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+ORACLE["q153_dedup_survivorship"] = """
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, 'mirror', md5(text)
+  FROM documents WHERE doc_id < 25
+), keep AS (
+  SELECT arg_min(source, doc_id) AS source FROM base GROUP BY h
+), pre AS (
+  SELECT source, COUNT(*) AS n_before FROM base GROUP BY source
+), post AS (
+  SELECT source, COUNT(*) AS n_after FROM keep GROUP BY source
+), joined AS (
+  SELECT pre.source, n_before, COALESCE(n_after, 0) AS n_after
+  FROM pre LEFT JOIN post ON pre.source = post.source
+), totals AS (
+  SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM joined
+)
+SELECT source, n_before, n_after,
+       CAST(FLOOR(n_before * 1000000 / tb) AS BIGINT) AS share_before_micro,
+       CAST(FLOOR(n_after * 1000000 / ta) AS BIGINT) AS share_after_micro,
+       CAST(FLOOR(n_after * 1000000 / ta) AS BIGINT)
+         - CAST(FLOOR(n_before * 1000000 / tb) AS BIGINT) AS share_drift_micro
+FROM joined, totals
+ORDER BY source
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 154  # +q110-q151 (r4): LLM-pipeline extension batches 2-10
-N_ORACLES = 152  # forty-two r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 156  # +q110-q153 (r4): LLM-pipeline extension batches 2-11
+N_ORACLES = 154  # forty-four r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -229,6 +229,9 @@ DRIVER_WINDOW_R5: list[str] = [
     "q149_source_signature",
     "q150_charset_profile",
     "q151_candidate_degree",
+    # round-4 additions (batch 11: perplexity buckets / survivorship)
+    "q152_perplexity_buckets",
+    "q153_dedup_survivorship",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

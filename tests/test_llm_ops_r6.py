@@ -149,3 +149,41 @@ def test_candidate_degree_accounts_for_every_pair(spark):
     rows = dedup.q151_candidate_degree(spark, SF_DIR).collect()
     n_pairs = _cached_pair_counts(spark, SF_DIR).count()
     assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+
+
+def test_perplexity_buckets_partition_the_corpus(spark):
+    """Deciles cover every scored doc exactly once; bucket score ranges
+    are ordered (bucket i's max <= bucket i+1's min) and keep-counts
+    are consistent with the -3.4 threshold falling in ONE bucket."""
+    rows = textstats.q152_perplexity_buckets(spark, SF_DIR).collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    n_scored = textstats.q115_unigram_lm(spark, SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_scored
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_lp <= hi.min_lp + 1e-9
+    # keep is monotone in score: once a bucket is fully kept, all
+    # higher buckets are too
+    fully_kept = [r.n_keep == r.n_docs for r in rows]
+    first_full = fully_kept.index(True) if True in fully_kept else len(rows)
+    assert all(fully_kept[first_full:])
+
+
+def test_dedup_survivorship_mirror_source_loses_share(spark):
+    """The planted 'mirror' source is 100% copies of existing docs, so
+    every one of its docs loses to the original's smaller doc_id:
+    n_after == 0 and its share drift is maximally negative. Totals
+    conserve: survivors across sources == distinct text count."""
+    from kinesis_logs_reader_spark.operators import preprocess
+
+    rows = {r.source: r for r in preprocess.q153_dedup_survivorship(spark, SF_DIR).collect()}
+    assert "mirror" in rows
+    m = rows["mirror"]
+    assert m.n_before == 25 and m.n_after == 0
+    assert m.share_drift_micro < 0
+    total_after = sum(r.n_after for r in rows.values())
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    distinct_texts = (
+        load_table(spark, SF_DIR, "documents").select("text").distinct().count()
+    )
+    assert total_after == distinct_texts
