@@ -535,3 +535,187 @@ def test_weighted_sample_key_kernel_agrees_cross_engine(spark, ids, weights):
     finally:
         con.close()
     assert srows == drows
+
+
+# --- entropy quantization kernel: c*ln(c) micro-nat sums (q144) ------------
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            min_size=1,
+            max_size=15,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_entropy_kernel_agrees_cross_engine_and_math(spark, texts):
+    """q144's ln(n) - sum(floor(c*ln(c)*1e6))/1e6/n identity must (a)
+    produce bit-identical rounded values in Spark and DuckDB for
+    arbitrary corpora and (b) track the true Shannon entropy within
+    quantization error (n terms x 1e-6 each, plus rounding)."""
+    import math
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6
+            ).cast("bigint")
+        ).alias("sq"),
+    )
+    srows = {
+        r.doc_id: round(
+            math.nan
+            if r.n == 0
+            else __import__("math").log(r.n) - r.sq / 1e6 / r.n,
+            4,
+        )
+        for r in agg.collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+        drows = dict(
+            con.sql(
+                """
+                WITH c AS (
+                  SELECT doc_id, t, COUNT(*) AS c FROM
+                    (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM d)
+                  GROUP BY doc_id, t
+                ), a AS (
+                  SELECT doc_id, SUM(c) AS n,
+                         SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                                        * 1e6) AS BIGINT)) AS sq
+                  FROM c GROUP BY doc_id
+                )
+                SELECT doc_id,
+                       ROUND(LN(CAST(n AS DOUBLE))
+                             - CAST(sq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 4)
+                FROM a
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert srows == drows, texts
+    # semantics: matches direct Shannon entropy within quantization slack
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = len(toks)
+        from collections import Counter
+
+        h = -sum((c / n) * math.log(c / n) for c in Counter(toks).values())
+        assert abs(srows[i] - h) < 1e-3, (t, srows[i], h)
+
+
+# --- charset translate-count kernel (q150) --------------------------------
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("aZ09 .!€äλ\t\n")),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_charset_translate_counts_agree_cross_engine(spark, texts):
+    """length-minus-translate class counting (q150) must agree with
+    DuckDB's length-minus-regexp_replace for arbitrary strings,
+    including multi-byte codepoints and control characters — and both
+    must equal a direct Python count."""
+    _alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "i long, t string")
+    srows = {
+        r.i: (r.a, r.d, r.s)
+        for r in docs.select(
+            "i",
+            (F.length("t") - F.length(F.translate("t", _alpha, ""))).alias("a"),
+            (F.length("t") - F.length(F.translate("t", "0123456789", ""))).alias("d"),
+            (F.length("t") - F.length(F.translate("t", " ", ""))).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        drows = {}
+        for i, t in enumerate(texts):
+            [(a, d, s)] = con.execute(
+                "SELECT LENGTH(?) - LENGTH(regexp_replace(?, '[a-zA-Z]', '', 'g')),"
+                "       LENGTH(?) - LENGTH(regexp_replace(?, '[0-9]', '', 'g')),"
+                "       LENGTH(?) - LENGTH(REPLACE(?, ' ', ''))",
+                [t] * 6,
+            ).fetchall()
+            drows[i] = (a, d, s)
+    finally:
+        con.close()
+    assert srows == drows, texts
+    for i, t in enumerate(texts):
+        py = (
+            sum(ch in _alpha for ch in t),
+            sum(ch.isdigit() and ch in "0123456789" for ch in t),
+            t.count(" "),
+        )
+        assert srows[i] == py, (t, srows[i], py)
+
+
+# --- bigram slicing kernel pairing (q147) ---------------------------------
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(toks=_token_strategy)
+def test_bigram_kernel_agrees_cross_engine(spark, toks):
+    """shingles_from_tokens(k=2) (Spark) and the DuckDB
+    range/list_transform slice macro embedded in the q147 oracle must
+    produce the same bigram MULTISET for arbitrary token lists,
+    including the empty and single-token edge cases."""
+    from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(
+        shingles_from_tokens(F.split("text", " "), k=2).alias("bg")
+    ).collect()
+    s = sorted(row.bg)
+    con = duckdb.connect()
+    try:
+        [(d,)] = con.execute(
+            """
+            SELECT list_sort(list_transform(
+                     range(1, GREATEST(len(toks) - 1, 0) + 1),
+                     i -> array_to_string(toks[i:i+1], ' ')))
+            FROM (SELECT str_split(?, ' ') AS toks)
+            """,
+            [text],
+        ).fetchall()
+    finally:
+        con.close()
+    assert s == sorted(d), (toks, s, d)
