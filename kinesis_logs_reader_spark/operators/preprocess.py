@@ -414,11 +414,17 @@ def q153_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_after", F.lit(0)).alias("n_after"),
         )
     )
-    totals = joined.agg(
-        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
-    )
+    # Corpus totals as a GLOBAL window over the |sources|-row frame, not
+    # a separate .agg() branch: referencing `joined` from two subtrees
+    # would re-run the whole digest aggregate (plan-verified — the agg
+    # formulation duplicated the min_by exchange), while the unbounded
+    # window is one exchange of ~|sources| rows.
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
     return (
-        joined.crossJoin(F.broadcast(totals))
+        joined.withColumn("tb", F.sum("n_before").over(w_all))
+        .withColumn("ta", F.sum("n_after").over(w_all))
         .select(
             "source",
             "n_before",

@@ -423,3 +423,50 @@ def test_pmi_topk_uses_take_ordered(spark):
     plan = explain.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_entropy_has_no_window(spark):
+    """q144's agg-only identity must stay window-free: two hash
+    aggregates, no Window node, no second hash exchange beyond the
+    (doc,term) -> doc pair."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    plan = explain.formatted_plan(textstats.q144_token_entropy(spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_charset_profile_is_map_only(spark):
+    """q150: translate-based class counts ride the scan — zero hash
+    exchanges before the presentation sort, and no regex expressions
+    in the plan."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    plan = explain.formatted_plan(textstats.q150_charset_profile(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "regexp" not in plan.lower()
+
+
+def test_survivorship_has_single_corpus_shuffle(spark):
+    """q153: survivor attribution happens inside ONE digest aggregate
+    (a single partial_min_by in the whole plan — the .agg()-totals
+    formulation duplicated the entire subtree and ran it twice); no
+    join of the keep-set back onto the corpus."""
+    from kinesis_logs_reader_spark.operators import preprocess
+
+    plan = explain.formatted_plan(preprocess.q153_dedup_survivorship(spark, SF_DIR))
+    assert plan.count("partial_min_by") == 1
+
+
+def test_threshold_sweep_single_pass_over_pairs(spark):
+    """q146: one aggregate serves both outputs (count/2 + distinct), so
+    the ladder joins back exactly ONCE — the two-branch formulation had
+    two LeftOuter joins and re-ran the pair frame per branch."""
+    import re
+
+    from kinesis_logs_reader_spark.operators import dedup
+
+    plan = explain.formatted_plan(
+        dedup.q146_jaccard_threshold_sweep(spark, SF_DIR)
+    )
+    assert len(re.findall(r"Join type: LeftOuter", plan)) == 1
+    assert len(re.findall(r"partial_count\(distinct", plan)) == 1

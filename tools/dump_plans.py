@@ -53,6 +53,12 @@ ANNOTATED = {
     "q141_ivf_fixed_probe": "r4: session-cached cell index (InMemoryTableScan); probe = routing + cell-bounded cosine",
     "q142_interval_join": "r4: H9 batch twin — user-keyed equi join with band filter inside the key group",
     "q143_repetition_runs": "r4: per-row struct-accumulator fold — zero shuffle, rides the scan",
+    "q144_token_entropy": "r4 batch 9: entropy via ln(n) - sum(c*ln c)/n — two hash aggregates, NO doc-keyed window exchange",
+    "q146_jaccard_threshold_sweep": "r4 batch 9: persisted pair frame (InMemoryTableScan) x 4-row ladder broadcast; n_pairs recovered as count/2 inside the single distinct-doc aggregate",
+    "q147_bigram_lm": "r4 batch 9: persisted bigram stream; bigram/context/vocab tables broadcast back onto it",
+    "q148_template_mining": "r4 batch 10: skeleton digest is map-only; one 16-byte-keyed aggregate",
+    "q150_charset_profile": "r4 batch 10: translate-based class counts — map-only, zero hash exchanges before the presentation sort",
+    "q153_dedup_survivorship": "r4 batch 11: survivor attribution via min_by inside the ONE digest aggregate — no corpus join-back; everything after is |sources|-bounded",
 }
 
 
@@ -77,6 +83,9 @@ def main() -> None:
     ]
     for name, note in ANNOTATED.items():
         plan = formatted_plan(queries[name](spark, sf_dir))
+        # q57's translate() literal embeds a NUL in the plan text; keep
+        # the artifact a text file
+        plan = plan.replace("\x00", "\\x00")
         out += [f"## {name}", "", f"**Property:** {note}", "", "```", plan.strip(), "```", ""]
     with open("/root/repo/PLANS.md", "w") as fobj:
         fobj.write("\n".join(out))
