@@ -59,6 +59,27 @@ def h5_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def h13_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """H5b: ``dropDuplicatesWithinWatermark`` (Spark 3.5+) — dedup keys
+    whose EVENT TIMES fall within the watermark delta of each other,
+    without keying state on the event-time column itself.
+
+    The operational difference from h5's ``dropDuplicates``: h5 keeps a
+    state row per key forever unless the event-time column is part of
+    the dedup key; WithinWatermark guarantees state GC after the delta
+    expires even though the key is just ``event_id`` — at 100 TB of
+    stream history that bound on state size is the difference between a
+    stable job and an OOM. Use h5 when keys can NEVER legitimately
+    repeat; use this when the at-least-once window of the transport
+    (e.g. a Kinesis resharding replay) is known and bounded.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # --- H6: custom stateful per-key processing -------------------------------
 
 SESSION_STATE_SCHEMA = "n_events bigint, total_value double"

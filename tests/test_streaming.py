@@ -364,3 +364,18 @@ def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
     assert after == before
     digests = spark.read.parquet(store)
     assert digests.count() == digests.select("_h").distinct().count() == 150
+
+
+def test_h13_dedup_within_watermark(spark, events_stream_path, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark drops transport-replay duplicates
+    (same event_id, event time inside the watermark delta) and keeps
+    exactly the distinct-id set on an availableNow drain."""
+    dup_path = str(tmp_path / "dupww_src")
+    events_batch.unionByName(events_batch.limit(150)).write.parquet(dup_path)
+    stream = jobs.h13_dedup_within_watermark(
+        jobs.read_events_stream(spark, dup_path, events_batch.schema)
+    )
+    assert stream.isStreaming
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_ddww"), "append")
+    q.awaitTermination(180)
+    assert spark.table(name).count() == events_batch.count()
