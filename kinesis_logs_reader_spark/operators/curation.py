@@ -292,14 +292,54 @@ def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (null / range / cross-column / referential checks), the validation
     gate a pipeline runs before publishing a snapshot.
 
-    Each rule is an independent filter-count (map-side combinable to
-    one row); referential rules are anti-joins that AQE turns into
-    broadcast joins when the dimension fits. The union of one-row
-    aggregates is driver-cheap at any scale.
+    Same-table rules FUSE into one conditional aggregate (one scan per
+    table covers every null/range/cross-column rule on it — the seven
+    independent filter-count jobs this replaces each paid a full scan
+    plus the job floor); referential rules stay anti-joins that AQE
+    turns into broadcast joins when the dimension fits. Each fused row
+    unpivots to (rule, n_violations) after aggregation, so the output
+    contract is unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(cond.cast("bigint"))
+
+    def unpivot(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("rule"),
+                            F.col(f"_{i}").alias("n_violations"),
+                        )
+                        for i, n in enumerate(names)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule", "r.n_violations")
+
+    li_rules = unpivot(
+        li.agg(
+            cnt(
+                (F.col("l_shipdate") < F.lit("1992-01-01"))
+                | (F.col("l_shipdate") > F.lit("1998-12-31"))
+            ).alias("_0"),
+            cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias("_1"),
+            cnt(F.col("l_quantity") <= 0).alias("_2"),
+        ),
+        ["lineitem.shipdate_range", "lineitem.discount_range", "lineitem.qty_positive"],
+    )
+    orders_rules = unpivot(
+        orders.agg(
+            cnt(F.col("o_custkey").isNull()).alias("_0"),
+            cnt(F.col("o_totalprice") <= 0).alias("_1"),
+        ),
+        ["orders.null_custkey", "orders.totalprice_positive"],
+    )
 
     def rule(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
@@ -307,25 +347,16 @@ def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     checks = [
-        rule(
-            "lineitem.shipdate_range",
-            li.filter(
-                (F.col("l_shipdate") < F.lit("1992-01-01"))
-                | (F.col("l_shipdate") > F.lit("1998-12-31"))
-            ),
-        ),
-        rule("lineitem.discount_range", li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))),
+        li_rules,
         rule(
             "lineitem.orphan_orderkey",
             li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
         ),
-        rule("lineitem.qty_positive", li.filter(F.col("l_quantity") <= 0)),
-        rule("orders.null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        orders_rules,
         rule(
             "orders.orphan_custkey",
             orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
         ),
-        rule("orders.totalprice_positive", orders.filter(F.col("o_totalprice") <= 0)),
     ]
     out = checks[0]
     for c in checks[1:]:
