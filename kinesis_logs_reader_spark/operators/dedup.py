@@ -1148,3 +1148,63 @@ def q151_candidate_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+def q154_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: find (a, b) pairs where the LAST k
+    tokens of a equal the FIRST k tokens of b — the signature of one
+    source document sharded across two corpus rows (crawl page
+    pagination, chunked ingestion, log rotation). Whole-doc and shingle
+    dedup both miss it: the halves share only the k-token seam.
+
+    Pairs are planted in-query (each doc id < 10 is split at its
+    midpoint into id+6000000 / id+6100000 halves with a k-token seam
+    overlap) and must all be recovered. Scale shape: per doc, exactly
+    TWO 16-byte digests (head, tail) — the join is digest-keyed and
+    |docs|-sized, never token- or text-sized; output is seam pairs.
+    """
+    k = 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", tokens().alias("_toks"))
+    half = (F.size("_toks") / 2).cast("int")
+    first_half = F.array_join(F.slice("_toks", 1, half + k), " ")
+    second_half = F.array_join(
+        F.slice("_toks", half + 1, F.size("_toks")), " "
+    )
+    planted = tokd.filter((F.col("doc_id") < 10) & (F.size("_toks") >= 4 * k)).select(
+        F.col("doc_id"),
+        first_half.alias("a_text"),
+        second_half.alias("b_text"),
+    )
+    base = (
+        docs.unionByName(
+            planted.select(
+                (F.col("doc_id") + 6000000).alias("doc_id"),
+                F.col("a_text").alias("text"),
+            )
+        ).unionByName(
+            planted.select(
+                (F.col("doc_id") + 6100000).alias("doc_id"),
+                F.col("b_text").alias("text"),
+            )
+        )
+    )
+    seams = base.select(
+        "doc_id",
+        tokens().alias("_toks"),
+    ).select(
+        "doc_id",
+        F.md5(F.array_join(F.slice("_toks", 1, k), " ")).alias("head_h"),
+        F.md5(
+            F.array_join(F.slice("_toks", -k, k), " ")
+        ).alias("tail_h"),
+        F.size("_toks").alias("nt"),
+    ).filter(F.col("nt") >= k)
+    tails = seams.select(F.col("doc_id").alias("a"), F.col("tail_h").alias("h"))
+    heads = seams.select(F.col("doc_id").alias("b"), F.col("head_h").alias("h"))
+    return (
+        tails.join(heads, "h")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    )

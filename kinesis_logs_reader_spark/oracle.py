@@ -3102,3 +3102,29 @@ SELECT source, n_before, n_after,
 FROM joined, totals
 ORDER BY source
 """
+
+# --- round-4 addition batch 12: boundary-overlap (split-doc) detection -----
+
+ORACLE["q154_boundary_overlap"] = """
+WITH tokd AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+), halved AS (
+  SELECT doc_id, toks, CAST(FLOOR(len(toks) / 2) AS INT) AS h
+  FROM tokd WHERE doc_id < 10 AND len(toks) >= 16
+), base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000, array_to_string(toks[1:h+4], ' ') FROM halved
+  UNION ALL
+  SELECT doc_id + 6100000, array_to_string(toks[h+1:len(toks)], ' ') FROM halved
+), seams AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:4], ' ')) AS head_h,
+         md5(array_to_string(toks[len(toks)-3:len(toks)], ' ')) AS tail_h
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM base)
+  WHERE len(toks) >= 4
+)
+SELECT t.doc_id AS a, hh.doc_id AS b
+FROM seams t JOIN seams hh ON t.tail_h = hh.head_h AND t.doc_id <> hh.doc_id
+ORDER BY a, b
+"""

@@ -187,3 +187,21 @@ def test_dedup_survivorship_mirror_source_loses_share(spark):
         load_table(spark, SF_DIR, "documents").select("text").distinct().count()
     )
     assert total_after == distinct_texts
+
+
+def test_boundary_overlap_recovers_planted_splits(spark):
+    """Every planted (first-half, second-half) pair must surface as a
+    seam match a=id+6000000 -> b=id+6100000."""
+    rows = dedup.q154_boundary_overlap(spark, SF_DIR).collect()
+    pairs = {(r.a, r.b) for r in rows}
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    eligible = (
+        load_table(spark, SF_DIR, "documents")
+        .where("doc_id < 10 AND size(split(text, ' ')) >= 16")
+        .count()
+    )
+    assert eligible > 0
+    planted = {(i + 6000000, i + 6100000) for i in range(10)}
+    found = pairs & planted
+    assert len(found) == eligible
