@@ -1208,3 +1208,105 @@ def q154_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .orderBy("a", "b")
     )
+
+
+def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning curve: the SAME 8-hash MinHash signature
+    banded three ways — r=2 (4 bands), r=4 (2 bands), r=8 (1 band) —
+    with candidate volume and planted-near-dup recall per scheme. This
+    is the b/r trade every LSH deployment tunes: smaller r catches
+    lower-similarity pairs but floods the candidate join; the curve
+    says which scheme clears the pipeline's recall bar at acceptable
+    cost. (q123 audits the ESTIMATOR's accuracy; this audits the
+    BANDING's selectivity.)
+
+    Near-dups are planted by truncation (docs id < 30 re-emitted at
+    id+7000000 with the first 2/3 of their tokens), so pair similarity
+    is ~0.5-0.7 and the schemes genuinely separate: P(recover) ~
+    1-(1-s^r)^(8/r) falls from ~0.9 (r=2) to ~0.03 (r=8) at s=0.66.
+    r=1 is deliberately excluded: single-coordinate bands cluster every
+    document sharing a corpus-minimal shingle hash — a quadratic
+    candidate blowup, exactly what the curve warns against.
+
+    Scale shape: signatures are per-row folds (no shuffle); ALL
+    schemes' band digests emit from one projection into one long frame
+    (persisted — it feeds both sides of the self-join); one
+    (rpb, band, digest)-keyed self-join; output is 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokd = docs.select("doc_id", tokens().alias("_toks"))
+    trunc = tokd.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                "_toks",
+                1,
+                F.floor(F.size("_toks") * 2 / 3).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(trunc)
+    tok = corpus.select("doc_id", token_base_hashes().alias("tb"))
+    based = tok.select(
+        "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
+    )
+    sig = based.select(
+        "doc_id", *minhash_signature(F.col("bases"), num_hashes=8)
+    )
+    entries = []
+    for r in (2, 4, 8):
+        for b in range(8 // r):
+            cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+            entries.append(
+                F.struct(
+                    F.lit(r).alias("rpb"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *cols)).alias("digest"),
+                )
+            )
+    long = (
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "e.rpb", "e.band_idx", "e.digest")
+        .persist()
+    )
+    lhs, rhs = long.alias("l"), long.alias("r")
+    pairs = (
+        lhs.join(
+            rhs,
+            (F.col("l.rpb") == F.col("r.rpb"))
+            & (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.digest") == F.col("r.digest"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.rpb").alias("rpb"),
+            F.col("l.doc_id").alias("ida"),
+            F.col("r.doc_id").alias("idb"),
+        )
+        .distinct()
+    )
+    ladder = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("rpb")
+    )
+    agg = pairs.groupBy("rpb").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            (
+                (F.col("idb") == F.col("ida") + 7000000)
+                & (F.col("ida") < 30)
+            ).cast("bigint")
+        ).alias("n_planted_recovered"),
+    )
+    return (
+        ladder.join(agg, "rpb", "left")
+        .select(
+            F.col("rpb").alias("rows_per_band"),
+            (F.lit(8) / F.col("rpb")).cast("bigint").alias("n_bands"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_planted_recovered", F.lit(0)).alias(
+                "n_planted_recovered"
+            ),
+        )
+        .orderBy("rows_per_band")
+    )

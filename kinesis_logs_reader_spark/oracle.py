@@ -3128,3 +3128,71 @@ SELECT t.doc_id AS a, hh.doc_id AS b
 FROM seams t JOIN seams hh ON t.tail_h = hh.head_h AND t.doc_id <> hh.doc_id
 ORDER BY a, b
 """
+
+# --- round-4 addition batch 12b: LSH banding sensitivity -------------------
+
+ORACLE["q155_lsh_band_sensitivity"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 7000000,
+         array_to_string(
+           (str_split(text, ' '))[1:CAST(FLOOR(len(str_split(text, ' ')) * 2 / 3) AS INT)],
+           ' ')
+  FROM documents WHERE doc_id < 30
+), tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM all_docs
+), based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS bases
+  FROM tok
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,
+         list_aggregate({_MH.format(a=1299709, b=987654321)}, 'min') AS mh1,
+         list_aggregate({_MH.format(a=7368787, b=11939)}, 'min') AS mh2,
+         list_aggregate({_MH.format(a=104729, b=7919)}, 'min') AS mh3,
+         list_aggregate({_MH.format(a=179424673, b=104659)}, 'min') AS mh4,
+         list_aggregate({_MH.format(a=15485863, b=15487469)}, 'min') AS mh5,
+         list_aggregate({_MH.format(a=32452843, b=982451653)}, 'min') AS mh6,
+         list_aggregate({_MH.format(a=49979687, b=86028121)}, 'min') AS mh7
+  FROM based
+), bands AS (
+  SELECT doc_id, 2 AS rpb, 0 AS band_idx, md5(mh0 || '|' || mh1) AS digest FROM sigs
+  UNION ALL SELECT doc_id, 2, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 2, 3, md5(mh6 || '|' || mh7) FROM sigs
+  UNION ALL SELECT doc_id, 4, 0,
+    md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 4, 1,
+    md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
+  UNION ALL SELECT doc_id, 8, 0,
+    md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 || '|' ||
+        mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) FROM sigs
+), pairs AS (
+  SELECT DISTINCT l.rpb, l.doc_id AS ida, r.doc_id AS idb
+  FROM bands l JOIN bands r
+    ON l.rpb = r.rpb AND l.band_idx = r.band_idx
+   AND l.digest = r.digest AND l.doc_id < r.doc_id
+), ladder AS (
+  SELECT unnest([2, 4, 8]) AS rpb
+), agg AS (
+  SELECT rpb, COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN idb = ida + 7000000 AND ida < 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_planted_recovered
+  FROM pairs GROUP BY rpb
+)
+SELECT ladder.rpb AS rows_per_band,
+       CAST(8 / ladder.rpb AS BIGINT) AS n_bands,
+       COALESCE(n_candidates, 0) AS n_candidates,
+       COALESCE(n_planted_recovered, 0) AS n_planted_recovered
+FROM ladder LEFT JOIN agg ON agg.rpb = ladder.rpb
+ORDER BY rows_per_band
+"""

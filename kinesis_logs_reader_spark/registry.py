@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 157  # +q110-q154 (r4): LLM-pipeline extension batches 2-12
-N_ORACLES = 155  # forty-five r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 158  # +q110-q155 (r4): LLM-pipeline extension batches 2-12
+N_ORACLES = 156  # forty-six r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -232,8 +232,9 @@ DRIVER_WINDOW_R5: list[str] = [
     # round-4 additions (batch 11: perplexity buckets / survivorship)
     "q152_perplexity_buckets",
     "q153_dedup_survivorship",
-    # round-4 addition (batch 12: split-document seam detection)
+    # round-4 additions (batch 12: seam detection + LSH banding curve)
     "q154_boundary_overlap",
+    "q155_lsh_band_sensitivity",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

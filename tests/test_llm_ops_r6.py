@@ -205,3 +205,20 @@ def test_boundary_overlap_recovers_planted_splits(spark):
     planted = {(i + 6000000, i + 6100000) for i in range(10)}
     found = pairs & planted
     assert len(found) == eligible
+
+
+def test_lsh_band_curve_is_monotone(spark):
+    """Stricter bands (larger r) can only shrink both the candidate
+    set and the recovered-planted set; the loosest scheme must recover
+    a strict majority of the 30 planted ~0.66-similarity truncations
+    and the strictest must recover almost none — the separation the
+    tuning curve exists to show."""
+    rows = dedup.q155_lsh_band_sensitivity(spark, SF_DIR).collect()
+    assert [r.rows_per_band for r in rows] == [2, 4, 8]
+    cands = [r.n_candidates for r in rows]
+    rec = [r.n_planted_recovered for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    assert rec == sorted(rec, reverse=True)
+    assert rec[0] > 15
+    assert rec[2] < 10
+    assert all(r.n_planted_recovered <= r.n_candidates for r in rows)
