@@ -1210,3 +1210,103 @@ def q149_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+def q156_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleave — materialize the first 50
+    positions of a TRAINING ORDER that feeds sources at their q114
+    temperature weights. A data loader needs an actual sequence, not
+    just target rates; the classic deterministic rule places the r-th
+    item of source s at virtual time r / w_s, so heavier sources
+    appear proportionally more often, with no RNG and full
+    reproducibility across restarts (a property md5-coin sampling
+    alone doesn't give: this is ORDER, not membership).
+
+    Exactness: the virtual time is floor(r * 1e9 / w_q) with w_q =
+    q114's int64-quantized n^0.7 weight — r*1e9 stays under 2^53 so
+    the double division truncates identically in both engines; ties
+    break on (source, doc_id). Scale shape: one |sources| aggregate
+    broadcast back, one per-source row_number window (at 100 TB the
+    window runs per source partition; the top-50 is TakeOrdered).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    keyed = counts.withColumn(
+        "w_q",
+        F.floor(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e3 + 0.5).cast(
+            "bigint"
+        ),
+    ).select("source", "w_q")
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    staged = (
+        docs.withColumn("r", F.row_number().over(w_src))
+        .join(F.broadcast(keyed), "source")
+        .withColumn(
+            "vtime_q",
+            F.floor(F.col("r").cast("double") * 1e9 / F.col("w_q")).cast(
+                "bigint"
+            ),
+        )
+    )
+    top = (
+        staged.orderBy("vtime_q", "source", "doc_id")
+        .limit(50)
+        .select("vtime_q", "source", "doc_id")
+    )
+    w_pos = Window.orderBy("vtime_q", "source", "doc_id")
+    return (
+        top.withColumn("position", F.row_number().over(w_pos))
+        .select("position", "source", "doc_id")
+        .orderBy("position")
+    )
+
+
+def q157_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch plan — the table every pretraining data plan
+    starts from: given a total token budget, how many tokens each
+    source contributes under the temperature mixture, and how many
+    EPOCHS (repeats) of that source this implies. Sources whose
+    epoch count is high are the ones the mixture will overfit /
+    memorize first (cf. data-constrained scaling-law analyses), so
+    the plan flags epochs > 4x.
+
+    Budget is a fixed 1M tokens at any sf (the plan's shape, not its
+    absolute size, is what the operator demonstrates). Exactness: all
+    shares derive from int64-quantized n^0.7 weights and exact token
+    counts; epochs are int64 micro-epochs. |sources|-bounded
+    everywhere after one corpus aggregate.
+    """
+    budget = 1_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens().cast("bigint")).alias("tokens_avail"),
+    )
+    keyed = per_src.withColumn(
+        "w_q",
+        F.floor(
+            F.pow(F.col("tokens_avail").cast("double"), 0.7) * 1e3 + 0.5
+        ).cast("bigint"),
+    )
+    total = keyed.agg(F.sum("w_q").alias("tot_w"))
+    return (
+        keyed.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "tokens_avail",
+            F.floor(F.lit(budget) * F.col("w_q") / F.col("tot_w"))
+            .cast("bigint")
+            .alias("tokens_wanted"),
+        )
+        .withColumn(
+            "epochs_micro",
+            F.floor(
+                F.col("tokens_wanted").cast("double")
+                * 1e6
+                / F.col("tokens_avail").cast("double")
+            ).cast("bigint"),
+        )
+        .withColumn("overfit_risk", F.col("epochs_micro") > 4_000_000)
+        .orderBy("source")
+    )

@@ -3196,3 +3196,54 @@ SELECT ladder.rpb AS rows_per_band,
 FROM ladder LEFT JOIN agg ON agg.rpb = ladder.rpb
 ORDER BY rows_per_band
 """
+
+# --- round-4 additions batch 13: training order / epoch plan ---------------
+
+ORACLE["q156_training_order"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), keyed AS (
+  SELECT source,
+         CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), 0.7) * 1e3 + 0.5) AS BIGINT) AS w_q
+  FROM counts
+), staged AS (
+  SELECT d.doc_id, d.source,
+         CAST(FLOOR(CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+                         AS DOUBLE) * 1e9 / w_q) AS BIGINT) AS vtime_q
+  FROM documents d JOIN keyed k ON d.source = k.source
+), top AS (
+  SELECT vtime_q, source, doc_id FROM staged
+  ORDER BY vtime_q, source, doc_id LIMIT 50
+)
+SELECT ROW_NUMBER() OVER (ORDER BY vtime_q, source, doc_id) AS position,
+       source, doc_id
+FROM top
+ORDER BY position
+"""
+
+ORACLE["q157_epoch_plan"] = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tokens_avail
+  FROM documents GROUP BY source
+), keyed AS (
+  SELECT *,
+         CAST(FLOOR(POW(CAST(tokens_avail AS DOUBLE), 0.7) * 1e3 + 0.5)
+              AS BIGINT) AS w_q
+  FROM per_src
+), total AS (
+  SELECT SUM(w_q) AS tot_w FROM keyed
+), planned AS (
+  SELECT source, n_docs, tokens_avail,
+         CAST(FLOOR(1000000 * w_q / tot_w) AS BIGINT) AS tokens_wanted
+  FROM keyed, total
+)
+SELECT source, n_docs, tokens_avail, tokens_wanted,
+       CAST(FLOOR(CAST(tokens_wanted AS DOUBLE) * 1e6
+                  / CAST(tokens_avail AS DOUBLE)) AS BIGINT) AS epochs_micro,
+       (CAST(FLOOR(CAST(tokens_wanted AS DOUBLE) * 1e6
+                   / CAST(tokens_avail AS DOUBLE)) AS BIGINT) > 4000000)
+         AS overfit_risk
+FROM planned
+ORDER BY source
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 158  # +q110-q155 (r4): LLM-pipeline extension batches 2-12
-N_ORACLES = 156  # forty-six r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 160  # +q110-q157 (r4): LLM-pipeline extension batches 2-13
+N_ORACLES = 158  # forty-eight r4 additions + q47/q48 upgraded to oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -235,6 +235,9 @@ DRIVER_WINDOW_R5: list[str] = [
     # round-4 additions (batch 12: seam detection + LSH banding curve)
     "q154_boundary_overlap",
     "q155_lsh_band_sensitivity",
+    # round-4 additions (batch 13: training order + epoch plan)
+    "q156_training_order",
+    "q157_epoch_plan",
     # relational re-checks (regression coverage) fill the remaining slots
     "q01_project_arith",
     "q05_join_inner",

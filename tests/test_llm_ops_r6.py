@@ -222,3 +222,47 @@ def test_lsh_band_curve_is_monotone(spark):
     assert rec[0] > 15
     assert rec[2] < 10
     assert all(r.n_planted_recovered <= r.n_candidates for r in rows)
+
+
+def test_training_order_respects_weights(spark):
+    """In the first 50 interleave positions, a heavier source never
+    appears FEWER times than a strictly lighter one (proportional
+    feeding), and per-source doc_ids appear in ascending order (the
+    within-source sequence is preserved)."""
+    from kinesis_logs_reader_spark.operators import curation
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    rows = curation.q156_training_order(spark, SF_DIR).collect()
+    assert [r.position for r in rows] == list(range(1, 51))
+    by_src_ids = {}
+    for r in rows:
+        by_src_ids.setdefault(r.source, []).append(r.doc_id)
+    for ids in by_src_ids.values():
+        assert ids == sorted(ids)
+    sizes = {
+        r.source: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    appear = {s: len(ids) for s, ids in by_src_ids.items()}
+    for s1 in appear:
+        for s2 in appear:
+            if sizes[s1] > sizes[s2] * 1.5:  # strictly heavier
+                assert appear[s1] >= appear.get(s2, 0)
+
+
+def test_epoch_plan_conserves_budget(spark):
+    """tokens_wanted sums to <= the 1M budget (floor rounding only
+    loses tokens) and within |sources| of it; epochs_micro is exactly
+    floor(wanted/avail * 1e6); risk flag consistent."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    rows = curation.q157_epoch_plan(spark, SF_DIR).collect()
+    total = sum(r.tokens_wanted for r in rows)
+    assert total <= 1_000_000
+    assert total >= 1_000_000 - len(rows)
+    for r in rows:
+        assert r.epochs_micro == int(r.tokens_wanted * 1e6 / r.tokens_avail)
+        assert r.overfit_risk == (r.epochs_micro > 4_000_000)
