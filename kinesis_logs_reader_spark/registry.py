@@ -159,11 +159,16 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
-# Staged round-5 window (swap into DRIVER_WINDOW next round): the keys
-# still lacking any driver row after r4 — q35/q35b/q37/q37b/q38/q39/
-# q86/q88/q100/q102 + q47/q48 (upgraded to oracle-backed late in r4) +
-# q75/q109 (rows-only by design: k-means-trained index paths) + the r4
-# extension batches q110-q141 — topped up with relational re-checks.
+# Staged round-5 window (swap into DRIVER_WINDOW next round): every key
+# still lacking a driver row after r4, oldest-unchecked first — q35/q35b/
+# q37/q37b/q38/q39/q86/q88/q100/q102 + q47/q48 (upgraded to oracle-backed
+# in r4) + q75/q109 (rows-only by design: k-means-trained index paths) +
+# the r4 extension batches q110-q157 — topped up with relational
+# re-checks. 62 never-checked keys exist but the driver hashes 50, so:
+# r5 window = DRIVER_WINDOW_R5[:50] (one-line swap); the ~12 overflow
+# never-checked keys (q146-q157, late-r4 batches 9-13) plus the
+# re-check tail below form the round-6 window. After r6 every
+# oracle-backed key has >= 1 green driver row.
 DRIVER_WINDOW_R5: list[str] = [
     "q35_median_segment",
     "q35b_median_native",
