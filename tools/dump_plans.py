@@ -59,6 +59,8 @@ ANNOTATED = {
     "q148_template_mining": "r4 batch 10: skeleton digest is map-only; one 16-byte-keyed aggregate",
     "q150_charset_profile": "r4 batch 10: translate-based class counts — map-only, zero hash exchanges before the presentation sort",
     "q153_dedup_survivorship": "r4 batch 11: survivor attribution via min_by inside the ONE digest aggregate — no corpus join-back; everything after is |sources|-bounded",
+    "q155_lsh_band_sensitivity": "r4 batch 12: all three banding schemes emit from one projection into one persisted long frame; one (rpb, band, digest)-keyed self-join serves the whole curve",
+    "q156_training_order": "r4 batch 13: |sources| weight table broadcast back; per-source row_number window + TakeOrderedAndProject top-50 (no global materialization of the order)",
 }
 
 
