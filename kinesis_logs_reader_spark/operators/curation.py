@@ -160,14 +160,23 @@ def q93_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "source", rate.alias("rate_pct"), (coin < rate).cast("int").alias("kept")
     )
+    # eff_rate as integer parts-per-million (exact int64 division, the
+    # scaled-int idiom): the r2-era round(sum/count, 4) double was
+    # driver-hash-red in r4 despite local parity — encoding knife edge.
     return (
         staged.groupBy("source", "rate_pct")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum("kept").alias("n_kept"),
-            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 4)
-            .cast("double")
-            .alias("eff_rate"),
+        )
+        .select(
+            "source",
+            "rate_pct",
+            "n_total",
+            "n_kept",
+            F.expr("(n_kept * CAST(1000000 AS BIGINT)) div n_total")
+            .cast("bigint")
+            .alias("eff_rate_ppm"),
         )
         .orderBy("source")
     )
@@ -197,14 +206,25 @@ def q94_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = staged.withColumn(
         "bin", F.floor((F.col("cum") - F.col("nt")) / F.lit(cap))
     )
+    # fill_ratio as integer ppm: sum(nt)/256 is a multiple of 1/256, so
+    # round(x, 4) lands on EXACT decimal half-way points whenever
+    # sum(nt) % 8 == 4 (k*625/16 ≡ n+1/2 ⟺ k ≡ 4 mod 8) — a HALF_UP vs
+    # HALF_EVEN knife edge across engines, the r4 driver-hash-red cause.
+    # Integer (sum*1e6) div 256 is exact everywhere.
     return (
         binned.groupBy("lang", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("bin_tokens"),
-            F.round(F.sum("nt").cast("double") / F.lit(cap), 4)
-            .cast("double")
-            .alias("fill_ratio"),
+        )
+        .select(
+            "lang",
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            F.expr(f"(bin_tokens * CAST(1000000 AS BIGINT)) div {cap}")
+            .cast("bigint")
+            .alias("fill_ratio_ppm"),
         )
         .orderBy("lang", "bin")
     )
@@ -273,7 +293,11 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .join(F.broadcast(sizes), "lang")
-        .filter(F.col("rn") <= F.ceil(F.col("n_stratum") * 0.1))
+        # integer ceil-division: ceil(n/10) == (n+9) div 10 for n >= 0.
+        # The r2-era ceil(n_stratum * 0.1) double form sat on a knife
+        # edge at exact multiples of 10 (double-vs-decimal literal
+        # semantics differ across engines) — r4 driver-hash-red cause.
+        .filter(F.col("rn") <= F.expr("(n_stratum + 9) div 10"))
     )
     return (
         ranked.groupBy("lang", "n_stratum")
@@ -447,11 +471,18 @@ def q99_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 farthest vectors per label (mislabeled/noisy-sample triage).
 
     Exactness across engines: coordinates are quantized to integers
-    (floor(v*1000+0.5)) so the centroid sums are exact int64 and the
+    (floor(v*1024+0.5)) so the centroid sums are exact int64 and the
     scaled distance sum((q*n - sum_q)^2) is exact integer math — no
-    float-summation-order nondeterminism. One posexplode + one
-    (label, dim) aggregate (map-side combinable, 64*labels rows) +
-    broadcast join back; the corpus moves through a single shuffle.
+    float-summation-order nondeterminism. The scale is 1024, not 1000
+    (r5 hardening): a power-of-two multiply of a float32-derived value
+    is EXACT in both float and double arithmetic, and v*1024 + 0.5
+    still fits a 24-bit mantissa for |v| < 16, so the quantizer gives
+    bit-identical integers regardless of whether an engine evaluates
+    the expression in FLOAT or DOUBLE — the r4 v*1000 form left a
+    rounding knife edge that was driver-hash-red while locally green.
+    One posexplode + one (label, dim) aggregate (map-side combinable,
+    64*labels rows) + broadcast join back; the corpus moves through a
+    single shuffle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
@@ -462,7 +493,7 @@ def q99_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "dim",
-        F.floor(F.col("v").cast("double") * 1000 + F.lit(0.5))
+        F.floor(F.col("v").cast("double") * 1024 + F.lit(0.5))
         .cast("bigint")
         .alias("q"),
     )

@@ -538,7 +538,9 @@ def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     enough for centroid routing?) that gates IVF/SemDeDup cell quality.
 
     Exactness across engines: coordinates quantize to int
-    (floor(v*1000+0.5)), centroids to integer floor-means, so every
+    (floor(v*1024+0.5) — power-of-two scale so the multiply is exact
+    in float AND double arithmetic, the r5 hardening of the q99 red),
+    centroids to integer floor-means, so every
     vector-to-centroid distance is an exact int64 sum of squared
     integer differences — argmin (ties -> smaller label) is therefore
     bit-stable. Data movement: one posexplode + (label, dim) aggregate
@@ -557,7 +559,7 @@ def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "dim",
-        F.floor(F.col("v").cast("double") * 1000 + 0.5).cast("bigint").alias("q"),
+        F.floor(F.col("v").cast("double") * 1024 + 0.5).cast("bigint").alias("q"),
     )
     cent = (
         flat.groupBy(F.col("label").alias("c_label"), "dim")
@@ -707,7 +709,7 @@ def q141_ivf_fixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "vec_id",
             "dim",
-            F.floor(F.col("v").cast("double") * 1000 + 0.5)
+            F.floor(F.col("v").cast("double") * 1024 + 0.5)
             .cast("bigint")
             .alias("q"),
             "label",

@@ -44,7 +44,15 @@ def cached_doc_tokens(spark: SparkSession, sf_dir: str):
 
 
 def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting rolled up per language (I3)."""
+    """Token counting rolled up per language (I3).
+
+    Exactness: the per-language mean is emitted as ``avg_tokens_micro``
+    — integer micro-tokens via exact int64 division — instead of a
+    rounded double. The r1-r4 double form (`round(sum/count, 4)`) was
+    driver-hash-red in r4 while passing local parity: binary-double
+    ratios hit round-half knife edges that encode differently across
+    engine versions. Integer division of exact int64 sums cannot.
+    """
     docs = load_table(spark, sf_dir, "documents")
     nt = n_tokens()
     return (
@@ -53,10 +61,16 @@ def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("total_tokens"),
-            F.round(F.sum("nt").cast("double") / F.count(F.lit(1)), 4)
-            .cast("double")
-            .alias("avg_tokens"),
             F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens * CAST(1000000 AS BIGINT)) div n_docs")
+            .cast("bigint")
+            .alias("avg_tokens_micro"),
+            "total_chars",
         )
         .orderBy("lang")
     )

@@ -477,10 +477,10 @@ ORDER BY keep_id
 ORACLE["q41_token_stats"] = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(str_split(text, ' '))) AS total_tokens,
-       CAST(ROUND(CAST(SUM(len(str_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
-         AS avg_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST((SUM(len(str_split(text, ' '))) * 1000000) // COUNT(*) AS BIGINT)
+         AS avg_tokens_micro,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -1373,8 +1373,8 @@ WITH staged AS (
 )
 SELECT source, rate_pct,
        COUNT(*) AS n_total,
-       SUM(kept) AS n_kept,
-       CAST(ROUND(SUM(kept) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS eff_rate
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST((SUM(kept) * 1000000) // COUNT(*) AS BIGINT) AS eff_rate_ppm
 FROM staged
 GROUP BY source, rate_pct
 ORDER BY source
@@ -1390,8 +1390,8 @@ WITH staged AS (
 ), binned AS (
   SELECT lang, nt, CAST(FLOOR((cum - nt) / 256.0) AS BIGINT) AS bin FROM staged
 )
-SELECT lang, bin, COUNT(*) AS n_docs, SUM(nt) AS bin_tokens,
-       CAST(ROUND(SUM(nt) / 256.0, 4) AS DOUBLE) AS fill_ratio
+SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS bin_tokens,
+       CAST((SUM(nt) * 1000000) // 256 AS BIGINT) AS fill_ratio_ppm
 FROM binned
 GROUP BY lang, bin
 ORDER BY lang, bin
@@ -1434,9 +1434,9 @@ WITH sizes AS (
   FROM documents d JOIN sizes s ON d.lang = s.lang
 )
 SELECT lang, n_stratum, COUNT(*) AS n_kept,
-       SUM(doc_id) AS id_sum, MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum, MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
 FROM ranked
-WHERE rn <= CEIL(n_stratum * 0.1)
+WHERE rn <= (n_stratum + 9) // 10
 GROUP BY lang, n_stratum
 ORDER BY lang
 """
@@ -1502,13 +1502,13 @@ ORDER BY doc_id
 ORACLE["q99_centroid_outliers"] = """
 WITH flat AS (
   SELECT vec_id, label, i AS dim,
-         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
   FROM embeddings, range(64) t(i)
 ), cent AS (
   SELECT label, dim, SUM(q) AS sum_q, COUNT(*) AS n FROM flat GROUP BY label, dim
 ), dist AS (
   SELECT f.vec_id, f.label,
-         SUM((f.q * c.n - c.sum_q) * (f.q * c.n - c.sum_q)) AS dist2_scaled
+         CAST(SUM((f.q * c.n - c.sum_q) * (f.q * c.n - c.sum_q)) AS BIGINT) AS dist2_scaled
   FROM flat f JOIN cent c ON f.label = c.label AND f.dim = c.dim
   GROUP BY f.vec_id, f.label
 )
@@ -1588,8 +1588,8 @@ SELECT lang,
        CAST(ROUND(MIN(p05), 4) AS DOUBLE) AS p05,
        CAST(ROUND(MIN(p95), 4) AS DOUBLE) AS p95,
        COUNT(*) AS n_docs,
-       SUM(below) AS n_below,
-       SUM(above) AS n_above,
+       CAST(SUM(below) AS BIGINT) AS n_below,
+       CAST(SUM(above) AS BIGINT) AS n_above,
        CAST(ROUND((COUNT(*) - SUM(below) - SUM(above))
                   / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS kept_ratio
 FROM flagged
@@ -1768,7 +1768,7 @@ WITH tok AS (
 )
 SELECT c.doc_id,
        COUNT(*) AS n_chunks,
-       SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        CAST(ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                   / COUNT(*), 4) AS DOUBLE) AS dup_ratio
 FROM chunks c JOIN counts USING (h)
@@ -1788,9 +1788,9 @@ WITH block AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS n_blocked,
-       SUM(CASE WHEN n_flagged > 4 THEN 1 ELSE 0 END) AS n_overflagged,
-       SUM(CASE WHEN (NOT is_blocked) AND n_flagged <= 4 THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN n_flagged > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflagged,
+       CAST(SUM(CASE WHEN (NOT is_blocked) AND n_flagged <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM staged
 GROUP BY source
 ORDER BY source
@@ -2022,7 +2022,7 @@ WITH all_docs AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_dup_pos,
-       SUM(span_start) AS n_spans,
+       CAST(SUM(span_start) AS BIGINT) AS n_spans,
        MIN(pos) AS first_dup_pos,
        MAX(pos) AS last_dup_pos
 FROM spans
@@ -2172,7 +2172,7 @@ ORDER BY bucket
 ORACLE["q127_centroid_classify"] = """
 WITH flat AS (
   SELECT vec_id, label, i AS dim,
-         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
   FROM embeddings, range(64) t(i)
 ), cent AS (
   SELECT label AS c_label, dim,
@@ -2192,7 +2192,7 @@ WITH flat AS (
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        CAST(ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
                   / COUNT(*), 4) AS DOUBLE) AS accuracy
 FROM pred
@@ -2306,8 +2306,8 @@ WITH all_docs AS (
 )
 SELECT s.source,
        COUNT(*) AS n_raw,
-       SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_after_exact,
-       SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_after_near,
+       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+       CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near,
        CAST(ROUND(1.0 - CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                              AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS removed_frac
 FROM src_all s
@@ -2349,7 +2349,7 @@ WITH tok AS (
 )
 SELECT train_id,
        COUNT(*) AS n_contam_pos,
-       SUM(span_start) AS n_spans,
+       CAST(SUM(span_start) AS BIGINT) AS n_spans,
        MIN(pos) AS first_pos,
        MAX(pos) AS last_pos
 FROM spans
@@ -2381,12 +2381,12 @@ WITH w AS (
   FROM orders
 )
 SELECT column_name, n_nulls, n_distinct, min_str, max_str FROM (
-  SELECT 'o_orderkey' AS column_name, c0n AS n_nulls, c0d AS n_distinct, c0mn AS min_str, c0mx AS max_str FROM w
-  UNION ALL SELECT 'o_custkey', c1n, c1d, c1mn, c1mx FROM w
-  UNION ALL SELECT 'o_orderstatus', c2n, c2d, c2mn, c2mx FROM w
-  UNION ALL SELECT 'o_totalprice', c3n, c3d, c3mn, c3mx FROM w
-  UNION ALL SELECT 'o_orderdate', c4n, c4d, c4mn, c4mx FROM w
-  UNION ALL SELECT 'o_orderpriority', c5n, c5d, c5mn, c5mx FROM w
+  SELECT 'o_orderkey' AS column_name, CAST(c0n AS BIGINT) AS n_nulls, c0d AS n_distinct, c0mn AS min_str, c0mx AS max_str FROM w
+  UNION ALL SELECT 'o_custkey', CAST(c1n AS BIGINT), c1d, c1mn, c1mx FROM w
+  UNION ALL SELECT 'o_orderstatus', CAST(c2n AS BIGINT), c2d, c2mn, c2mx FROM w
+  UNION ALL SELECT 'o_totalprice', CAST(c3n AS BIGINT), c3d, c3mn, c3mx FROM w
+  UNION ALL SELECT 'o_orderdate', CAST(c4n AS BIGINT), c4d, c4mn, c4mx FROM w
+  UNION ALL SELECT 'o_orderpriority', CAST(c5n AS BIGINT), c5d, c5mn, c5mx FROM w
 )
 ORDER BY column_name
 """
@@ -2724,7 +2724,7 @@ ORDER BY lang, rank
 ORACLE["q141_ivf_fixed_probe"] = """
 WITH flat AS (
   SELECT vec_id, label, i AS dim,
-         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
   FROM embeddings, range(64) t(i)
 ), cent AS (
   SELECT label AS cell, dim,
@@ -2826,7 +2826,7 @@ WITH tok AS (
   SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
 ), agg AS (
   SELECT doc_id,
-         SUM(c) AS n_tok,
+         CAST(SUM(c) AS BIGINT) AS n_tok,
          COUNT(*) AS n_distinct,
          CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
                              * 1e6) AS BIGINT)) AS BIGINT) AS sq

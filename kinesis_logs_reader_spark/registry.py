@@ -93,83 +93,23 @@ def all_oracle_sql() -> dict[str, str]:
 # tests, bench, and tools use ``all_queries()``; only __spark_entry__
 # exports the rotated view.
 #
-# Round-4 window: the 45 oracle-backed flagships never driver-checked in
-# r1-r3 (every dedup/similarity/curation/preprocess/events/udfs/asof
-# flagship), plus the streaming batch-twins q31-q33, plus q28/q103 upgraded
-# this round from rows-only to hashed tolerance booleans. All 50 keys are
-# oracle-backed: target is 50/50 hash-green, zero no_oracle.
+# Round-5 window (VERDICT r4 items #1/#2): the five r4 hash-reds spliced
+# at the top — all five were locally green but driver-red, root-caused
+# this round to DuckDB HUGEINT output columns (every red emitted a raw
+# integer-SUM, no green did; all 158 oracles now CAST integer sums to
+# BIGINT) plus knife-edge float encodings (hardened to the scaled-int64
+# idiom: *_ppm / *_micro integer columns, 1024 power-of-two quantizer,
+# integer ceil-division) — followed by the first 45 never-checked keys
+# of the staged r5 list. 48 of 50 are oracle-backed (q75/q109 are
+# rows-only by design: k-means-trained index paths).
 DRIVER_WINDOW: list[str] = [
-    # sketch-tolerance upgrades (rows-only in r1-r3, hashed from r4)
-    "q28_approx_distinct",
-    "q103_approx_percentile",
-    # streaming batch-twins
-    "q31_tumbling_window",
-    "q32_sliding_window",
-    "q33_session_window",
-    # dedup / similarity flagships
-    "q40_dedup_exact",
-    "q44_ngram_jaccard",
-    "q45_fingerprint",
-    "q46_minhash_lsh",
-    "q50_cosine_dup_pairs",
-    "q74_dup_clusters",
-    "q43_cosine_topk",
-    "q99_centroid_outliers",
-    "q89_decontamination",
-    "q101_winnowing",
-    "q104_incremental_dedup",
-    # text / curation
+    # r4 hash-reds, hardened this round — re-check first
     "q41_token_stats",
-    "q42_quality_score",
-    "q51_lang_id",
-    "q61_token_regex",
-    "q90_curation_pipeline",
-    "q91_gopher_rules",
-    "q92_repetition",
     "q93_domain_mix",
     "q94_pack_sequences",
-    "q95_tfidf",
     "q96_stratified_sample",
-    "q97_quality_audit",
-    "q98_bm25",
-    "q105_vocab_coverage",
-    "q106_udtf_chunks",
-    # preprocess / pipeline
-    "q76_merge_upsert",
-    "q77_hash_split",
-    "q78_normalize_dedup",
-    "q79_pii_scrub",
-    "q80_chunk_documents",
-    "q49_multimodal_binary",
-    # events / analytics
-    "q83_funnel",
-    "q84_retention",
-    "q85_event_transitions",
-    "q62_asof_join",
-    "q82_higher_order_funcs",
-    "q87_lateral_topn",
-    # TPC-H shapes / stats
-    "q67_stats_agg",
-    "q68_shipping_priority",
-    "q69_local_supplier_volume",
-    "q70_returned_items",
-    "q71_large_volume_customer",
-    "q72_inactive_rich_customers",
-    "q73_cheapest_lineitem_per_part",
-]
-
-
-# Staged round-5 window (swap into DRIVER_WINDOW next round): every key
-# still lacking a driver row after r4, oldest-unchecked first — q35/q35b/
-# q37/q37b/q38/q39/q86/q88/q100/q102 + q47/q48 (upgraded to oracle-backed
-# in r4) + q75/q109 (rows-only by design: k-means-trained index paths) +
-# the r4 extension batches q110-q157 — topped up with relational
-# re-checks. 62 never-checked keys exist but the driver hashes 50, so:
-# r5 window = DRIVER_WINDOW_R5[:50] (one-line swap); the ~12 overflow
-# never-checked keys (q146-q157, late-r4 batches 9-13) plus the
-# re-check tail below form the round-6 window. After r6 every
-# oracle-backed key has >= 1 green driver row.
-DRIVER_WINDOW_R5: list[str] = [
+    "q99_centroid_outliers",
+    # never-checked keys, oldest first (r2-r3 era)
     "q35_median_segment",
     "q35b_median_native",
     "q37_zscore",
@@ -184,7 +124,7 @@ DRIVER_WINDOW_R5: list[str] = [
     "q48_ann_ivf",
     "q75_ann_ivf_kmeans",
     "q109_semdedup",
-    # round-4 additions (LLM-pipeline extension batch 2)
+    # round-4 additions (LLM-pipeline extension batches 2-7)
     "q110_rrf_hybrid",
     "q111_embedding_quantize",
     "q112_chunk_dedup",
@@ -192,7 +132,6 @@ DRIVER_WINDOW_R5: list[str] = [
     "q114_mixture_weights",
     "q115_unigram_lm",
     "q116_containment_dup",
-    # round-4 additions (batch 3)
     "q117_zipf_fit",
     "q118_canonical_select",
     "q119_knn_join",
@@ -208,39 +147,41 @@ DRIVER_WINDOW_R5: list[str] = [
     "q129_dedup_pipeline",
     "q130_span_decontamination",
     "q131_table_profile",
-    # round-4 additions (batch 5: sketch/filter/novelty/projection)
     "q132_countmin_sketch",
     "q133_bloom_decontamination",
     "q134_ngram_novelty",
     "q135_jl_projection",
-    # round-4 additions (batch 6: corpus diagnostics)
     "q136_source_overlap",
     "q137_distribution_drift",
     "q138_heaps_law",
     "q139_pmi_collocations",
-    # round-4 additions (batch 7: weighted sampling + IVF probe)
     "q140_weighted_sample",
+]
+
+
+# Staged round-6 window (swap in next round: DRIVER_WINDOW =
+# DRIVER_WINDOW_R6[:50]): the 17 never-checked keys that overflowed the
+# r5 window (q141-q157, late-r4 batches 7-13 — q141's quantizer was
+# already hardened to 1024 alongside q99/q127 this round) + relational
+# re-checks for regression coverage. After r6 every oracle-backed key
+# has >= 1 green driver row (the stated target).
+DRIVER_WINDOW_R6: list[str] = [
+    # never-checked overflow from r5
     "q141_ivf_fixed_probe",
-    # round-4 additions (batch 8: H9 batch twin + repetition runs)
     "q142_interval_join",
     "q143_repetition_runs",
-    # round-4 additions (batch 9: entropy/OOV/threshold-sweep/bigram-LM)
     "q144_token_entropy",
     "q145_oov_rate",
     "q146_jaccard_threshold_sweep",
     "q147_bigram_lm",
-    # round-4 additions (batch 10: templates/signatures/charset/degree)
     "q148_template_mining",
     "q149_source_signature",
     "q150_charset_profile",
     "q151_candidate_degree",
-    # round-4 additions (batch 11: perplexity buckets / survivorship)
     "q152_perplexity_buckets",
     "q153_dedup_survivorship",
-    # round-4 additions (batch 12: seam detection + LSH banding curve)
     "q154_boundary_overlap",
     "q155_lsh_band_sensitivity",
-    # round-4 additions (batch 13: training order + epoch plan)
     "q156_training_order",
     "q157_epoch_plan",
     # relational re-checks (regression coverage) fill the remaining slots

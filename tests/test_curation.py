@@ -45,7 +45,7 @@ def test_domain_mix_deterministic_and_near_target(spark):
     b = {r.source: r.n_kept for r in curation.q93_domain_mix(spark, SF_DIR).collect()}
     assert a == b, "md5-coin sampling must be reproducible"
     for r in curation.q93_domain_mix(spark, SF_DIR).collect():
-        assert abs(r.eff_rate - r.rate_pct / 100.0) < 0.35
+        assert abs(r.eff_rate_ppm / 1e6 - r.rate_pct / 100.0) < 0.35
 
 
 def test_centroid_outliers_shape(spark):
