@@ -655,6 +655,61 @@ def q110_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.orderBy("doc_id")
 
 
+def q110b_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production entry point for RRF hybrid retrieval (VERDICT r4 #3):
+    each retriever emits its own top-K via TakeOrderedAndProject, and
+    the fusion is a FULL OUTER join of two K-row frames — the
+    100 TB-safe shape. q110 keeps the exact full-corpus-rank form as
+    the oracle twin (the q37/q37b pattern).
+
+    The difference that matters at scale: q110 ranks the whole corpus
+    through a global no-partitionBy window (one partition holds every
+    row); here the corpus-sized work is a map-only score pass feeding
+    a per-partition top-K heap + driver merge (TakeOrdered), and only
+    the two K-row lists are ever globally ordered. Semantics are the
+    standard top-K RRF: a document contributes 1/(60+rank) per list it
+    appears in (rank taken inside that list's top-K), so ranks <= K
+    agree exactly with q110's global ranks and the operator is still
+    deterministic and oracle-checkable.
+    """
+    from kinesis_logs_reader_spark.operators.similarity import cosine
+
+    k_list = 60
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = cached_bm25_scored(spark, sf_dir).select(
+        "doc_id", F.round("bm25_raw", 4).alias("bm25")
+    )
+    # TakeOrderedAndProject: per-partition heap, no global sort shuffle
+    bm_top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k_list)
+    w_bm = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("rank_bm25")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = emb.join(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4).alias("sim"),
+    )
+    cos_top = sims.orderBy(F.col("sim").desc(), "doc_id").limit(k_list)
+    w_cos = Window.orderBy(F.col("sim").desc(), "doc_id")
+    cos_rank = cos_top.select(
+        "doc_id", F.row_number().over(w_cos).alias("rank_cos")
+    )
+    # full outer: a doc may sit in one list's top-K only (K rows/side)
+    fused = cos_rank.join(bm_rank, "doc_id", "full").select(
+        "doc_id",
+        "rank_cos",
+        "rank_bm25",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("rank_cos")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rank_bm25")), F.lit(0.0)),
+            6,
+        ).cast("double").alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    return top.orderBy("doc_id")
+
+
 def q113_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-blocklist + flagged-term filtering — the "remove these
     domains and spammy pages" pass of a crawl-curation pipeline.

@@ -1733,6 +1733,69 @@ SELECT doc_id, rank_cos, rank_bm25, rrf FROM (
 ORDER BY doc_id
 """
 
+# q110b: top-K-per-retriever RRF (the production/scale path). Ranks are
+# the same global ranks as q110 but each list is truncated to its top
+# 60 before fusion, and the join is FULL OUTER (a doc can be lexical-
+# only or cosine-only inside the window).
+ORACLE["q110b_rrf_topk"] = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_corpus, SUM(len(str_split(text, ' '))) AS sum_dl
+  FROM documents
+), df AS (
+  SELECT t, COUNT(*) AS df
+  FROM (SELECT unnest(list_distinct(str_split(text, ' '))) AS t FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY t
+), tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+               unnest(str_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t IN ('table', 'spark', 'key')
+  GROUP BY doc_id, dl, t
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN((CAST(s.n_corpus AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                / (CAST(s.sum_dl AS DOUBLE) / s.n_corpus)))
+         ), 4) AS bm25
+  FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), bm_rank AS (
+  SELECT doc_id, rank_bm25 FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+    FROM scored
+  ) WHERE rank_bm25 <= 60
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(q.qe, q.qe))),
+           4) AS sim
+  FROM embeddings e, q
+), cos_rank AS (
+  SELECT doc_id, rank_cos FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank_cos
+    FROM sims
+  ) WHERE rank_cos <= 60
+), fused AS (
+  SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id, c.rank_cos, b.rank_bm25,
+         CAST(ROUND(COALESCE(1.0 / (60 + c.rank_cos), 0.0)
+                    + COALESCE(1.0 / (60 + b.rank_bm25), 0.0), 6) AS DOUBLE) AS rrf
+  FROM cos_rank c FULL OUTER JOIN bm_rank b ON c.doc_id = b.doc_id
+)
+SELECT doc_id, rank_cos, rank_bm25, rrf FROM (
+  SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+) t
+ORDER BY doc_id
+"""
+
 ORACLE["q111_embedding_quantize"] = """
 WITH s AS (
   SELECT vec_id,

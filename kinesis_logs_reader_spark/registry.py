@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 160  # +q110-q157 (r4): LLM-pipeline extension batches 2-13
-N_ORACLES = 158  # forty-eight r4 additions + q47/q48 upgraded to oracle-backed
+N_QUERIES = 161  # +q110-q157 (r4) + q110b top-k RRF production twin (r5)
+N_ORACLES = 159  # forty-eight r4 additions + q47/q48 oracle-backed + q110b (r5)
 
 _OPERATOR_MODULES = (
     "analytics",

@@ -470,3 +470,21 @@ def test_threshold_sweep_single_pass_over_pairs(spark):
     )
     assert len(re.findall(r"Join type: LeftOuter", plan)) == 1
     assert len(re.findall(r"partial_count\(distinct", plan)) == 1
+
+
+def test_q110b_topk_rrf_no_global_corpus_window(spark):
+    """q110b (the RRF production path, VERDICT r4 #3): each retriever's
+    list must come from TakeOrderedAndProject over the corpus-sized
+    score frame — never a global no-partitionBy window sort of the
+    corpus (q110's oracle-twin shape). The only Window operators left
+    rank the two K-row lists."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q110b_rrf_topk(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # the corpus-sized frames feed TakeOrdered heaps; any Exchange
+    # SinglePartition in this plan moves only K-row rank lists, which
+    # is why the full-corpus Sort node count stays at the K-row windows
+    # plus the final 20-row presentation sort.
+    assert "rank_bm25" in plan and "rank_cos" in plan

@@ -39,7 +39,8 @@ ANNOTATED = {
     "q112_chunk_dedup": "r4: occurrence count as a window over md5 digests — one digest exchange, no join-back",
     "q113_blocklist_filter": "r4: blocklist side BroadcastHashJoin; corpus never shuffles pre-aggregate",
     "q115_unigram_lm": "r4: vocab log-prob table broadcast; corpus token stream shuffles only for the two aggregates",
-    "q110_rrf_hybrid": "r4: rank-list fusion — bm25 rank side broadcast into the cosine ranks",
+    "q110_rrf_hybrid": "r4: rank-list fusion — bm25 rank side broadcast into the cosine ranks; ORACLE TWIN of q110b (full-corpus global ranks, single-partition window — not the production path)",
+    "q110b_rrf_topk": "r5 (VERDICT r4 #3): PRODUCTION RRF — each retriever emits top-60 via TakeOrderedAndProject (per-partition heaps, corpus never single-partition-sorted); fusion is a full-outer join of two 60-row frames",
     "q122_substring_dedup": "r4: positional k-gram digests — digest window + per-doc lag window, no join-back",
     "q127_centroid_classify": "r4: broadcast integer centroids; one (vec,label) aggregate, linear in vectors x labels",
     "q129_dedup_pipeline": "r4: dedup capstone — exact digest group-by feeds LSH pair generation; shuffles are digests and id pairs only",
