@@ -75,6 +75,18 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with one cheap pass.
     run(next(iter(sorted(queries.items())))[1])
 
+    # Fixed per-query floor (VERDICT r4 item 8): the py4j round-trip +
+    # plan-build + DAG-schedule + noop-commit cost a query pays even
+    # when it touches one row. Measured directly so the one-line JSON
+    # carries the total-vs-compute decomposition instead of re-telling
+    # the floor story in prose: value ≈ floor_ms * n_queries + compute.
+    floor_best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_best = min(floor_best, time.perf_counter() - t0)
+    floor_ms = round(floor_best * 1000, 1)
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
@@ -164,6 +176,15 @@ def main() -> None:
                 "ratio_compute_bound": round(cb_spark / cb_duck, 2)
                 if cb_duck
                 else None,
+                # measured fixed per-query overhead (py4j + plan build +
+                # schedule + noop commit, best-of-5 on a 1-row job) and
+                # the total with that floor stripped: the strict total
+                # ratio is floor-dominated at sf0.1 — this records the
+                # decomposition in the driver's artifact itself
+                "floor_ms_per_query": floor_ms,
+                "value_minus_floor": round(
+                    sum(timings.values()) - len(timings) * floor_best, 3
+                ),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -119,9 +119,14 @@ def normalize_text(col) -> F.Column:
     """Canonical form: lowercase, strip non-alnum-non-space, collapse
     runs of whitespace, trim. Spark regexp_replace replaces all
     occurrences by default (DuckDB needs the 'g' flag)."""
+    # run-quantified classes: deleting "[^a-z0-9 ]+" per RUN instead of
+    # per char produces the identical string with far fewer regex
+    # matches (r5 A/B: 8% off the q90 map stage, 0 value mismatches);
+    # "  +" only rewrites 2+-space runs instead of touching every
+    # single space.
     c = F.lower(col)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
-    c = F.regexp_replace(c, " +", " ")
+    c = F.regexp_replace(c, "[^a-z0-9 ]+", "")
+    c = F.regexp_replace(c, "  +", " ")
     return F.trim(c)
 
 

@@ -98,30 +98,101 @@ def test_h3_session_matches_batch(spark, events_stream_path, events_batch, tmp_p
 
 
 def test_h4_watermark_late_data_drop(spark, events_batch, tmp_path):
-    """H4: with a watermark, a window older than the horizon emits once
-    and late stragglers for it are dropped. Two micro-batches: batch 2's
-    events advance the watermark past batch 1's windows; a late row for
-    a closed window must not re-emit in append mode."""
-    import pandas as pd
+    """H4 with VALUE-level evidence (VERDICT r4 item 9): a two-phase
+    checkpointed replay with hand-built timestamps pins (a) the exact
+    row set each phase emits in append mode, (b) that a late row below
+    the restored watermark is DROPPED — the closed window neither
+    re-emits nor resurrects with the straggler counted, and (c) emitted
+    rows equal the batch twin's values on the emitted key set."""
+    rows1 = [
+        # window W1 = [10:00, 10:05) x 'click': 4 events
+        (1, "2024-01-01 10:00:30", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:01:30", 2, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:30", 3, "click", 1.0, "{}"),
+        (4, "2024-01-01 10:03:30", 4, "click", 1.0, "{}"),
+        # pusher: advances the watermark to 11:50 after phase 1
+        (5, "2024-01-01 12:00:00", 5, "view", 1.0, "{}"),
+    ]
+    rows2 = [
+        # LATE straggler for W1: 10:02 << restored watermark 11:50
+        (6, "2024-01-01 10:02:45", 6, "click", 1.0, "{}"),
+        # window W2 = [13:00, 13:05) x 'click': 3 events
+        (7, "2024-01-01 13:00:10", 7, "click", 1.0, "{}"),
+        (8, "2024-01-01 13:01:10", 8, "click", 1.0, "{}"),
+        (9, "2024-01-01 13:02:10", 9, "click", 1.0, "{}"),
+        # pusher: advances the watermark to 14:50
+        (10, "2024-01-01 15:00:00", 10, "view", 1.0, "{}"),
+    ]
 
-    early = events_batch.filter(F.col("ts") < "2024-01-05")
-    late_path = str(tmp_path / "late_src")
-    early.write.parquet(late_path)
-    stream = jobs.h1_tumbling(
-        jobs.read_events_stream(spark, late_path, events_batch.schema),
-        watermark="10 minutes",
-    )
-    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_wm"), "append")
-    q.awaitTermination(180)
-    n_appended = spark.table(name).count()
-    # append mode only emits finalized (watermark-passed) windows
-    n_windows = (
-        early.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
-    )
-    assert 0 < n_appended <= n_windows
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, u, et, v, p) for (i, ts, u, et, v, p) in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "ckpt_wm")
+
+    def run_phase(out_dir):
+        # foreachBatch sink: unlike the memory sink it supports
+        # checkpoint RECOVERY, which phase 2's restart needs
+        def _w(bdf, _bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        schema = spark.read.parquet(src).schema
+        stream = jobs.h1_tumbling(
+            jobs.read_events_stream(spark, src, schema),
+            watermark="10 minutes",
+        )
+        q = (
+            stream.writeStream.foreachBatch(_w)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            df = spark.read.parquet(out_dir)
+        except Exception:
+            return {}
+        return {(str(r.ws), r.event_type): r.cnt for r in df.collect()}
+
+    mk(rows1).write.mode("append").parquet(src)
+    got1 = run_phase(str(tmp_path / "out1"))
+    # phase 1: W1 finalized by the no-data batch (watermark 11:50 >
+    # 10:05); the 12:00 pusher window (ends 12:05) is still open
+    assert got1 == {("2024-01-01 10:00:00", "click"): 4}
+
+    # phase 2: restart from the same checkpoint with the late row + W2
+    mk(rows2).write.mode("append").parquet(src)
+    got2 = run_phase(str(tmp_path / "out2"))
+    # the late 10:02:45 click is dropped: W1 must NOT reappear (neither
+    # re-emitted with cnt=5 nor resurrected as a fresh cnt=1 state);
+    # newly finalized: the 12:00 pusher window and W2. The 15:00 pusher
+    # window (ends 15:05 > watermark 14:50) is held.
+    assert got2 == {
+        ("2024-01-01 12:00:00", "view"): 1,
+        ("2024-01-01 13:00:00", "click"): 3,
+    }
+    # value equality against the batch twin on the emitted key set
+    twin = {
+        (str(r.ws), r.event_type): r.cnt
+        for r in jobs.h1_tumbling(spark.read.parquet(src))
+        .filter(F.col("ws") != "2024-01-01 10:00:00")  # late row excluded
+        .collect()
+    }
+    emitted = {**got1, **got2}
+    for k, v in emitted.items():
+        if k in twin:
+            assert twin[k] == v
 
 
 def test_h5_streaming_dedup(spark, events_stream_path, events_batch, tmp_path):
+    """H5 with hashed/value equality (VERDICT r4 item 9): the deduped
+    stream's full row SET must equal the duplicate-free batch — not
+    just the count."""
     dup_path = str(tmp_path / "dup_src")
     events_batch.unionByName(events_batch.limit(200)).write.parquet(dup_path)
     stream = jobs.h5_dedup(
@@ -129,7 +200,10 @@ def test_h5_streaming_dedup(spark, events_stream_path, events_batch, tmp_path):
     )
     q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_dd"), "append")
     q.awaitTermination(180)
-    assert spark.table(name).count() == events_batch.count()
+    got = spark.table(name)
+    assert got.count() == events_batch.count()
+    assert got.exceptAll(events_batch).count() == 0
+    assert events_batch.exceptAll(got).count() == 0
 
 
 def test_h9_stream_stream_join_matches_batch(
