@@ -1309,3 +1309,61 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+def q159_dup_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document authority over the LSH dup graph: two unrolled
+    rounds of integer PageRank (damping 0.85) on q46's candidate-pair
+    edges, top-20 nodes — the "which copy is the hub of this duplicate
+    neighborhood" signal a canonical-selection pass (q118) can rank by
+    instead of plain min-id.
+
+    Exactness across engines: the rank lives in parts-per-million int64
+    the whole way — pr0 = 1e6 for every node, each round is
+    pr_{k+1}(v) = 150000 + sum over in-neighbors u of
+    (850000 * pr_k(u)) div (1e6 * deg(u)) — integer division per edge
+    term, so the neighbor sums are order-independent exact int64 (the
+    r4 lesson: no float accumulations in hashed outputs). Two rounds is
+    the documented operator semantics, not an approximation of a
+    fixpoint: dup neighborhoods are near-cliques, where two rounds
+    already separate hubs from leaves.
+
+    Data movement: the edge frame is the persisted q46/q74 candidate
+    list (near-dups only — orders of magnitude smaller than the
+    corpus); degrees and both rank rounds are edge-keyed aggregates +
+    broadcast-sized joins. Nothing corpus-sized moves.
+    """
+    pairs = _cached_minhash_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("ida").alias("src"), F.col("idb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("idb").alias("src"), F.col("ida").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(F.broadcast(deg), "src")
+    # round 1: pr0(u) = 1e6 cancels into contrib = 850000 div deg(u)
+    pr1 = (
+        ed.select("dst", F.expr("850000 div deg").alias("c"))
+        .groupBy("dst")
+        .agg((F.lit(150000) + F.sum("c")).cast("bigint").alias("pr1"))
+        .withColumnRenamed("dst", "node")
+    )
+    # round 2: contrib = (850000 * pr1(u)) div (1e6 * deg(u))
+    ed2 = ed.join(
+        F.broadcast(pr1.withColumnRenamed("node", "src")), "src"
+    ).select(
+        "dst",
+        F.expr(
+            "(CAST(850000 AS BIGINT) * pr1) div (CAST(1000000 AS BIGINT) * deg)"
+        ).alias("c"),
+    )
+    pr2 = (
+        ed2.groupBy("dst")
+        .agg((F.lit(150000) + F.sum("c")).cast("bigint").alias("pr2_ppm"))
+        .withColumnRenamed("dst", "node")
+    )
+    scored = pr2.join(F.broadcast(deg.withColumnRenamed("src", "node")), "node")
+    top = scored.orderBy(F.col("pr2_ppm").desc(), "node").limit(20)
+    return top.select(
+        "node", F.col("deg").cast("bigint").alias("degree"), "pr2_ppm"
+    ).orderBy("node")

@@ -802,3 +802,54 @@ def q152_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def q158_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary spell-variant detection (fuzzy dedup of the token
+    space): edit-distance <= 2 pairs over the distinct part-name
+    vocabulary, each pair resolved to its higher-document-frequency
+    spelling — the normalize-the-long-tail step a tokenizer-prep or
+    entity-canonicalization pipeline runs before counting anything.
+
+    Data movement: the vocabulary aggregate is the only corpus-sized
+    work (explode of per-row DISTINCT tokens -> (token, df) counts,
+    map-side combinable); the pair generation is a broadcast theta
+    self-join of the VOCAB with itself — vocab-bounded, never
+    corpus-bounded. At a 100 TB corpus the vocabulary is ~1e6 rows, so
+    the quadratic candidate step needs the standard banding (block on
+    length plus first char, or positional q-grams) — here the whole
+    vocab fits one broadcast and the exact all-pairs form doubles as
+    the oracle. Levenshtein is the classic DP distance in both engines,
+    so the pair set is bit-identical.
+    """
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.select(
+            F.explode(F.array_distinct(F.split("p_name", " "))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    a = vocab.select(F.col("t").alias("tok_a"), F.col("df").alias("df_a"))
+    b = vocab.select(F.col("t").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("tok_a") < F.col("tok_b"))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+            "df_a",
+            "df_b",
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "dist",
+        "df_a",
+        "df_b",
+        F.when(F.col("df_a") >= F.col("df_b"), F.col("tok_a"))
+        .otherwise(F.col("tok_b"))
+        .alias("preferred"),
+    ).orderBy("tok_a", "tok_b")

@@ -3310,3 +3310,55 @@ SELECT source, n_docs, tokens_avail, tokens_wanted,
 FROM planned
 ORDER BY source
 """
+
+# --- r5 additions: fuzzy vocabulary variants + dup-graph authority ---------
+
+ORACLE["q158_fuzzy_variants"] = """
+WITH v AS (
+  SELECT t, COUNT(*) AS df
+  FROM (SELECT unnest(list_distinct(str_split(p_name, ' '))) AS t FROM part)
+  GROUP BY t
+)
+SELECT a.t AS tok_a, b.t AS tok_b,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist,
+       a.df AS df_a, b.df AS df_b,
+       CASE WHEN a.df >= b.df THEN a.t ELSE b.t END AS preferred
+FROM v a JOIN v b ON a.t < b.t
+WHERE levenshtein(a.t, b.t) <= 2
+ORDER BY tok_a, tok_b
+"""
+
+# Integer 2-round PageRank over q46's LSH candidate-pair graph: every
+# arithmetic step is int64 (ppm units, per-edge integer division), so
+# the neighbor sums are order-independent — no float accumulation in a
+# hashed output (the r4 lesson).
+ORACLE["q159_dup_authority"] = f"""
+WITH pairs AS (
+{_PAIRS_NO_ORDER}
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL
+  SELECT idb AS src, ida AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+), pr1 AS (
+  SELECT dst AS node,
+         CAST(150000 + SUM(850000 // deg) AS BIGINT) AS pr1
+  FROM ed GROUP BY dst
+), ed2 AS (
+  SELECT ed.dst,
+         (850000 * p.pr1) // (1000000 * ed.deg) AS c
+  FROM ed JOIN pr1 p ON p.node = ed.src
+), pr2 AS (
+  SELECT dst AS node, CAST(150000 + SUM(c) AS BIGINT) AS pr2_ppm
+  FROM ed2 GROUP BY dst
+)
+SELECT node, deg AS degree, pr2_ppm FROM (
+  SELECT p.node, d.deg, p.pr2_ppm
+  FROM pr2 p JOIN deg d ON d.src = p.node
+  ORDER BY p.pr2_ppm DESC, p.node LIMIT 20
+) t
+ORDER BY node
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 161  # +q110-q157 (r4) + q110b top-k RRF production twin (r5)
-N_ORACLES = 159  # forty-eight r4 additions + q47/q48 oracle-backed + q110b (r5)
+N_QUERIES = 163  # +q110b/q158/q159 (r5: top-k RRF twin, fuzzy variants, dup authority)
+N_ORACLES = 161  # r4 surface + q47/q48 oracle-backed + q110b/q158/q159 (r5)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -160,12 +160,17 @@ DRIVER_WINDOW: list[str] = [
 
 
 # Staged round-6 window (swap in next round: DRIVER_WINDOW =
-# DRIVER_WINDOW_R6[:50]): the 17 never-checked keys that overflowed the
+# DRIVER_WINDOW_R6[:50]): the never-checked keys that overflowed the
 # r5 window (q141-q157, late-r4 batches 7-13 — q141's quantizer was
-# already hardened to 1024 alongside q99/q127 this round) + relational
-# re-checks for regression coverage. After r6 every oracle-backed key
-# has >= 1 green driver row (the stated target).
+# already hardened to 1024 alongside q99/q127 this round) plus the r5
+# additions (q110b/q158/q159), then relational re-checks for regression
+# coverage. After r6 every oracle-backed key has >= 1 green driver row
+# (the stated target).
 DRIVER_WINDOW_R6: list[str] = [
+    # r5 additions (oracle-backed, never checked)
+    "q110b_rrf_topk",
+    "q158_fuzzy_variants",
+    "q159_dup_authority",
     # never-checked overflow from r5
     "q141_ivf_fixed_probe",
     "q142_interval_join",
