@@ -453,3 +453,29 @@ def test_h13_dedup_within_watermark(spark, events_stream_path, events_batch, tmp
     q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_ddww"), "append")
     q.awaitTermination(180)
     assert spark.table(name).count() == events_batch.count()
+
+
+def test_h8_update_mode_final_state_matches_batch(
+    spark, events_stream_path, events_batch, tmp_path
+):
+    """H8 (output modes) with value-level evidence: the same windowed
+    aggregation run in UPDATE mode must converge, taking the LAST
+    update per key, to exactly the batch twin's rows — complete mode is
+    covered value-exactly by H1-H3 and append by H4/H9."""
+    stream = jobs.h1_tumbling(
+        _stream(spark, events_stream_path, events_batch), watermark="10 minutes"
+    )
+    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_upd"), "update")
+    q.awaitTermination(180)
+    # memory sink in update mode appends every update; last write wins
+    got_df = spark.table(name).withColumn(
+        "_seq", F.monotonically_increasing_id()
+    )
+    last = got_df.groupBy("ws", "event_type").agg(
+        F.max_by("cnt", "_seq").alias("cnt")
+    )
+    want = jobs.h1_tumbling(events_batch)
+    assert not want.isStreaming
+    assert last.exceptAll(want).count() == 0
+    assert want.exceptAll(last).count() == 0
+    assert last.count() > 0
