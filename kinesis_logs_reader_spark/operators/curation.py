@@ -695,18 +695,21 @@ def q110b_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_rank = cos_top.select(
         "doc_id", F.row_number().over(w_cos).alias("rank_cos")
     )
-    # full outer: a doc may sit in one list's top-K only (K rows/side)
+    # full outer: a doc may sit in one list's top-K only (K rows/side).
+    # rrf is emitted in integer micro-units (1000000 DIV (60+rank)) —
+    # the scaled-int64 idiom adopted after the r4 driver-hash reds — so
+    # the hashed output column is pure integer arithmetic in both
+    # engines, never a float encoding knife-edge.
     fused = cos_rank.join(bm_rank, "doc_id", "full").select(
         "doc_id",
         "rank_cos",
         "rank_bm25",
-        F.round(
-            F.coalesce(F.lit(1.0) / (60 + F.col("rank_cos")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (60 + F.col("rank_bm25")), F.lit(0.0)),
-            6,
-        ).cast("double").alias("rrf"),
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + rank_cos)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + rank_bm25)"), F.lit(0))
+        ).cast("bigint").alias("rrf_ppm"),
     )
-    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    top = fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(20)
     return top.orderBy("doc_id")
 
 

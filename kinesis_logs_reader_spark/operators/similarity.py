@@ -213,11 +213,14 @@ def _kmeans_index_path(index_key: str, n_clusters: int, n_iter: int) -> str:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     tag = re.sub(r"[^A-Za-z0-9._-]+", "_", index_key.strip("/"))
+    # _q1024 versions the index format: r6 moved training to the
+    # integer-quantized grid (floor(v*1024+0.5)), so a pre-r6 float
+    # index on disk must retrain rather than load.
     return os.path.join(
         repo_root,
         "spark-warehouse",
         "kmeans_index",
-        f"{tag}_k{n_clusters}_i{n_iter}.parquet",
+        f"{tag}_k{n_clusters}_i{n_iter}_q1024.parquet",
     )
 
 
@@ -274,14 +277,16 @@ def get_or_fit_kmeans(
     if os.path.exists(path):
         t = pq.read_table(path)
         order = np.argsort(t["cluster"].to_numpy())
-        cents = np.array(t["centroid"].to_pylist(), dtype=np.float64)[order]
+        cents = np.array(t["centroid"].to_pylist(), dtype=np.int64)[order]
     else:
         cents = kmeans_centroids(emb, n_clusters=n_clusters, n_iter=n_iter)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = pa.table(
             {
                 "cluster": pa.array(range(len(cents)), pa.int32()),
-                "centroid": pa.array([list(c) for c in cents], pa.list_(pa.float64())),
+                "centroid": pa.array(
+                    [[int(x) for x in c] for c in cents], pa.list_(pa.int64())
+                ),
             }
         )
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -294,23 +299,32 @@ def get_or_fit_kmeans(
 def kmeans_centroids(
     emb: DataFrame, n_clusters: int = 16, n_iter: int = 3
 ):
-    """Deterministic Lloyd's k-means over the embedding column.
+    """Deterministic Lloyd's k-means over the embedding column, run
+    entirely on the integer grid ``q = floor(v * 1024 + 0.5)`` (the
+    power-of-two quantizer adopted for q99/q127/q141 in r5).
 
-    - init: the ``n_clusters`` vectors with the smallest vec_ids (a
-      fixed, engine-independent seed — no RNG state to reproduce);
+    - init: the quantized vectors of the ``n_clusters`` smallest
+      vec_ids (a fixed, engine-independent seed — no RNG state);
     - assign: one ``mapInPandas`` pass; the centroid matrix broadcasts
-      and every Arrow batch does a single BLAS matmul (never
-      per-element expression evaluation — 64 dims x 16 cells per row
-      would defeat codegen anyway);
-    - update: per-dimension mean via ``posexplode`` + groupBy
+      and every Arrow batch does a single BLAS matmul. All operands
+      are integer-valued doubles bounded by |q| <= 2^21, so every
+      product and 64-term sum is < 2^53 and the matmul is EXACT —
+      argmin (ties -> smaller cell) is bit-stable;
+    - update: per-dimension FLOOR-mean of the quantized coordinates
+      (int64 sum, floor division) via ``posexplode`` + groupBy
       (cluster, dim) — a map-side-combinable agg whose output is only
       n_clusters x dim rows, collected to the driver and re-broadcast.
-      Means are rounded to 6 decimals each round so float summation
-      order cannot drift assignments between runs.
+      A cluster that loses all members keeps its previous centroid.
 
-    Returns a numpy (n_clusters, dim) matrix. At 100 TB the same loop
-    runs on a sample (centroid quality needs ~1k points per cell, not
-    the full table) and only the final assignment pass touches all rows.
+    Because every step is exact integer arithmetic, the whole training
+    loop is reproducible in ANSI SQL — the q75/q109 DuckDB oracles
+    (oracle.py) re-derive these centroids from scratch and must match
+    bit-for-bit; do not change this arithmetic without changing them.
+
+    Returns a numpy (n_clusters, dim) int64 matrix. At 100 TB the same
+    loop runs on a sample (centroid quality needs ~1k points per cell,
+    not the full table) and only the final assignment pass touches all
+    rows.
     """
     import numpy as np
 
@@ -320,30 +334,49 @@ def kmeans_centroids(
         .select("embedding")
         .collect()
     )
-    cents = np.array([r["embedding"] for r in init], dtype=np.float64)
-    spark = emb.sparkSession
+    cents = np.floor(
+        np.array([r["embedding"] for r in init], dtype=np.float64) * 1024.0
+        + 0.5
+    ).astype(np.int64)
     for _ in range(n_iter):
         assigned = assign_clusters(emb, cents)
-        means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "v")
+            )
+            .select(
+                "cluster",
+                "dim",
+                F.floor(F.col("v").cast("double") * 1024 + 0.5)
+                .cast("bigint")
+                .alias("q"),
+            )
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = cents.copy()
-        for r in means:
-            new[r["cluster"], r["dim"]] = round(r["m"], 6)
+        for r in sums:
+            # Python // is floor division — matches the oracle's
+            # sign-safe (s - ((s % n) + n) % n) // n integer form.
+            new[r["cluster"], r["dim"]] = r["s"] // r["n"]
         cents = new
     return cents
 
 
 def assign_clusters(emb: DataFrame, cents) -> DataFrame:
-    """Add a ``cluster`` column: argmin squared-L2 to the centroid matrix."""
+    """Add a ``cluster`` column: argmin squared-L2 from the QUANTIZED
+    vector (floor(v*1024+0.5)) to the integer centroid matrix. All
+    arithmetic is exact (integer-valued doubles < 2^53), so ties break
+    to the smaller cell id identically in numpy (argmin = first min)
+    and SQL (ORDER BY d2, cell)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    b = emb.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+    b = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
+    )
     schema = T.StructType(
         emb.schema.fields + [T.StructField("cluster", T.IntegerType())]
     )
@@ -352,7 +385,10 @@ def assign_clusters(emb: DataFrame, cents) -> DataFrame:
         c = b.value
         c_sq = (c * c).sum(axis=1)
         for pdf in batches:
-            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            x = np.floor(
+                np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+                + 0.5
+            )
             # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; ||x||^2 constant per row
             d = -2.0 * (x @ c.T) + c_sq
             out = pdf.copy()
@@ -386,12 +422,17 @@ def ivf_topk(
         cents = get_or_fit_kmeans(emb, index_key, n_clusters=n_clusters)
     else:
         cents = kmeans_centroids(emb, n_clusters=n_clusters)
-    q_emb = np.array(
-        emb.filter(F.col("vec_id") == query_vec_id).first()["embedding"],
-        dtype=np.float64,
+    q_emb = np.floor(
+        np.array(
+            emb.filter(F.col("vec_id") == query_vec_id).first()["embedding"],
+            dtype=np.float64,
+        )
+        * 1024.0
+        + 0.5
     )
-    d = ((cents - q_emb) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+    # exact integer distances; stable sort -> ties route to smaller cell
+    d = ((np.asarray(cents, dtype=np.float64) - q_emb) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
 
     assigned = assign_clusters(emb, cents)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
@@ -413,8 +454,11 @@ def ivf_topk(
 
 
 def q75_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-k-means ANN top-5 for vec_id 0 (rows-only check; recall vs
-    the exact baseline asserted in tests/test_llm_ops.py)."""
+    """IVF-k-means ANN top-5 for vec_id 0. Oracle-backed since r6: the
+    integer-grid training loop (kmeans_centroids) is re-derived from
+    scratch inside the DuckDB oracle, so the TRAINED index itself is
+    cross-engine-checked, not just the probe. Recall vs the exact
+    baseline is additionally asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, query_vec_id=0, k=5, index_key=f"emb_{sf_dir}"
@@ -481,8 +525,10 @@ def semdedup(
 
 def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over a fixed 2000-vector slice with planted exact copies
-    (vec_id < 10 duplicated at id+1000000, as in q50). Rows-only check;
-    planted-copy recovery is asserted in tests/test_llm_ops.py.
+    (vec_id < 10 duplicated at id+1000000, as in q50). Oracle-backed
+    since r6 (integer-grid k-means re-derived in SQL + within-cell
+    pairwise cosine); planted-copy recovery is additionally asserted in
+    tests/test_llm_ops.py.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     planted = emb.filter(F.col("vec_id") < 10).select(

@@ -67,7 +67,17 @@ def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "total_tokens",
-            F.expr("(total_tokens * CAST(1000000 AS BIGINT)) div n_docs")
+            # divide BEFORE scaling (quot*1e6 + rem*1e6 div n): the
+            # naive total_tokens*1e6 overflows int64 once a language's
+            # token sum passes ~9.2e12 — plausible at 100 TB — while
+            # the decomposed form only needs rem < n_docs, so it is
+            # exact for any corpus whose per-language doc count fits
+            # int64/1e6. Value-identical to the old form below overflow.
+            F.expr(
+                "(total_tokens div n_docs) * CAST(1000000 AS BIGINT)"
+                " + ((total_tokens % n_docs) * CAST(1000000 AS BIGINT))"
+                " div n_docs"
+            )
             .cast("bigint")
             .alias("avg_tokens_micro"),
             "total_chars",

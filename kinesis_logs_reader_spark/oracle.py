@@ -1786,12 +1786,12 @@ WITH stats AS (
   ) WHERE rank_cos <= 60
 ), fused AS (
   SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id, c.rank_cos, b.rank_bm25,
-         CAST(ROUND(COALESCE(1.0 / (60 + c.rank_cos), 0.0)
-                    + COALESCE(1.0 / (60 + b.rank_bm25), 0.0), 6) AS DOUBLE) AS rrf
+         CAST(COALESCE(1000000 // (60 + c.rank_cos), 0)
+              + COALESCE(1000000 // (60 + b.rank_bm25), 0) AS BIGINT) AS rrf_ppm
   FROM cos_rank c FULL OUTER JOIN bm_rank b ON c.doc_id = b.doc_id
 )
-SELECT doc_id, rank_cos, rank_bm25, rrf FROM (
-  SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+SELECT doc_id, rank_cos, rank_bm25, rrf_ppm FROM (
+  SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20
 ) t
 ORDER BY doc_id
 """
@@ -3361,4 +3361,118 @@ SELECT node, deg AS degree, pr2_ppm FROM (
   ORDER BY p.pr2_ppm DESC, p.node LIMIT 20
 ) t
 ORDER BY node
+"""
+
+
+# --- q75 / q109: trained k-means paths, oracle-backed (r6) -----------------
+# The trained index became oracle-expressible when training moved to the
+# integer grid (similarity.kmeans_centroids): init = quantized vectors of
+# the k smallest vec_ids, assignment = exact int64 argmin (ties -> smaller
+# cell), update = sign-safe integer floor-mean, empty cells keep their
+# previous centroid. Every step is exact integer arithmetic, so DuckDB
+# re-derives the SAME centroids from scratch — no exported literals, no
+# dependence on the persisted parquet index.
+
+
+def _kmeans_cte(n_clusters: int = 16, n_iter: int = 3, dim: int = 64) -> str:
+    """WITH-clause body running Lloyd's k-means over a CTE named
+    ``corpus(vec_id, embedding)``; exposes ``dist`` (vec x cell int64
+    distances to the FINAL centroids) and ``assigned`` (final cells)."""
+    parts = [
+        f"""flat AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM corpus, range({dim}) t(i)
+)""",
+        f"""c0 AS (
+  SELECT r.cell, f.dim, f.q AS mu
+  FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM corpus ORDER BY vec_id LIMIT {n_clusters}) r
+  JOIN flat f USING (vec_id)
+)""",
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(f"""d{it} AS (
+  SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN c{it - 1} c USING (dim) GROUP BY f.vec_id, c.cell
+)""")
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d{it}) t WHERE rn = 1
+)""")
+        parts.append(f"""m{it} AS (
+  SELECT a.cell, f.dim, SUM(f.q) AS s, COUNT(*) AS n
+  FROM a{it} a JOIN flat f USING (vec_id) GROUP BY a.cell, f.dim
+)""")
+        # sign-safe integer floor-mean: DuckDB // truncates toward zero
+        # and % follows the dividend, so subtract the nonneg remainder
+        # first — (s - ((s%n)+n)%n) is divisible by n, making // exact
+        # floor division for any sign (matches Python's s // n).
+        parts.append(f"""c{it} AS (
+  SELECT c.cell, c.dim,
+         COALESCE((m.s - ((m.s % m.n) + m.n) % m.n) // m.n, c.mu) AS mu
+  FROM c{it - 1} c LEFT JOIN m{it} m ON m.cell = c.cell AND m.dim = c.dim
+)""")
+    parts.append(f"""dist AS (
+  SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN c{n_iter} c USING (dim) GROUP BY f.vec_id, c.cell
+)""")
+    parts.append("""assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist) t WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+_COS_IJ = """list_inner_product(CAST(i.embedding AS DOUBLE[]), CAST(j.embedding AS DOUBLE[]))
+      / (SQRT(list_inner_product(CAST(i.embedding AS DOUBLE[]), CAST(i.embedding AS DOUBLE[])))
+         * SQRT(list_inner_product(CAST(j.embedding AS DOUBLE[]), CAST(j.embedding AS DOUBLE[]))))"""
+
+ORACLE["q75_ann_ivf_kmeans"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+{_kmeans_cte(16, 3)},
+probe AS (
+  SELECT cell FROM dist WHERE vec_id = 0 ORDER BY d2, cell LIMIT 4
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT e.vec_id,
+         CAST(ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.qe)
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(qv.qe, qv.qe))),
+           4) AS DOUBLE) AS sim
+  FROM embeddings e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cell, qv
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, sim FROM (
+  SELECT * FROM sims ORDER BY sim DESC, vec_id LIMIT 5
+) t
+ORDER BY vec_id
+"""
+
+ORACLE["q109_semdedup"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10
+),
+{_kmeans_cte(16, 3)}
+SELECT j.vec_id, CAST(MIN(i.vec_id) AS BIGINT) AS dup_of
+FROM corpus j
+JOIN assigned aj ON j.vec_id = aj.vec_id
+JOIN assigned ai ON ai.cell = aj.cell
+JOIN corpus i ON i.vec_id = ai.vec_id AND i.vec_id < j.vec_id
+WHERE {_COS_IJ} >= 0.999
+GROUP BY j.vec_id
+ORDER BY j.vec_id, dup_of
 """

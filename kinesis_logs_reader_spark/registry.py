@@ -26,7 +26,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
 N_QUERIES = 163  # +q110b/q158/q159 (r5: top-k RRF twin, fuzzy variants, dup authority)
-N_ORACLES = 161  # r4 surface + q47/q48 oracle-backed + q110b/q158/q159 (r5)
+N_ORACLES = 163  # r6: q75/q109 oracle-backed (integer-grid k-means re-derived in SQL)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -93,16 +93,10 @@ def all_oracle_sql() -> dict[str, str]:
 # tests, bench, and tools use ``all_queries()``; only __spark_entry__
 # exports the rotated view.
 #
-# Round-5 window (VERDICT r4 items #1/#2): the five r4 hash-reds spliced
-# at the top — all five were locally green but driver-red, root-caused
-# this round to DuckDB HUGEINT output columns (every red emitted a raw
-# integer-SUM, no green did; all 158 oracles now CAST integer sums to
-# BIGINT) plus knife-edge float encodings (hardened to the scaled-int64
-# idiom: *_ppm / *_micro integer columns, 1024 power-of-two quantizer,
-# integer ceil-division) — followed by the first 45 never-checked keys
-# of the staged r5 list. 48 of 50 are oracle-backed (q75/q109 are
-# rows-only by design: k-means-trained index paths).
-DRIVER_WINDOW: list[str] = [
+# Round-5 window (historical; all 50 rows recorded in
+# CORRECTNESS_r05.json — 48 hash-green + the 2 by-design rows-only
+# paths q75/q109, since oracle-backed in r6). Kept for provenance.
+DRIVER_WINDOW_R5: list[str] = [
     # r4 hash-reds, hardened this round — re-check first
     "q41_token_stats",
     "q93_domain_mix",
@@ -159,18 +153,20 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 
-# Staged round-6 window (swap in next round: DRIVER_WINDOW =
-# DRIVER_WINDOW_R6[:50]): the never-checked keys that overflowed the
-# r5 window (q141-q157, late-r4 batches 7-13 — q141's quantizer was
-# already hardened to 1024 alongside q99/q127 this round) plus the r5
-# additions (q110b/q158/q159), then relational re-checks for regression
-# coverage. After r6 every oracle-backed key has >= 1 green driver row
-# (the stated target).
+# Round-6 window (ACTIVE, VERDICT r5 item #1): the never-checked keys
+# that overflowed the r5 window (q141-q157, late-r4 batches 7-13) plus
+# the r5 additions (q110b/q158/q159) and the newly oracle-backed
+# q75/q109 (VERDICT r5 item #4), then relational re-checks for
+# regression coverage. After r6 every oracle-backed key has >= 1 green
+# driver row (the stated target).
 DRIVER_WINDOW_R6: list[str] = [
     # r5 additions (oracle-backed, never checked)
     "q110b_rrf_topk",
     "q158_fuzzy_variants",
     "q159_dup_authority",
+    # rows-only in r5, oracle-backed this round via centroid literals
+    "q75_ann_ivf_kmeans",
+    "q109_semdedup",
     # never-checked overflow from r5
     "q141_ivf_fixed_probe",
     "q142_interval_join",
@@ -227,6 +223,9 @@ DRIVER_WINDOW_R6: list[str] = [
     "q14_count_distinct",
     "q17_global_agg",
 ]
+
+# ACTIVE window for this round's driver correctness gate (first 50).
+DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R6[:50]
 
 
 def export_name(key: str) -> str:

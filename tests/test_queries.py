@@ -38,13 +38,10 @@ def duck():
 
 
 def test_registry_consistency():
-    """Every oracle key has a query; rows-only keys are the known set."""
+    """Every oracle key has a query; since r6 every query is
+    oracle-backed (q75/q109 gained SQL-re-derivable integer k-means)."""
     assert set(ORACLES) <= set(QUERIES)
-    rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {
-        "q75_ann_ivf_kmeans",
-        "q109_semdedup",
-    }
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_driver_export_window():
@@ -64,12 +61,8 @@ def test_driver_export_window():
     # lexical order agrees (in case the driver sorts keys instead)
     first_lex = sorted(eq)[: len(DRIVER_WINDOW)]
     assert [canonical_name(k) for k in first_lex] == DRIVER_WINDOW
-    # every window key is oracle-backed (=> hashable driver row) except
-    # the two rows-only-by-design keys: their k-means-trained index
-    # state is not SQL-expressible, so the driver records the weaker
-    # rows-only check for them — that IS their intended evidence.
-    rows_only_by_design = {"q75_ann_ivf_kmeans", "q109_semdedup"}
-    assert set(DRIVER_WINDOW) - rows_only_by_design <= set(ORACLES)
+    # every window key is oracle-backed (=> hashable driver row)
+    assert set(DRIVER_WINDOW) <= set(ORACLES)
     # the driver hashes exactly the first 50 keys: a shorter window
     # leaks non-window keys into the checked set, a longer one silently
     # drops window keys off the end
