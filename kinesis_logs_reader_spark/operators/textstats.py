@@ -814,6 +814,87 @@ def q152_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152b_perplexity_buckets_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production entry point for the decile table (VERDICT r5 #2):
+    exact NTILE(10) semantics WITHOUT the global no-partitionBy window.
+    q152 keeps the single-window form as the oracle twin (the
+    q110/q110b pattern); output is bit-identical.
+
+    Plan shape: ``repartitionByRange`` on the total-order key
+    (avg_logprob, doc_id) splits the score frame into ordered ranges;
+    per-range ``row_number`` windows run in parallel (partitionBy the
+    materialized range-partition id — never one task holding every
+    row); the only driver-side data is the 32-row per-partition count
+    vector, whose prefix sums turn local row numbers into exact global
+    ranks. Bucket assignment is then the closed-form integer NTILE
+    formula — with n rows and k buckets, the first ``n % k`` buckets
+    get ``n div k + 1`` rows — applied map-only. At 100 TB the scored
+    frame is (id, two numbers); nothing corpus-sized is ever globally
+    sorted on one task and nothing but the partition-count vector
+    reaches the driver.
+    """
+    scored = q115_unigram_lm(spark, sf_dir).select(
+        "doc_id", "n_tok", "avg_logprob", "keep"
+    )
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    # session-cached like cached_doc_tokens: the ranged frame is read
+    # twice (count vector, then rank pass) and must be pinned so both
+    # passes see identical range-partition contents.
+    cache = spark.__dict__.setdefault("_klrs_q152b_cache", {})
+    if sf_dir not in cache:
+        cache[sf_dir] = (
+            scored.repartitionByRange(nparts, "avg_logprob", "doc_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+    ranged = cache[sf_dir]
+    # bounded driver step: ONE row per range partition (32 at test
+    # scale, a few thousand on a big cluster), never data rows
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy("avg_logprob", "doc_id")
+    q10, rem = n // 10, n % 10
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+    )
+    # closed-form NTILE(10) from the exact global rank, all-int64
+    # arithmetic (DIV, never float division: a double quotient could
+    # misbucket a boundary rank once ranks pass 2^53)
+    bucket = F.when(
+        F.col("_rank") <= F.lit(rem * (q10 + 1)),
+        F.expr(f"(_rank - 1) DIV {q10 + 1} + 1"),
+    ).otherwise(
+        F.expr(f"{rem} + (_rank - {rem * (q10 + 1)} - 1) DIV {max(q10, 1)} + 1")
+    )
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logprob"), 4).cast("double").alias("avg_lp"),
+            F.round(F.min("avg_logprob"), 4).cast("double").alias("min_lp"),
+            F.round(F.max("avg_logprob"), 4).cast("double").alias("max_lp"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 4)
+            .cast("double")
+            .alias("avg_tokens"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q158_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary spell-variant detection (fuzzy dedup of the token
     space): edit-distance <= 2 pairs over the distinct part-name
@@ -853,6 +934,92 @@ def q158_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 2)
     )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "dist",
+        "df_a",
+        "df_b",
+        F.when(F.col("df_a") >= F.col("df_b"), F.col("tok_a"))
+        .otherwise(F.col("tok_b"))
+        .alias("preferred"),
+    ).orderBy("tok_a", "tok_b")
+
+
+def _deletion_neighborhood(col: str) -> F.Column:
+    """All distinct strings reachable by deleting <= 2 characters from
+    ``col`` (the token itself, every 1-deletion, every 2-deletion) as
+    an array — pure Catalyst HOFs, no UDF. This is the SymSpell band
+    key set: Levenshtein(a, b) <= 2 implies the aligned matched
+    subsequence is itself a member of BOTH neighborhoods (delete a's
+    substituted+deleted chars, delete b's substituted+inserted chars),
+    so equi-joining on neighborhood membership is candidate-COMPLETE
+    for distance <= 2 — unlike first-char blocking, which misses
+    substitutions at position 0.
+    """
+    d1 = (
+        "transform(sequence(1, length({c})), i -> "
+        "concat(substring({c}, 1, i-1), substring({c}, i+1, length({c}))))"
+    )
+    inner = d1.format(c="s")
+    return F.expr(
+        "array_distinct(concat("
+        f"array({col}), "
+        f"{d1.format(c=col)}, "
+        f"flatten(transform({d1.format(c=col)}, s -> {inner}))"
+        "))"
+    )
+
+
+def q158b_fuzzy_variants_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production entry point for spell-variant detection (VERDICT r5
+    #3): deletion-neighborhood (SymSpell) banding replaces q158's
+    O(|V|^2) broadcast theta join; q158 keeps the exact all-pairs form
+    as the oracle twin. Output is identical — the banding is
+    candidate-complete for edit distance <= 2 (see
+    :func:`_deletion_neighborhood`), and the final exact
+    ``levenshtein`` filter removes the false candidates banding admits.
+
+    Data movement at scale: each vocab token expands to
+    O(len^2) ~ 50 short band strings (a map-only explode), candidates
+    come from ONE hash-shuffle equi-join on the band string, and each
+    candidate pair is verified once after a distinct. |V|=1e6 rows
+    yields ~5e7 band rows and vastly fewer than the theta join's 1e12
+    comparisons — the band-group sizes, not |V|^2, bound the work.
+    """
+    part = load_table(spark, sf_dir, "part")
+    vocab = (
+        part.select(
+            F.explode(F.array_distinct(F.split("p_name", " "))).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bands = vocab.select(
+        "t", "df", F.explode(_deletion_neighborhood("t")).alias("band")
+    )
+    a = bands.select(
+        F.col("band"), F.col("t").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("t").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    cands = (
+        a.join(b, ["band"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "df_a", "df_b")
+        .distinct()
+    )
+    pairs = cands.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+        "df_a",
+        "df_b",
+    ).filter(F.col("dist") <= 2)
     return pairs.select(
         "tok_a",
         "tok_b",

@@ -3139,6 +3139,13 @@ GROUP BY bucket
 ORDER BY bucket
 """
 
+# q152b: the range-partitioned production twin computes the SAME exact
+# NTILE(10) decile table (closed-form bucket from exact global rank),
+# so its oracle is q152's statement verbatim.
+ORACLE["q152b_perplexity_buckets_scalable"] = ORACLE[
+    "q152_perplexity_buckets"
+]
+
 ORACLE["q153_dedup_survivorship"] = """
 WITH base AS (
   SELECT doc_id, source, md5(text) AS h FROM documents
@@ -3327,6 +3334,12 @@ FROM v a JOIN v b ON a.t < b.t
 WHERE levenshtein(a.t, b.t) <= 2
 ORDER BY tok_a, tok_b
 """
+
+# q158b: deletion-neighborhood banding is candidate-complete for
+# dist <= 2 and the exact levenshtein filter runs on every candidate,
+# so the banded production path emits exactly the all-pairs rows —
+# oracle is q158's statement verbatim.
+ORACLE["q158b_fuzzy_variants_banded"] = ORACLE["q158_fuzzy_variants"]
 
 # Integer 2-round PageRank over q46's LSH candidate-pair graph: every
 # arithmetic step is int64 (ppm units, per-edge integer division), so

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 163  # +q110b/q158/q159 (r5: top-k RRF twin, fuzzy variants, dup authority)
-N_ORACLES = 163  # r6: q75/q109 oracle-backed (integer-grid k-means re-derived in SQL)
+N_QUERIES = 165  # +q152b/q158b (r6: scalable decile twin, banded fuzzy variants)
+N_ORACLES = 165  # r6: q75/q109 oracle-backed (integer-grid k-means re-derived in SQL)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -163,6 +163,7 @@ DRIVER_WINDOW_R6: list[str] = [
     # r5 additions (oracle-backed, never checked)
     "q110b_rrf_topk",
     "q158_fuzzy_variants",
+    "q158b_fuzzy_variants_banded",  # r6 production twin (VERDICT r5 #3)
     "q159_dup_authority",
     # rows-only in r5, oracle-backed this round via centroid literals
     "q75_ann_ivf_kmeans",
@@ -180,6 +181,7 @@ DRIVER_WINDOW_R6: list[str] = [
     "q150_charset_profile",
     "q151_candidate_degree",
     "q152_perplexity_buckets",
+    "q152b_perplexity_buckets_scalable",  # r6 production twin (VERDICT r5 #2)
     "q153_dedup_survivorship",
     "q154_boundary_overlap",
     "q155_lsh_band_sensitivity",

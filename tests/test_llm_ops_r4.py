@@ -11,9 +11,10 @@ from pyspark.sql import functions as F
 
 from kinesis_logs_reader_spark.operators import curation, dedup, preprocess, similarity, textstats
 from kinesis_logs_reader_spark.functions.text import tokens
+from kinesis_logs_reader_spark.sources import tables
 from kinesis_logs_reader_spark.sources.tables import load_table
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_01
 
 
 def test_rrf_query_doc_ranks_first_on_cosine(spark):
@@ -83,6 +84,27 @@ def test_chunk_dedup_ratio_bounds(spark):
     for r in rows:
         assert 0 <= r.n_dup_chunks <= r.n_chunks
         assert 0.0 <= r.dup_ratio <= 1.0
+
+
+def test_chunk_dedup_corpus_precondition(spark):
+    """q112's regex chunker (``\\S+( \\S+)?`` + ``length(text)>0``) is
+    equivalent to the slice-based oracle ONLY for non-empty,
+    single-space-tokenized text (ADVICE r5): empty docs, runs of
+    spaces, or leading/trailing spaces would make the two chunkings
+    diverge. Check the documented precondition on every fixture the
+    parity gate reads instead of assuming it."""
+    for d in (SF_DIR, SF_DIR_01):
+        bad = (
+            tables.load_table(spark, d, "documents")
+            .filter(
+                (F.length("text") == 0)
+                | F.col("text").contains("  ")
+                | F.col("text").startswith(" ")
+                | F.col("text").endswith(" ")
+            )
+            .count()
+        )
+        assert bad == 0, f"{d}: {bad} docs violate q112 chunker precondition"
 
 
 def test_blocklist_blocks_whole_sources(spark):

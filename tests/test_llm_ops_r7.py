@@ -19,7 +19,7 @@ def test_q110b_topk_matches_full_rank_head(spark):
     top-60 lists must carry the same ranks and rrf as q110's exact
     full-corpus form (ranks <= K coincide with global ranks)."""
     full = {
-        r.doc_id: (r.rank_cos, r.rank_bm25, r.rrf)
+        r.doc_id: (r.rank_cos, r.rank_bm25)
         for r in curation.q110_rrf_hybrid(spark, SF_DIR).collect()
     }
     topk = curation.q110b_rrf_topk(spark, SF_DIR).collect()
@@ -27,7 +27,10 @@ def test_q110b_topk_matches_full_rank_head(spark):
     both = [r for r in topk if r.rank_cos is not None and r.rank_bm25 is not None]
     for r in both:
         if r.doc_id in full:
-            assert full[r.doc_id] == (r.rank_cos, r.rank_bm25, r.rrf)
+            assert full[r.doc_id] == (r.rank_cos, r.rank_bm25)
+        # rrf_ppm is pure integer arithmetic on the two ranks
+        want_ppm = 1000000 // (60 + r.rank_cos) + 1000000 // (60 + r.rank_bm25)
+        assert r.rrf_ppm == want_ppm
 
 
 def test_q158_preferred_is_dominant_spelling(spark):
@@ -51,3 +54,58 @@ def test_q159_authority_favors_hubs(spark):
     hi = max(rows, key=lambda r: r.degree)
     lo = min(rows, key=lambda r: r.degree)
     assert hi.pr2_ppm >= lo.pr2_ppm or hi.degree == lo.degree
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_q152b_twin_equals_exact_ntile(spark):
+    """The range-partitioned production path (q152b) must reproduce the
+    global-NTILE oracle twin (q152) row-for-row — same deciles, same
+    stats — at test scale."""
+    exact = _rows_set(textstats.q152_perplexity_buckets(spark, SF_DIR))
+    scalable = _rows_set(
+        textstats.q152b_perplexity_buckets_scalable(spark, SF_DIR)
+    )
+    assert exact == scalable and len(exact) == 10
+
+
+def test_q158b_twin_equals_all_pairs(spark):
+    """Deletion-neighborhood banding (q158b) is candidate-complete for
+    dist <= 2: its output must equal q158's exact all-pairs form."""
+    exact = _rows_set(textstats.q158_fuzzy_variants(spark, SF_DIR))
+    banded = _rows_set(textstats.q158b_fuzzy_variants_banded(spark, SF_DIR))
+    assert exact == banded and len(exact) > 0
+
+
+def test_q158b_banding_prunes_candidates(spark):
+    """The banded candidate count must be well under the |V|^2/2 theta
+    comparisons the exact form performs — the point of the banding."""
+    from kinesis_logs_reader_spark.operators.textstats import (
+        _deletion_neighborhood,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    vocab = (
+        part.select(
+            F.explode(F.array_distinct(F.split("p_name", " "))).alias("t")
+        )
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .count()
+    )
+    v = vocab.count()
+    bands = vocab.select(
+        "t", F.explode(_deletion_neighborhood("t")).alias("band")
+    )
+    n_cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select("a.t", "b.t")
+        .distinct()
+        .count()
+    )
+    assert n_cand < (v * (v - 1)) // 2 / 2, (n_cand, v)

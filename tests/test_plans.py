@@ -488,3 +488,36 @@ def test_q110b_topk_rrf_no_global_corpus_window(spark):
     # is why the full-corpus Sort node count stays at the K-row windows
     # plus the final 20-row presentation sort.
     assert "rank_bm25" in plan and "rank_cos" in plan
+
+
+def test_q152b_no_global_corpus_window(spark):
+    """q152b (the decile production path, VERDICT r5 #2): bucket
+    assignment must come from per-range-partition row_number windows —
+    every windowspecdefinition in the plan is partitioned by the
+    materialized range-partition id, no ntile, and no single task ever
+    sorts the whole score frame. The only SinglePartition exchanges
+    carry 1-row global aggregates (q115's normalizing total)."""
+    import re
+
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q152b_perplexity_buckets_scalable(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "ntile" not in plan.lower()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-partition row_number window"
+    for s in specs:
+        assert "_pid" in s, f"unpartitioned window spec: {s}"
+
+
+def test_q158b_no_theta_join(spark):
+    """q158b (banded fuzzy variants, VERDICT r5 #3): candidates must
+    come from a hash equi-join on the deletion-band key — the plan may
+    not contain the O(|V|^2) BroadcastNestedLoopJoin the exact twin
+    uses."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q158b_fuzzy_variants_banded(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -465,14 +465,31 @@ def test_h8_update_mode_final_state_matches_batch(
     stream = jobs.h1_tumbling(
         _stream(spark, events_stream_path, events_batch), watermark="10 minutes"
     )
-    q, name = jobs.run_available_now(stream, str(tmp_path / "ckpt_upd"), "update")
-    q.awaitTermination(180)
-    # memory sink in update mode appends every update; last write wins
-    got_df = spark.table(name).withColumn(
-        "_seq", F.monotonically_increasing_id()
+    # foreachBatch tags every update row with its explicit batch_id —
+    # cross-batch arrival order is then a data column, not an artifact
+    # of memory-sink partition layout (ADVICE r5: the old
+    # monotonically_increasing_id over a re-read encodes partition
+    # order of the re-read and could flake if the sink layout ever
+    # stopped matching insertion order).
+    upd_path = str(tmp_path / "h8_updates")
+
+    def _capture(batch_df, batch_id):
+        batch_df.withColumn("_bid", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(upd_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+        .trigger(availableNow=True)
+        .start()
     )
-    last = got_df.groupBy("ws", "event_type").agg(
-        F.max_by("cnt", "_seq").alias("cnt")
+    q.awaitTermination(180)
+    last = (
+        spark.read.parquet(upd_path)
+        .groupBy("ws", "event_type")
+        .agg(F.max_by("cnt", "_bid").alias("cnt"))
     )
     want = jobs.h1_tumbling(events_batch)
     assert not want.isStreaming
