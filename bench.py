@@ -136,6 +136,16 @@ def main() -> None:
     cb_spark = sum(timings[k] for k in cb)
     cb_duck = sum(duck[k] for k in cb)
 
+    # Drift canary (VERDICT r5 item 6): r4->r5 showed ~1.3x uniform
+    # wall-time inflation on BOTH engines with unchanged plans/SQL.
+    # Pinning the DuckDB total of three fixed queries (join-heavy,
+    # agg-heavy, string/hash-heavy — SQL unchanged since r3/r4) in the
+    # one-line artifact makes VM drift separable from regression when
+    # comparing BENCH_r{N}.json across rounds: if the canary moved, the
+    # round-over-round per-query deltas are drift, not plan changes.
+    CANARY = ("q05_join_inner", "q13_tpch_q1", "q45_fingerprint")
+    canary = {k: duck[k] for k in CANARY if k in duck}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver records exactly one stdout line and truncated the full
     # 110-entry per-query map two rounds running ("parsed": null), so the
@@ -182,6 +192,9 @@ def main() -> None:
                 # ratio is floor-dominated at sf0.1 — this records the
                 # decomposition in the driver's artifact itself
                 "floor_ms_per_query": floor_ms,
+                # fixed-SQL DuckDB canary total: drift detector across
+                # rounds (same three queries every round)
+                "duckdb_canary_sec": round(sum(canary.values()), 3),
                 "value_minus_floor": round(
                     sum(timings.values()) - len(timings) * floor_best, 3
                 ),
