@@ -90,6 +90,44 @@ def build(spark) -> None:
         print(f"built {name}: {df.count()} rows")
 
 
+def full_soak(spark, queries) -> None:
+    """--full: the entire declared surface once at sf0.1 and once at
+    sf~1 (best-of-2 warm). Emits SCALE_FULL.json {query: {t01, t1,
+    growth, err}} so SCALE.md can cover 165/165 (VERDICT r5 item #8).
+    A healthy row grows <= ~3x on 10x data (fixed overhead + linear
+    scan); superlinear rows are the shuffle/spill suspects."""
+    import json
+
+    out = {}
+    for i, name in enumerate(sorted(queries)):
+        rec = {}
+        for key, d in (("t01", "/root/testdata/sf0.1"), ("t1", SCALE_DIR)):
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                rec[key] = round(best, 3)
+            except Exception as exc:
+                rec["err"] = f"{key}: {type(exc).__name__}: {exc}"[:200]
+                break
+        if "err" not in rec:
+            rec["growth"] = round(rec["t1"] / rec["t01"], 2) if rec["t01"] else None
+        out[name] = rec
+        print(f"[{i + 1}/{len(queries)}] {name}: {rec}", flush=True)
+    with open("/root/repo/SCALE_FULL.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    worst = sorted(
+        (v["growth"], k) for k, v in out.items() if v.get("growth")
+    )[-10:]
+    print("\nworst growth (x on 10x data):")
+    for g, k in reversed(worst):
+        print(f"  {k:42s} {g}")
+
+
 def main() -> None:
     from kinesis_logs_reader_spark import registry as entry
     from kinesis_logs_reader_spark.session import build_session
@@ -99,6 +137,11 @@ def main() -> None:
 
     if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
         build(spark)
+
+    if "--full" in sys.argv:
+        full_soak(spark, entry.all_queries())
+        spark.stop()
+        return
 
     queries = entry.all_queries()
     sfs = [
