@@ -109,3 +109,27 @@ def test_q158b_banding_prunes_candidates(spark):
         .count()
     )
     assert n_cand < (v * (v - 1)) // 2 / 2, (n_cand, v)
+
+
+def test_deletion_neighborhood_sql_matches_reference(spark):
+    """The Catalyst HOF expression in textstats._deletion_neighborhood
+    computes exactly the <=2-deletion set (one job over 60 random-ish
+    tokens; reference mirrored from tests.test_properties)."""
+    from tests.test_properties import _ref_del_neighborhood
+
+    toks = [
+        f"{a}{b}{c}"[: 1 + (i % 6)]
+        for i, (a, b, c) in enumerate(
+            (x, y, z)
+            for x in ("ab", "ba", "aa")
+            for y in ("c", "cc", "")
+            for z in ("de", "ed", "d", "")
+        )
+    ]
+    toks = sorted(set(t for t in toks if t))[:60]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    rows = df.select(
+        "t", textstats._deletion_neighborhood("t").alias("nb")
+    ).collect()
+    for r in rows:
+        assert set(r["nb"]) == _ref_del_neighborhood(r["t"]), r["t"]

@@ -138,3 +138,110 @@ def test_scaled_int64_money_matches_decimal_sum(spark):
         for r in lvl1.groupBy("k").agg(_money(F.sum(_d38("x2")), 2).alias("m")).collect()
     }
     assert money == {k: float(round(v, 2)) for k, v in dec_sum.items()}
+
+
+# --- r6: q158b deletion-neighborhood banding --------------------------------
+
+def _ref_del_neighborhood(s: str, d: int = 2) -> set[str]:
+    """Python reference for _deletion_neighborhood: all strings
+    reachable by deleting <= d characters (mirrors the Catalyst HOFs in
+    textstats._deletion_neighborhood exactly: self + 1-deletions +
+    2-deletions, deduplicated)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        frontier = {
+            t[:i] + t[i + 1 :] for t in frontier for i in range(len(t))
+        }
+        out |= frontier
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.text(alphabet="abc", max_size=8),
+    st.text(alphabet="abc", max_size=8),
+)
+@settings(max_examples=400, deadline=None)
+def test_deletion_banding_candidate_complete(a: str, b: str):
+    """The q158b completeness claim as a law: Levenshtein(a, b) <= 2
+    implies the <=2-deletion neighborhoods intersect, so the band
+    equi-join can never miss a true pair (the exact levenshtein filter
+    afterwards only removes false candidates). Tiny alphabet forces
+    collisions/near-misses; includes empty strings."""
+    if _lev(a, b) <= 2:
+        assert _ref_del_neighborhood(a) & _ref_del_neighborhood(b)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_deletion_banding_equals_all_pairs(vocab: list[str]):
+    """Band-join candidates + exact filter == all-pairs filter, on a
+    random vocabulary (the q158 == q158b twin equality as a property,
+    driver-side mirror of both plans)."""
+    truth = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    truth = {(min(a, b), max(a, b)) for a, b in truth}
+    neigh = {t: _ref_del_neighborhood(t) for t in vocab}
+    banded = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if neigh[a] & neigh[b] and _lev(a, b) <= 2
+    }
+    assert banded == truth
+
+
+# --- r6: q152b closed-form NTILE --------------------------------------------
+
+def _ref_ntile(n: int, k: int) -> list[int]:
+    """ANSI NTILE reference: first n % k buckets get n // k + 1 rows."""
+    out, bucket = [], 1
+    size, rem = n // k, n % k
+    filled = 0
+    for _ in range(n):
+        out.append(bucket)
+        filled += 1
+        if filled == size + (1 if bucket <= rem else 0):
+            bucket += 1
+            filled = 0
+    return out
+
+
+@given(st.integers(min_value=1, max_value=5000))
+@settings(max_examples=200, deadline=None)
+def test_q152b_closed_form_ntile(n: int):
+    """The integer bucket formula in q152b (applied to exact global
+    rank) reproduces NTILE(10) for every n — the boundary-rank cases
+    (n % 10 in {0, 1, 9}, n < 10) included."""
+    k = 10
+    q10, rem = n // k, n % k
+    ref = _ref_ntile(n, k)
+    for rank in range(1, n + 1):
+        if rank <= rem * (q10 + 1):
+            b = (rank - 1) // (q10 + 1) + 1
+        else:
+            b = rem + (rank - rem * (q10 + 1) - 1) // max(q10, 1) + 1
+        assert b == ref[rank - 1], (n, rank, b, ref[rank - 1])
