@@ -1367,3 +1367,168 @@ def q159_dup_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "node", F.col("deg").cast("bigint").alias("degree"), "pr2_ppm"
     ).orderBy("node")
+
+
+# --- Incremental ingest dedup against a persisted signature index (r6) ------
+
+def _doc_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, digest) LSH band rows for a (doc_id, text)
+    frame — the per-doc half of :func:`minhash_pairs`, factored out so
+    an INCOMING batch can be signed without touching the corpus."""
+    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
+    based = tok.select(
+        "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
+    )
+    sig = based.select(
+        "doc_id", *minhash_signature(F.col("bases"), num_hashes=8)
+    )
+    banded = sig.select(
+        "doc_id", *band_hashes(num_hashes=8, rows_per_band=2)
+    )
+    return banded.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+            " AS (band_idx, digest)"
+        ),
+    )
+
+
+def _corpus_index_path(sf_dir: str) -> str:
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir))
+    return os.path.join(
+        repo_root, "spark-warehouse", "corpus_dedup_index", f"{safe}_{fp}"
+    )
+
+
+def get_or_build_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk-persisted dedup index of the CORPUS partition (doc_id % 10
+    != 7): one parquet side table of (doc_id, band_idx, digest) rows —
+    band_idx -1 carries the exact-content md5, 0..3 the LSH band
+    digests. Built once per corpus fingerprint (source file
+    mtime+size), reused across calls AND sessions.
+
+    This is the piece that makes ingest-time dedup incremental: a new
+    batch is signed and joined against ~5 digest rows per corpus doc
+    (a few % of corpus bytes) instead of re-scanning and re-hashing
+    100 TB of text per batch. At cluster scale the same table would be
+    written bucketed by digest so the probe join is shuffle-free on
+    the corpus side.
+    """
+    import os
+
+    path = _corpus_index_path(sf_dir)
+    if not os.path.exists(path):
+        corpus = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 != 7)
+            .select("doc_id", "text")
+        )
+        content = corpus.select(
+            "doc_id",
+            F.lit(-1).cast("int").alias("band_idx"),
+            F.md5("text").alias("digest"),
+        )
+        index = content.unionByName(_doc_band_rows(corpus))
+        index.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q160_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the INCOMING batch (doc_id % 10 == 7)
+    is verdicted against the persisted corpus index
+    (:func:`get_or_build_corpus_index`) without re-reading corpus text.
+
+    Per incoming doc, first verdict that applies:
+    - ``exact_corpus``: content md5 already in the corpus;
+    - ``exact_batch``: content md5 duplicates a smaller-doc_id doc of
+      the same batch (within-batch dedup);
+    - ``near_corpus``: any LSH band digest collides with a corpus doc
+      (the q46 banding contract: candidate near-duplicate);
+    - ``novel``: none of the above (near-batch pairs are left to the
+      next index rebuild by design — the batch is re-signed into the
+      index it was admitted under).
+
+    Output is the per-verdict admission summary (count + id checksum),
+    O(4) rows at any scale. Every join is digest-keyed; the incoming
+    side is batch-sized (broadcastable); nothing corpus-sized moves.
+
+    The DuckDB oracle recomputes BOTH sides from the raw table with the
+    shared md5/affine hash contract, so a hash-green row also certifies
+    the persisted index content itself (same split, same digests).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    # Planted admissions so every verdict class is exercised (the q46
+    # pattern): corpus docs re-submitted at +2000000 (exact_corpus),
+    # early batch docs re-submitted at +3000000 (exact_batch).
+    replayed_corpus = (
+        docs.filter((F.col("doc_id") % 10 != 7) & (F.col("doc_id") < 10))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    replayed_batch = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    incoming = base.unionByName(replayed_corpus).unionByName(replayed_batch)
+    idx = get_or_build_corpus_index(spark, sf_dir)
+    corpus_content = idx.filter(F.col("band_idx") == -1).select("digest")
+    corpus_bands = idx.filter(F.col("band_idx") >= 0).select(
+        "band_idx", "digest"
+    )
+
+    inc_content = incoming.select("doc_id", F.md5("text").alias("digest"))
+    in_corpus = (
+        inc_content.join(corpus_content.distinct(), "digest", "left_semi")
+        .select("doc_id")
+        .withColumn("_exact_corpus", F.lit(True))
+    )
+    first_seen = inc_content.groupBy("digest").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    in_batch = (
+        inc_content.join(first_seen, "digest")
+        .filter(F.col("doc_id") > F.col("_first_id"))
+        .select("doc_id")
+        .withColumn("_exact_batch", F.lit(True))
+    )
+    near = (
+        _doc_band_rows(incoming)
+        .join(corpus_bands.distinct(), ["band_idx", "digest"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    verdicted = (
+        incoming.select("doc_id")
+        .join(in_corpus, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact_corpus"), F.lit("exact_corpus"))
+            .when(F.col("_exact_batch"), F.lit("exact_batch"))
+            .when(F.col("_near"), F.lit("near_corpus"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+    return (
+        verdicted.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("verdict")
+    )

@@ -3489,3 +3489,82 @@ WHERE {_COS_IJ} >= 0.999
 GROUP BY j.vec_id
 ORDER BY j.vec_id, dup_of
 """
+
+
+# --- q160: incremental ingest dedup (r6) ------------------------------------
+# Recomputes BOTH the corpus index content and the incoming batch from the
+# raw table with the shared md5/affine hash contract (same fragments as
+# q46), so a hash-green row also certifies the persisted index the Spark
+# side serves (operators/dedup.py::get_or_build_corpus_index).
+
+ORACLE["q160_incremental_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7
+), incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 != 7 AND doc_id < 10
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 7 AND doc_id < 50
+), all_docs AS (
+  SELECT * FROM corpus UNION ALL SELECT * FROM incoming
+), tok AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM all_docs
+), based AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS bases
+  FROM tok
+), sigs AS (
+  SELECT doc_id,
+         list_aggregate({_MH.format(a=1103515245, b=12345)}, 'min') AS mh0,
+         list_aggregate({_MH.format(a=1299709, b=987654321)}, 'min') AS mh1,
+         list_aggregate({_MH.format(a=7368787, b=11939)}, 'min') AS mh2,
+         list_aggregate({_MH.format(a=104729, b=7919)}, 'min') AS mh3,
+         list_aggregate({_MH.format(a=179424673, b=104659)}, 'min') AS mh4,
+         list_aggregate({_MH.format(a=15485863, b=15487469)}, 'min') AS mh5,
+         list_aggregate({_MH.format(a=32452843, b=982451653)}, 'min') AS mh6,
+         list_aggregate({_MH.format(a=49979687, b=86028121)}, 'min') AS mh7
+  FROM based
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS digest FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sigs
+), corpus_content AS (
+  SELECT DISTINCT md5(text) AS digest FROM corpus
+), corpus_bands AS (
+  SELECT DISTINCT b.band_idx, b.digest
+  FROM bands b JOIN corpus c ON b.doc_id = c.doc_id
+), inc_content AS (
+  SELECT doc_id, md5(text) AS digest FROM incoming
+), first_seen AS (
+  SELECT digest, MIN(doc_id) AS first_id FROM inc_content GROUP BY digest
+), verdicted AS (
+  SELECT i.doc_id,
+         CASE
+           WHEN EXISTS (SELECT 1 FROM corpus_content cc
+                        WHERE cc.digest = md5(i.text)) THEN 'exact_corpus'
+           WHEN (SELECT fs.first_id FROM first_seen fs
+                 WHERE fs.digest = md5(i.text)) < i.doc_id THEN 'exact_batch'
+           WHEN EXISTS (SELECT 1 FROM bands b JOIN corpus_bands cb
+                        ON b.band_idx = cb.band_idx AND b.digest = cb.digest
+                        WHERE b.doc_id = i.doc_id) THEN 'near_corpus'
+           ELSE 'novel'
+         END AS verdict
+  FROM incoming i
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM verdicted
+GROUP BY verdict
+ORDER BY verdict
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 165  # +q152b/q158b (r6: scalable decile twin, banded fuzzy variants)
-N_ORACLES = 165  # r6: q75/q109 oracle-backed (integer-grid k-means re-derived in SQL)
+N_QUERIES = 166  # +q160 incremental ingest dedup (r6)
+N_ORACLES = 166  # r6: q160 oracle recomputes the persisted index content in SQL
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -168,6 +168,8 @@ DRIVER_WINDOW_R6: list[str] = [
     # rows-only in r5, oracle-backed this round via centroid literals
     "q75_ann_ivf_kmeans",
     "q109_semdedup",
+    # new in r6: incremental ingest dedup vs the persisted corpus index
+    "q160_incremental_dedup",
     # never-checked overflow from r5
     "q141_ivf_fixed_probe",
     "q142_interval_join",

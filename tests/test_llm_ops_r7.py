@@ -133,3 +133,55 @@ def test_deletion_neighborhood_sql_matches_reference(spark):
     ).collect()
     for r in rows:
         assert set(r["nb"]) == _ref_del_neighborhood(r["t"]), r["t"]
+
+
+def test_q160_verdict_semantics(spark):
+    """Planted admissions land in the right verdict class: corpus
+    replays (+2000000) are exact_corpus, batch replays (+3000000) are
+    exact_batch, and counts/checksums reconcile with the plants."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q160_incremental_dedup,
+    )
+
+    rows = {
+        r["verdict"]: (r["n_docs"], r["id_checksum"])
+        for r in q160_incremental_dedup(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_corpus_replays = docs.filter(
+        (F.col("doc_id") % 10 != 7) & (F.col("doc_id") < 10)
+    ).count()
+    n_batch_replays = docs.filter(
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 50)
+    ).count()
+    assert rows["exact_corpus"][0] >= n_corpus_replays
+    assert rows["exact_batch"][0] >= n_batch_replays
+    assert set(rows) <= {"exact_corpus", "exact_batch", "near_corpus", "novel"}
+    assert "novel" in rows  # the bulk of a real batch is novel
+
+
+def test_q160_index_persisted_and_reused(spark):
+    """The corpus index is written once per corpus fingerprint and the
+    second call serves the SAME digests from disk (incremental-ingest
+    contract: no corpus re-hash per batch)."""
+    import os
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _corpus_index_path,
+        get_or_build_corpus_index,
+    )
+
+    path = _corpus_index_path(SF_DIR)
+    a = get_or_build_corpus_index(spark, SF_DIR)
+    assert os.path.exists(path)
+    mtime = max(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    )
+    b = get_or_build_corpus_index(spark, SF_DIR)
+    mtime2 = max(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    )
+    assert mtime == mtime2  # not rebuilt
+    assert a.orderBy("doc_id", "band_idx").collect() == b.orderBy(
+        "doc_id", "band_idx"
+    ).collect()
