@@ -1532,3 +1532,36 @@ def q160_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+def merge_batch_into_index(
+    spark: SparkSession,
+    index_path: str,
+    admitted: DataFrame,
+    batch_label: str,
+) -> str:
+    """Index write path of incremental ingest: sign an ADMITTED batch
+    (novel docs only, per :func:`q160_incremental_dedup`'s verdicts) and
+    write a new index VERSION containing old + new digest rows.
+
+    Versioned-directory append (``{index_path}__v_{batch_label}``), not
+    in-place mutation: the old index stays readable by running queries
+    (parquet directories are immutable snapshots), and a crashed merge
+    leaves no torn state — the new version simply doesn't exist and the
+    merge reruns. Mirrors the replay-idempotence discipline of
+    ``streaming.jobs.run_incremental_dedup_sink``; at cluster scale the
+    version flip is a metastore pointer swap and the write is bucketed
+    by digest so probe joins stay co-located.
+
+    Returns the new version's path.
+    """
+    out = f"{index_path}__v_{batch_label}"
+    content = admitted.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band_idx"),
+        F.md5("text").alias("digest"),
+    )
+    new_rows = content.unionByName(_doc_band_rows(admitted))
+    old = spark.read.parquet(index_path)
+    old.unionByName(new_rows).write.mode("overwrite").parquet(out)
+    return out

@@ -185,3 +185,39 @@ def test_q160_index_persisted_and_reused(spark):
     assert a.orderBy("doc_id", "band_idx").collect() == b.orderBy(
         "doc_id", "band_idx"
     ).collect()
+
+
+def test_q160_index_merge_roundtrip(spark, tmp_path):
+    """Index write path: merging an admitted batch produces a new
+    version whose digests make those docs exact_corpus on the next
+    admission pass (the grow-the-corpus loop closes)."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _corpus_index_path,
+        _doc_band_rows,
+        get_or_build_corpus_index,
+        merge_batch_into_index,
+    )
+
+    base_path = _corpus_index_path(SF_DIR)
+    get_or_build_corpus_index(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = docs.filter(
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 200)
+    ).select("doc_id", "text")
+    newp = merge_batch_into_index(spark, base_path, batch, "t1")
+    assert newp != base_path
+    new_idx = spark.read.parquet(newp)
+    old_idx = spark.read.parquet(base_path)
+    # old rows all present, new content digests all present
+    assert new_idx.count() == old_idx.count() + batch.count() * 5
+    merged_content = new_idx.filter(F.col("band_idx") == -1).select("digest")
+    batch_content = batch.select(F.md5("text").alias("digest"))
+    assert (
+        batch_content.join(merged_content, "digest", "left_anti").count() == 0
+    )
+    # a re-admission of the same batch against the NEW index is all
+    # exact-dup: every content digest hits
+    again = batch_content.join(
+        merged_content.distinct(), "digest", "left_semi"
+    ).count()
+    assert again == batch.select("digest" if "digest" in batch.columns else "doc_id").count()

@@ -521,3 +521,25 @@ def test_q158b_no_theta_join(spark):
     plan = explain.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q160_warm_path_reads_index_not_corpus_text(spark):
+    """q160 (incremental dedup): the corpus side must be served from
+    the persisted digest index — the plan scans corpus_dedup_index
+    parquet, and the only documents scans are the incoming slice and
+    the bounded plants (never an unfiltered corpus text scan feeding
+    the hash lineage)."""
+    from kinesis_logs_reader_spark.operators import dedup
+
+    df = dedup.q160_incremental_dedup(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "corpus_dedup_index" in plan
+    # every documents scan carries a pushed doc_id filter (the incoming
+    # slice / plants), so no branch rehashes the whole corpus
+    import re
+
+    doc_scans = [
+        l for l in plan.splitlines() if "documents.parquet" in l
+    ]
+    assert doc_scans, "expected documents scans for the incoming batch"
+    assert "PushedFilters" in plan
