@@ -1257,11 +1257,19 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (2, 4, 8):
         for b in range(8 // r):
             cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+            # NULL-propagating concat (matches DuckDB ||), not
+            # concat_ws — see functions/text.py band_hashes: concat_ws
+            # would give every <3-token doc the same digest.
+            parts = []
+            for i, c in enumerate(cols):
+                if i:
+                    parts.append(F.lit("|"))
+                parts.append(c.cast("string"))
             entries.append(
                 F.struct(
                     F.lit(r).alias("rpb"),
                     F.lit(b).alias("band_idx"),
-                    F.md5(F.concat_ws("|", *cols)).alias("digest"),
+                    F.md5(F.concat(*parts)).alias("digest"),
                 )
             )
     long = (
@@ -1408,8 +1416,12 @@ def _corpus_index_path(sf_dir: str) -> str:
     except OSError:
         fp = "nostat"
     safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir))
+    # c2: hash-CONTRACT version — bumped whenever the digest recipe
+    # changes (c1 -> c2: NULL-propagating band concat), so a stale
+    # index built under an older contract can never serve a newer
+    # engine; the corpus fingerprint alone wouldn't catch code drift.
     return os.path.join(
-        repo_root, "spark-warehouse", "corpus_dedup_index", f"{safe}_{fp}"
+        repo_root, "spark-warehouse", "corpus_dedup_index", f"c2_{safe}_{fp}"
     )
 
 
