@@ -911,7 +911,10 @@ def q158_fuzzy_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     length plus first char, or positional q-grams) — here the whole
     vocab fits one broadcast and the exact all-pairs form doubles as
     the oracle. Levenshtein is the classic DP distance in both engines,
-    so the pair set is bit-identical.
+    so the pair set is bit-identical — for ASCII vocabularies: Spark
+    counts characters, DuckDB counts BYTES (measured divergence pinned
+    in tests/test_hash_contract_fuzz.py), and the fixture invariant
+    test asserts the part-name vocabulary is pure ASCII.
     """
     part = load_table(spark, sf_dir, "part")
     vocab = (

@@ -150,3 +150,120 @@ FROM sigs
         ).fetchall()
     )
     assert s == d
+
+
+def test_normalize_text_agrees(spark, nasty_path):
+    """normalize_text (lower -> strip non-alnum -> collapse spaces ->
+    trim) must produce identical canonical strings in both engines on
+    nasty input — q78/q90's dedup keys hang off this."""
+    from kinesis_logs_reader_spark.operators.preprocess import normalize_text
+
+    s = {
+        (r["doc_id"], r["n"])
+        for r in spark.read.parquet(nasty_path)
+        .select("doc_id", normalize_text(F.col("text")).alias("n"))
+        .collect()
+    }
+    d = set(
+        duckdb.sql(
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),"
+            " '[^a-z0-9 ]+', '', 'g'), '  +', ' ', 'g'))"
+            f" FROM read_parquet('{nasty_path}')"
+        ).fetchall()
+    )
+    assert s == d
+
+
+def test_levenshtein_char_vs_byte_semantics(spark):
+    """MEASURED cross-engine divergence, pinned: Spark levenshtein
+    counts CHARACTERS, DuckDB counts BYTES — they agree exactly on
+    ASCII and disagree on any multi-byte codepoint ('e-acute' vs 'e' is
+    1 in Spark, 2 in DuckDB). The q158/q158b oracle contract therefore
+    requires an ASCII vocabulary, which
+    test_q158_vocabulary_is_ascii asserts against the fixture corpus.
+    If either engine changes semantics, this test fails first."""
+    pairs = [
+        ("kitten", "sitting", 3, 3),
+        ("", "", 0, 0),
+        ("", "ab", 2, 2),
+        ("aaa", "aaa", 0, 0),
+        ("ab", "ba", 2, 2),
+        ("\u00e9", "e", 1, 2),
+        ("\u00fcber", "uber", 1, 2),
+        ("caf\u00e9", "cafe", 1, 2),
+        ("\U0001f986x", "x", 1, 4),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _, _ in pairs], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"]): r["d"]
+        for r in df.select(
+            "a", "b", F.levenshtein("a", "b").alias("d")
+        ).collect()
+    }
+    for a, b, spark_d, duck_d in pairs:
+        assert got[(a, b)] == spark_d, (a, b)
+        (dd,) = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()
+        assert dd == duck_d, (a, b, dd)
+
+
+def test_q158_vocabulary_is_ascii(spark):
+    """Fixture invariant backing the q158/q158b oracle contract (see
+    test_levenshtein_char_vs_byte_semantics): every token of the
+    part-name vocabulary is pure ASCII, so character-based (Spark) and
+    byte-based (DuckDB) edit distances coincide."""
+    from tests.conftest import SF_DIR
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    non_ascii = (
+        part.select(
+            F.explode(F.split("p_name", " ")).alias("t")
+        )
+        .filter(~F.col("t").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+    )
+    assert non_ascii == 0
+
+
+def test_pii_scrub_regexes_agree(spark, nasty_path):
+    """The q99-family PII masks (email/IP regex, replace + count) —
+    cross-engine on text containing overlapping and adjacent matches."""
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        _EMAIL_RE,
+        _IP_RE,
+    )
+
+    rows = [
+        "contact me at bob@example.com or al1ce@mail.org today",
+        "1.2.3.4 10.0.0.255 999.999.999.999x",
+        "no pii here",
+        "a@b.c a@b.c a@b.c",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)], "i long, t string")
+    s = {
+        (r["i"], r["scrub"], r["ne"], r["nip"])
+        for r in df.select(
+            "i",
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+            ).alias("scrub"),
+            F.regexp_count("t", F.lit(_EMAIL_RE)).alias("ne"),
+            F.regexp_count("t", F.lit(_IP_RE)).alias("nip"),
+        ).collect()
+    }
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(rows))
+    d = set(
+        duckdb.sql(
+            f"""SELECT i,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_IP_RE}', '<IP>', 'g'),
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT),
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT)
+FROM (VALUES {vals}) v(i, t)"""
+        ).fetchall()
+    )
+    assert s == d
