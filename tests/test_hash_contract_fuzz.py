@@ -267,3 +267,65 @@ FROM (VALUES {vals}) v(i, t)"""
         ).fetchall()
     )
     assert s == d
+
+
+def test_string_ordering_agrees(spark):
+    """min/max and pairwise < on strings: both engines compare UTF-8
+    bytes, so ordering-sensitive outputs (top-k ties, tok_a < tok_b
+    pair canonicalization) agree even on multi-byte input."""
+    vals = ["", "a", "A", "Z", "z", "é", "über", "uber",
+            "中文", "\U0001f986", "ss", "ß"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    smin, smax = df.agg(F.min("s"), F.max("s")).collect()[0]
+    con = duckdb.connect()
+    placeholders = ", ".join(["(?)"] * len(vals))
+    dmin, dmax = con.execute(
+        f"SELECT min(s), max(s) FROM (VALUES {placeholders}) t(s)", vals
+    ).fetchone()
+    assert (smin, smax) == (dmin, dmax)
+    pairs = [("é", "z"), ("a", "é"), ("中", "z"), ("ß", "s")]
+    sp = [
+        r["lt"]
+        for r in spark.createDataFrame(pairs, "a string, b string")
+        .select(F.expr("a < b").alias("lt"))
+        .collect()
+    ]
+    dp = [
+        con.execute("SELECT ? < ?", list(p)).fetchone()[0] for p in pairs
+    ]
+    assert sp == dp
+
+
+def test_upper_case_fold_divergence_pinned(spark):
+    """MEASURED divergence, pinned: full Unicode case mapping differs —
+    Spark upper('<sharp-s>') = 'SS' (one-to-many fold), DuckDB = the
+    capital sharp s. lower() agrees. Any oracle-hashed output built on
+    upper() therefore requires ASCII text, which
+    test_documents_corpus_is_ascii asserts (q122's uppercase transform
+    rides on it)."""
+    df = spark.createDataFrame([("ß",), ("Straße",)], "s string")
+    got = {r["s"]: r["u"] for r in df.select("s", F.upper("s").alias("u")).collect()}
+    assert got["ß"] == "SS"
+    con = duckdb.connect()
+    (du,) = con.execute("SELECT upper(?)", ["ß"]).fetchone()
+    assert du == "ẞ"  # capital sharp s — NOT Spark's 'SS'
+    # and on ASCII the engines agree exactly
+    (da,) = con.execute("SELECT upper('mixed Case 42')").fetchone()
+    sa = (
+        spark.createDataFrame([("mixed Case 42",)], "s string")
+        .select(F.upper("s"))
+        .collect()[0][0]
+    )
+    assert sa == da
+
+
+def test_documents_corpus_is_ascii(spark):
+    """Fixture invariant backing every upper()/levenshtein-dependent
+    oracle (q122, q158 family): the documents corpus is pure ASCII at
+    every shipped scale factor."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert (
+        docs.filter(~F.col("text").rlike("^[\\x00-\\x7F]*$")).count() == 0
+    )
