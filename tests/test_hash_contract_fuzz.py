@@ -329,3 +329,42 @@ def test_documents_corpus_is_ascii(spark):
     assert (
         docs.filter(~F.col("text").rlike("^[\\x00-\\x7F]*$")).count() == 0
     )
+
+
+def test_round_semantics_agree(spark):
+    """ROUND on doubles — including the classic binary-representation
+    traps (2.675, exact .5 halves, 1e15+0.5) — is identical across
+    engines: both round the actual binary double. This is the footing
+    under every ROUND(x, n) double in a hashed output."""
+    vals = [0.125, -0.125, 2.675, 0.5, 1.5, 2.5, -0.5, -1.5,
+            0.045, 0.055, 1e15 + 0.5, 0.30000000000000004]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = {
+        r["x"]: (r["r0"], r["r2"])
+        for r in df.select(
+            "x", F.round("x", 0).alias("r0"), F.round("x", 2).alias("r2")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        d = con.execute("SELECT round(?, 0), round(?, 2)", [v, v]).fetchone()
+        assert s[v] == tuple(d), (v, s[v], d)
+
+
+def test_integer_div_mod_agree_on_negatives(spark):
+    """Spark `div`/`%` == DuckDB `//`/`%` for every sign combination
+    (truncate toward zero; remainder follows the dividend) — the
+    footing under the ppm/micro scaled-int64 idiom and the sign-safe
+    floor-mean in the k-means oracle."""
+    ints = [(7, 3), (-7, 3), (7, -3), (-7, -3), (0, 3), (-1, 10)]
+    di = spark.createDataFrame(ints, "a long, b long")
+    s = {
+        (r["a"], r["b"]): (r["d"], r["m"])
+        for r in di.select(
+            "a", "b", F.expr("a div b").alias("d"), F.expr("a % b").alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in ints:
+        d = con.execute("SELECT ? // ?, ? % ?", [a, b, a, b]).fetchone()
+        assert s[(a, b)] == tuple(d), (a, b)
