@@ -515,3 +515,74 @@ def test_h8_update_mode_final_state_matches_batch(
     assert last.exceptAll(want).count() == 0
     assert want.exceptAll(last).count() == 0
     assert last.count() > 0
+
+
+def test_admission_sink_streaming_q160_twin(spark, tmp_path):
+    """Signature-index admission sink (streaming q160): two micro-
+    batches with planted cross-batch duplicates — batch-2 replays are
+    exact_store, near-variants are near_store via band collision, and
+    a checkpoint-style replay of batch 2 is idempotent (identical
+    verdicts, identical store)."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_admission_batch,
+        run_admission_sink,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "sphinx of black quartz judge my vow said the king"),
+        (3000, "sphinx of black quartz judge my vow said the king"),
+    ]
+    b2 = [
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "completely new document with fresh tokens all around"),
+        (12, "pack my box with five dozen liquor jugs right here"),
+    ]
+    spark.createDataFrame(base, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = run_admission_sink(
+        stream, str(tmp_path / "ckpt"), store, out
+    )
+    q.awaitTermination(120)
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts[1] == "novel" and verdicts[2] == "novel"
+    assert verdicts[3] == "novel" and verdicts[3000] == "exact_batch"
+    assert verdicts[10] == "exact_store"  # replay of doc 1
+    assert verdicts[11] == "novel"
+    # doc 12 shares 8 of 9 tokens with doc 2 -> at least one band
+    # collides, not an exact match
+    assert verdicts[12] == "near_store"
+    # replay idempotence: re-apply batch 1 (the b1 file) with the same
+    # batch_id -> store and verdicts unchanged
+    store_before = sorted(
+        tuple(r) for r in spark.read.parquet(store).drop("batch_id").collect()
+    )
+    b2_df = spark.createDataFrame(b2, "doc_id long, text string")
+    apply_admission_batch(b2_df, 1, store, out)
+    store_after = sorted(
+        tuple(r) for r in spark.read.parquet(store).drop("batch_id").collect()
+    )
+    assert store_before == store_after
+    verdicts2 = {
+        r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts2 == verdicts
