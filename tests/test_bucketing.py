@@ -79,3 +79,57 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
         .count()
     )
     assert got == want > 0
+
+
+def test_digest_bucketed_index_probe_join_no_index_shuffle(spark):
+    """The q160/admission-sink docstring claim as a plan assertion: a
+    corpus signature index written bucketed by digest is probed by an
+    incoming batch with NO exchange on the index side (the batch is
+    either broadcast or bucketed the same way — nothing corpus-index-
+    sized shuffles per admission)."""
+    import uuid
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        get_or_build_corpus_index,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    idx_name = f"corpus_idx_b_{suffix}"
+    inc_name = f"incoming_b_{suffix}"
+    try:
+        (
+            get_or_build_corpus_index(spark, SF_DIR)
+            .write.bucketBy(8, "digest")
+            .sortBy("digest")
+            .mode("overwrite")
+            .saveAsTable(idx_name)
+        )
+        (
+            load_table(spark, SF_DIR, "documents")
+            .filter(F.col("doc_id") % 10 == 7)
+            .select("doc_id", F.md5("text").alias("digest"))
+            .write.bucketBy(8, "digest")
+            .sortBy("digest")
+            .mode("overwrite")
+            .saveAsTable(inc_name)
+        )
+        # force the at-scale path: a 100 TB index never broadcasts, so
+        # pin the sort-merge plan with NO hash shuffle on either side
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.table(inc_name).join(
+                spark.table(idx_name)
+                .filter(F.col("band_idx") == -1)
+                .select("digest"),
+                "digest",
+                "left_semi",
+            )
+            plan = explain.formatted_plan(probe)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange hashpartitioning" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {inc_name}")
