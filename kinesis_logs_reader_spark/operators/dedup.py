@@ -1454,7 +1454,19 @@ def get_or_build_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("digest"),
         )
         index = content.unionByName(_doc_band_rows(corpus))
-        index.write.mode("overwrite").parquet(path)
+        # build-then-rename (the kmeans-index discipline): a crashed
+        # write must not leave a partial directory that the existence
+        # check above would happily serve forever.
+        tmp = f"{path}.tmp.{os.getpid()}"
+        index.write.mode("overwrite").parquet(tmp)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # lost the race to a concurrent builder: identical content
+            # (deterministic build), serve theirs and drop ours.
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 
