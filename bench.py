@@ -80,9 +80,6 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # build_session's runtime block re-asserts the cluster posture
-    # (AQE on); flip it back off for the local profile.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     queries = {k: v for k, v in all_queries().items() if k not in EXCLUDE}
 
@@ -162,7 +159,10 @@ def main() -> None:
     # comparing BENCH_r{N}.json across rounds: if the canary moved, the
     # round-over-round per-query deltas are drift, not plan changes.
     CANARY = ("q05_join_inner", "q13_tpch_q1", "q45_fingerprint")
-    canary = {k: duck[k] for k in CANARY if k in duck}
+    # strict indexing: a canary key silently missing would shrink the
+    # sum and read as "the VM got faster", corrupting the cross-round
+    # drift baseline this exists to provide — fail loud instead.
+    canary = {k: duck[k] for k in CANARY}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver records exactly one stdout line and truncated the full

@@ -137,28 +137,36 @@ def minhash_signature(base_col: Column, num_hashes: int = 8) -> list[Column]:
     ]
 
 
-def band_hashes(num_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
-    """LSH band digests over an already-computed mh0..mhN signature.
+def banded_digest(cols: list[Column]) -> Column:
+    """md5 over '|'-joined signature coordinates with NULL-PROPAGATING
+    ``concat`` (matching DuckDB's ``||``), NOT ``concat_ws``: a document
+    with fewer tokens than the shingle width has an EMPTY base set and
+    a NULL signature, and concat_ws would skip the NULLs and give every
+    such document the identical ``md5('|')`` digest — silently pairing
+    ALL short docs with each other in every band (a quadratic blowup at
+    100 TB and a divergence from the SQL oracle, whose NULL digest
+    never equi-joins). Found by tests/test_hash_contract_fuzz.py; NULL
+    band digests drop out of the band join in both engines identically.
 
-    NULL-propagating ``concat`` (matching DuckDB's ``||``), NOT
-    ``concat_ws``: a document with fewer tokens than the shingle width
-    has an EMPTY base set and a NULL signature, and concat_ws would
-    skip the NULLs and give every such document the identical
-    ``md5('|')`` digest — silently pairing ALL short docs with each
-    other in every band (a quadratic blowup at 100 TB and a divergence
-    from the SQL oracle, whose NULL digest never equi-joins). Found by
-    tests/test_hash_contract_fuzz.py; NULL band digests drop out of
-    the band join in both engines identically.
+    This is THE band-digest recipe (hash-contract c2) — every band
+    construction (band_hashes, q155's multi-r sweep, the persisted
+    corpus index) must go through it so a recipe change stays atomic.
     """
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(c.cast("string"))
+    return F.md5(F.concat(*parts))
+
+
+def band_hashes(num_hashes: int = 8, rows_per_band: int = 2) -> list[Column]:
+    """LSH band digests over an already-computed mh0..mhN signature
+    (see :func:`banded_digest` for the NULL contract)."""
     bands = []
     for b in range(num_hashes // rows_per_band):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts: list[Column] = []
-        for i, c in enumerate(cols):
-            if i:
-                parts.append(F.lit("|"))
-            parts.append(c.cast("string"))
-        bands.append(F.md5(F.concat(*parts)).alias(f"band{b}"))
+        bands.append(banded_digest(cols).alias(f"band{b}"))
     return bands
 
 

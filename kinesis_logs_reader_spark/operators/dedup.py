@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from kinesis_logs_reader_spark.functions.text import (
     MINHASH_P,
     band_hashes,
+    banded_digest,
     minhash_signature,
     shingles_from_tokens,
     token_base_hashes,
@@ -1257,19 +1258,11 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (2, 4, 8):
         for b in range(8 // r):
             cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-            # NULL-propagating concat (matches DuckDB ||), not
-            # concat_ws — see functions/text.py band_hashes: concat_ws
-            # would give every <3-token doc the same digest.
-            parts = []
-            for i, c in enumerate(cols):
-                if i:
-                    parts.append(F.lit("|"))
-                parts.append(c.cast("string"))
             entries.append(
                 F.struct(
                     F.lit(r).alias("rpb"),
                     F.lit(b).alias("band_idx"),
-                    F.md5(F.concat(*parts)).alias("digest"),
+                    banded_digest(cols).alias("digest"),
                 )
             )
     long = (
@@ -1459,15 +1452,29 @@ def get_or_build_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # check above would happily serve forever.
         tmp = f"{path}.tmp.{os.getpid()}"
         index.write.mode("overwrite").parquet(tmp)
-        try:
-            os.replace(tmp, path)
-        except OSError:
-            # lost the race to a concurrent builder: identical content
-            # (deterministic build), serve theirs and drop ours.
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        _atomic_promote(tmp, path)
     return spark.read.parquet(path)
+
+
+def _atomic_promote(tmp: str, path: str) -> None:
+    """Rename a fully-written temp directory into its final path.
+
+    A failed rename is only swallowed when the destination already
+    exists (lost the race to a concurrent builder of the same
+    deterministic content — serve theirs, drop ours). Any other
+    OSError (EXDEV symlinked warehouse, EACCES) re-raises: silently
+    discarding the build and then failing the read later would mask
+    the real cause."""
+    import os
+    import shutil
+
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        if os.path.exists(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
 
 
 def q160_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,27 +1503,60 @@ def q160_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
     # Planted admissions so every verdict class is exercised (the q46
-    # pattern): corpus docs re-submitted at +2000000 (exact_corpus),
-    # early batch docs re-submitted at +3000000 (exact_batch).
+    # pattern): corpus docs re-submitted (exact_corpus), early batch
+    # docs re-submitted (exact_batch). Shifts are 4e12/8e12 — far past
+    # any plausible doc count — so a planted id can NEVER collide with
+    # a real doc_id at any scale factor (a +2e6 shift would collide
+    # with the synthesized sf~1 table's shifted copies and fan out the
+    # oracle's band-attribution join).
     replayed_corpus = (
         docs.filter((F.col("doc_id") % 10 != 7) & (F.col("doc_id") < 10))
-        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + 4_000_000_000_000).alias("doc_id"), "text")
     )
     replayed_batch = base.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        (F.col("doc_id") + 8_000_000_000_000).alias("doc_id"), "text"
     )
     incoming = base.unionByName(replayed_corpus).unionByName(replayed_batch)
     idx = get_or_build_corpus_index(spark, sf_dir)
-    corpus_content = idx.filter(F.col("band_idx") == -1).select("digest")
-    corpus_bands = idx.filter(F.col("band_idx") >= 0).select(
-        "band_idx", "digest"
+    verdicted = admission_verdicts(
+        incoming,
+        known_content=idx.filter(F.col("band_idx") == -1).select("digest"),
+        known_bands=idx.filter(F.col("band_idx") >= 0).select(
+            "band_idx", "digest"
+        ),
+        store_label="exact_corpus",
+        near_label="near_corpus",
+    )
+    return (
+        verdicted.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("verdict")
     )
 
+
+def admission_verdicts(
+    incoming: DataFrame,
+    known_content: DataFrame,
+    known_bands: DataFrame,
+    store_label: str = "exact_corpus",
+    near_label: str = "near_corpus",
+) -> DataFrame:
+    """THE admission-verdict pipeline, shared by the batch operator
+    (:func:`q160_incremental_dedup`) and the streaming sink
+    (``streaming.jobs.apply_admission_batch``) so the two twins cannot
+    drift (they only differ in verdict labels). Returns the incoming
+    columns plus ``verdict``; precedence is fixed: exact-vs-store,
+    then exact-within-batch (min-doc_id keeps), then band-collision
+    near-candidate, else novel. All joins are digest-keyed left-semi
+    against DISTINCT digest sets; nothing store-sized shuffles wide."""
     inc_content = incoming.select("doc_id", F.md5("text").alias("digest"))
-    in_corpus = (
-        inc_content.join(corpus_content.distinct(), "digest", "left_semi")
+    in_store = (
+        inc_content.join(known_content.distinct(), "digest", "left_semi")
         .select("doc_id")
-        .withColumn("_exact_corpus", F.lit(True))
+        .withColumn("_exact_store", F.lit(True))
     )
     first_seen = inc_content.groupBy("digest").agg(
         F.min("doc_id").alias("_first_id")
@@ -1528,33 +1568,24 @@ def q160_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_exact_batch", F.lit(True))
     )
     near = (
-        _doc_band_rows(incoming)
-        .join(corpus_bands.distinct(), ["band_idx", "digest"], "left_semi")
+        _doc_band_rows(incoming.select("doc_id", "text"))
+        .join(known_bands.distinct(), ["band_idx", "digest"], "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_near", F.lit(True))
     )
-    verdicted = (
-        incoming.select("doc_id")
-        .join(in_corpus, "doc_id", "left")
+    return (
+        incoming.join(in_store, "doc_id", "left")
         .join(in_batch, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
-            "doc_id",
-            F.when(F.col("_exact_corpus"), F.lit("exact_corpus"))
+            *[F.col(c) for c in incoming.columns],
+            F.when(F.col("_exact_store"), F.lit(store_label))
             .when(F.col("_exact_batch"), F.lit("exact_batch"))
-            .when(F.col("_near"), F.lit("near_corpus"))
+            .when(F.col("_near"), F.lit(near_label))
             .otherwise(F.lit("novel"))
             .alias("verdict"),
         )
-    )
-    return (
-        verdicted.groupBy("verdict")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").cast("bigint").alias("id_checksum"),
-        )
-        .orderBy("verdict")
     )
 
 
@@ -1579,6 +1610,8 @@ def merge_batch_into_index(
 
     Returns the new version's path.
     """
+    import os
+
     out = f"{index_path}__v_{batch_label}"
     content = admitted.select(
         "doc_id",
@@ -1587,5 +1620,11 @@ def merge_batch_into_index(
     )
     new_rows = content.unionByName(_doc_band_rows(admitted))
     old = spark.read.parquet(index_path)
-    old.unionByName(new_rows).write.mode("overwrite").parquet(out)
+    # build-then-rename, same as get_or_build_corpus_index: the
+    # docstring's "a crashed merge leaves no torn state" is only true
+    # if the final path appears atomically — a direct write would leave
+    # a partial directory an existence check could serve.
+    tmp = f"{out}.tmp.{os.getpid()}"
+    old.unionByName(new_rows).write.mode("overwrite").parquet(tmp)
+    _atomic_promote(tmp, out)
     return out

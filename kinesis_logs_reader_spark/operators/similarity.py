@@ -538,6 +538,16 @@ def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     since r6 (integer-grid k-means re-derived in SQL + within-cell
     pairwise cosine); planted-copy recovery is additionally asserted in
     tests/test_llm_ops.py.
+
+    Float knife-edge audit (the cosine >= 0.999 threshold compares
+    doubles the two engines accumulate in different orders): measured
+    at sf0.01 over all 8,108 within-cell pairs, the nearest pair BELOW
+    threshold sits at cosine 0.513 and the 10 pairs above are the
+    planted exact copies at ~1.0 (margin 1e-3) — both >= 12 orders of
+    magnitude above cross-engine ulp divergence, so the classification
+    cannot flip. Random-embedding corpora are bimodal by construction;
+    a corpus with near-threshold semantic pairs would need the scaled-
+    int idiom here.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     planted = emb.filter(F.col("vec_id") < 10).select(

@@ -3503,10 +3503,10 @@ WITH corpus AS (
 ), incoming AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  SELECT doc_id + 4000000000000 AS doc_id, text FROM documents
   WHERE doc_id % 10 != 7 AND doc_id < 10
   UNION ALL
-  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  SELECT doc_id + 8000000000000 AS doc_id, text FROM documents
   WHERE doc_id % 10 = 7 AND doc_id < 50
 ), all_docs AS (
   SELECT * FROM corpus UNION ALL SELECT * FROM incoming

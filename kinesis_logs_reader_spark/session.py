@@ -77,8 +77,6 @@ def build_session(
     a cluster deployment keeps the compression default).
     """
     builder = SparkSession.builder.appName(app_name)
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
     if master:
         builder = builder.config("spark.master", master)
     builder = (
@@ -95,5 +93,27 @@ def build_session(
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    # extra_conf LAST: the caller's deployment profile overrides the
+    # defaults above (e.g. bench.py's AQE-off local profile) — applied
+    # after _RUNTIME_CONF so an override isn't silently clobbered.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    return configure_runtime(spark)
+    # Runtime re-assertion (covers a pre-existing session getOrCreate
+    # returned), still honoring extra_conf precedence.
+    for k, v in _RUNTIME_CONF.items():
+        if k in (extra_conf or {}):
+            continue
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # deployment-time conf (non-runtime-settable)
+    # Mark configured so load_table's configure_runtime() won't re-apply
+    # _RUNTIME_CONF over the caller's overrides.
+    spark.__dict__["_klrs_runtime_configured"] = True
+    return spark

@@ -362,7 +362,10 @@ def apply_admission_batch(
     """
     import os
 
-    from kinesis_logs_reader_spark.operators.dedup import _doc_band_rows
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _doc_band_rows,
+        admission_verdicts,
+    )
 
     spark = batch_df.sparkSession
 
@@ -378,47 +381,14 @@ def apply_admission_batch(
         known = known.select("band_idx", "digest")
     else:
         known = spark.createDataFrame([], "band_idx int, digest string")
-    known_content = known.filter(F.col("band_idx") == -1).select("digest")
-    known_bands = known.filter(F.col("band_idx") >= 0)
 
-    docs = batch_df.select("doc_id", "text")
-    content = docs.select("doc_id", F.md5("text").alias("digest"))
-    exact_store = (
-        content.join(known_content.distinct(), "digest", "left_semi")
-        .select("doc_id")
-        .withColumn("_exact_store", F.lit(True))
-    )
-    first_seen = content.groupBy("digest").agg(
-        F.min("doc_id").alias("_first_id")
-    )
-    exact_batch = (
-        content.join(first_seen, "digest")
-        .filter(F.col("doc_id") > F.col("_first_id"))
-        .select("doc_id")
-        .withColumn("_exact_batch", F.lit(True))
-    )
-    near = (
-        _doc_band_rows(docs)
-        .join(known_bands.distinct(), ["band_idx", "digest"], "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_near", F.lit(True))
-    )
-    verdicted = (
-        docs.join(exact_store, "doc_id", "left")
-        .join(exact_batch, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .select(
-            "doc_id",
-            "text",
-            F.when(F.col("_exact_store"), F.lit("exact_store"))
-            .when(F.col("_exact_batch"), F.lit("exact_batch"))
-            .when(F.col("_near"), F.lit("near_store"))
-            .otherwise(F.lit("novel"))
-            .alias("verdict"),
-        )
-        .persist()
-    )
+    verdicted = admission_verdicts(
+        batch_df.select("doc_id", "text"),
+        known_content=known.filter(F.col("band_idx") == -1).select("digest"),
+        known_bands=known.filter(F.col("band_idx") >= 0),
+        store_label="exact_store",
+        near_label="near_store",
+    ).persist()
     try:
         verdicted.select("doc_id", "verdict").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
