@@ -228,6 +228,76 @@ DRIVER_WINDOW_R6: list[str] = [
     "q17_global_agg",
 ]
 
+# Round-7 window (STAGED — swap DRIVER_WINDOW to this after the r6
+# driver run lands green). Once r6 completes, every oracle-backed key
+# has >= 1 green driver row, so r7 rotates to re-verification:
+# (1) the whole MinHash/band-digest family, whose digest kernel changed
+#     in r6 (NULL-propagating banded_digest) — values are unchanged on
+#     the fixture corpus, but a driver re-check closes the loop;
+# (2) the q160 surface and its twins (newest code);
+# (3) the keys whose only driver rows date to r1/r2 (oldest evidence);
+# (4) heavy/knife-edge rows worth periodic re-confirmation.
+DRIVER_WINDOW_R7: list[str] = [
+    # (1) band-digest family re-checks after the c1->c2 contract bump
+    "q46_minhash_lsh",
+    "q74_dup_clusters",
+    "q123_minhash_accuracy",
+    "q128_split_leakage",
+    "q129_dedup_pipeline",
+    "q151_candidate_degree",
+    "q155_lsh_band_sensitivity",
+    "q159_dup_authority",
+    "q160_incremental_dedup",
+    # (2) r6 production twins
+    "q152b_perplexity_buckets_scalable",
+    "q158b_fuzzy_variants_banded",
+    "q110b_rrf_topk",
+    "q75_ann_ivf_kmeans",
+    "q109_semdedup",
+    # (3) oldest driver evidence (r1/r2-era greens, never re-windowed)
+    "q03_case_when",
+    "q04_cast_coalesce",
+    "q06_join_broadcast",
+    "q07_join_left_outer",
+    "q08_join_semi",
+    "q09_join_anti",
+    "q11_join_cross",
+    "q12_join_self",
+    "q16_having",
+    "q19_window_lag",
+    "q21_sort_nulls",
+    "q23_union",
+    "q25_distinct",
+    "q28_approx_distinct",
+    "q31_tumbling_window",
+    "q32_sliding_window",
+    "q33_session_window",
+    "q35_median_segment",
+    "q37_zscore",
+    "q40_dedup_exact",
+    "q41_token_stats",
+    "q42_quality_score",
+    "q43_cosine_topk",
+    "q44_ngram_jaccard",
+    "q45_fingerprint",
+    "q47_simhash",
+    "q48_ann_ivf",
+    "q49_multimodal_binary",
+    "q50_cosine_dup_pairs",
+    "q51_lang_id",
+    # (4) heavy / knife-edge periodic re-confirmation
+    "q93_domain_mix",
+    "q94_pack_sequences",
+    "q96_stratified_sample",
+    "q99_centroid_outliers",
+    "q103_approx_percentile",
+    "q110_rrf_hybrid",
+    "q115_unigram_lm",
+    "q119_knn_join",
+    "q122_substring_dedup",
+    "q131_table_profile",
+]
+
 # ACTIVE window for this round's driver correctness gate (first 50).
 DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R6[:50]
 
