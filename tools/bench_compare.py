@@ -34,12 +34,14 @@ def main() -> None:
 
     spark = build_session(
         master="local[32]",
-        shuffle_partitions=32,
-        # match bench.py's local deployment conf (no network => no
-        # shuffle compression) so the two tools report the same numbers
+        # match bench.py's local small-data profile exactly (AQE off,
+        # 8 shuffle partitions, no shuffle compression) so the two
+        # tools report the same numbers — see bench.py for rationale
+        shuffle_partitions=8,
         extra_conf={
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
