@@ -719,3 +719,62 @@ def test_bigram_kernel_agrees_cross_engine(spark, toks):
     finally:
         con.close()
     assert s == sorted(d), (toks, s, d)
+
+
+# --- window grammar: random specs + frames (r6) ----------------------------
+# Integer-exact window outputs only (ranks, counts, integer sums,
+# lag/lead of an int column) over a DETERMINISTIC total order
+# (l_orderkey, l_linenumber is unique), so both engines must agree
+# bit-for-bit; the comparison collapses each query to one BIGINT
+# checksum row. Frames cover ROWS variants incl. bounded preceding/
+# following — the semantics area the hand-written q18-q20/q60 cover
+# only pointwise.
+
+_WIN_PARTS = st.sampled_from(
+    ["", "PARTITION BY l_returnflag", "PARTITION BY l_returnflag, l_linestatus"]
+)
+_WIN_FRAMES = st.sampled_from(
+    [
+        "",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+)
+_WIN_FNS = st.sampled_from(
+    [
+        ("ROW_NUMBER()", False),
+        ("RANK()", False),
+        ("DENSE_RANK()", False),
+        ("COUNT(*)", True),
+        ("SUM(l_linenumber)", True),
+        ("MIN(l_orderkey)", True),
+        ("MAX(l_orderkey)", True),
+        ("LAG(l_linenumber, 1, 0)", False),
+        ("LEAD(l_linenumber, 2, -1)", False),
+    ]
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fn=_WIN_FNS, part=_WIN_PARTS, frame=_WIN_FRAMES)
+def test_random_window_specs_agree(spark, li_view, fn, part, frame):
+    expr, takes_frame = fn
+    spec_bits = [part, "ORDER BY l_orderkey, l_linenumber"]
+    if takes_frame and frame:
+        spec_bits.append(frame)
+    spec = " ".join(b for b in spec_bits if b)
+    q = (
+        "SELECT CAST(SUM(CAST(w AS BIGINT) * (l_orderkey * 7 + l_linenumber)) AS BIGINT) AS chk, "
+        "COUNT(*) AS n FROM ("
+        f"SELECT l_orderkey, l_linenumber, {expr} OVER ({spec}) AS w "
+        "FROM {t} WHERE l_orderkey < 2000) v"
+    )
+    [srow] = spark.sql(q.format(t=li_view)).collect()
+    [drow] = _duck(q.format(t="lineitem"))
+    assert (srow.chk, srow.n) == (drow[0], drow[1]), (expr, spec)
