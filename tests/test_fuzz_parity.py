@@ -778,3 +778,36 @@ def test_random_window_specs_agree(spark, li_view, fn, part, frame):
     [srow] = spark.sql(q.format(t=li_view)).collect()
     [drow] = _duck(q.format(t="lineitem"))
     assert (srow.chk, srow.n) == (drow[0], drow[1]), (expr, spec)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    part=_WIN_PARTS,
+    lo=st.integers(min_value=0, max_value=10),
+    hi=st.integers(min_value=0, max_value=10),
+    agg=st.sampled_from(["SUM(l_linenumber)", "COUNT(*)", "MIN(l_orderkey)"]),
+)
+def test_random_range_frames_agree(spark, li_view, part, lo, hi, agg):
+    """RANGE (value-based) frames over an integer order key: the frame
+    is defined by value distance, so ties enter symmetrically and the
+    output is deterministic without a unique order — both engines must
+    agree exactly (q60's semantics, fuzzed)."""
+    spec_bits = [
+        part,
+        "ORDER BY CAST(l_quantity AS BIGINT)",
+        f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+    ]
+    spec = " ".join(b for b in spec_bits if b)
+    q = (
+        "SELECT CAST(SUM(CAST(w AS BIGINT) * (l_orderkey * 7 + l_linenumber)) AS BIGINT) AS chk, "
+        "COUNT(*) AS n FROM ("
+        f"SELECT l_orderkey, l_linenumber, {agg} OVER ({spec}) AS w "
+        "FROM {t} WHERE l_orderkey < 2000) v"
+    )
+    [srow] = spark.sql(q.format(t=li_view)).collect()
+    [drow] = _duck(q.format(t="lineitem"))
+    assert (srow.chk, srow.n) == (drow[0], drow[1]), spec
