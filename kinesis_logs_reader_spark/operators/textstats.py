@@ -839,17 +839,24 @@ def q152b_perplexity_buckets_scalable(
         "doc_id", "n_tok", "avg_logprob", "keep"
     )
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
-    # session-cached like cached_doc_tokens: the ranged frame is read
-    # twice (count vector, then rank pass) and must be pinned so both
-    # passes see identical range-partition contents.
+    # session-cached: the ranged frame is read twice (count vector,
+    # then rank pass) and must be pinned so both passes see identical
+    # range-partition contents. Keyed by (sf_dir, nparts) — a profile
+    # change (e.g. bench's 8-partition local conf) must not serve a
+    # frame ranged under a different partition count — and bounded:
+    # inserting evicts (unpersists) any other entry, so at most one
+    # ranged frame pins executor memory at a time (ADVICE r6).
     cache = spark.__dict__.setdefault("_klrs_q152b_cache", {})
-    if sf_dir not in cache:
-        cache[sf_dir] = (
+    ckey = (sf_dir, nparts)
+    if ckey not in cache:
+        for stale in list(cache):
+            cache.pop(stale).unpersist()
+        cache[ckey] = (
             scored.repartitionByRange(nparts, "avg_logprob", "doc_id")
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
-    ranged = cache[sf_dir]
+    ranged = cache[ckey]
     # bounded driver step: ONE row per range partition (32 at test
     # scale, a few thousand on a big cluster), never data rows
     counts = sorted(

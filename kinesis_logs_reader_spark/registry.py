@@ -298,8 +298,72 @@ DRIVER_WINDOW_R7: list[str] = [
     "q131_table_profile",
 ]
 
+# Round-8 window (STAGED — swap DRIVER_WINDOW to this after the r7
+# driver run lands green). Rotation policy: no key's driver evidence
+# ages past ~4 rounds. Computed from the cumulative r1-r6 tally plus
+# the r7 window: after r7, the oldest evidence is (1) the ten r3-era
+# keys, (2) the four keys staged for r7 but cut by the [:50] window,
+# (3) the r4-era block, oldest-first; trailing slots recheck r5-era
+# curation keys.
+DRIVER_WINDOW_R8: list[str] = [
+    # (1) r3-era driver rows (oldest on the board after r7)
+    "q02_filter_predicates",
+    "q107_variant_json",
+    "q108_cube",
+    "q14_count_distinct",
+    "q17_global_agg",
+    "q60_range_frame",
+    "q63_window_analytics",
+    "q64_date_format",
+    "q65_grouping_sets",
+    "q66_array_agg",
+    # (2) staged for r7 but cut by the 50-slot window
+    "q115_unigram_lm",
+    "q119_knn_join",
+    "q122_substring_dedup",
+    "q131_table_profile",
+    # (3) r4-era driver rows
+    "q101_winnowing",
+    "q104_incremental_dedup",
+    "q105_vocab_coverage",
+    "q106_udtf_chunks",
+    "q61_token_regex",
+    "q62_asof_join",
+    "q67_stats_agg",
+    "q68_shipping_priority",
+    "q69_local_supplier_volume",
+    "q70_returned_items",
+    "q71_large_volume_customer",
+    "q72_inactive_rich_customers",
+    "q73_cheapest_lineitem_per_part",
+    "q76_merge_upsert",
+    "q77_hash_split",
+    "q78_normalize_dedup",
+    "q79_pii_scrub",
+    "q80_chunk_documents",
+    "q82_higher_order_funcs",
+    "q83_funnel",
+    "q84_retention",
+    "q85_event_transitions",
+    "q87_lateral_topn",
+    "q89_decontamination",
+    "q90_curation_pipeline",
+    "q91_gopher_rules",
+    "q92_repetition",
+    "q95_tfidf",
+    "q97_quality_audit",
+    "q98_bm25",
+    # (4) r5-era re-checks (oldest of that block)
+    "q100_scd2",
+    "q102_adaptive_length_filter",
+    "q111_embedding_quantize",
+    "q112_chunk_dedup",
+    "q113_blocklist_filter",
+    "q114_mixture_weights",
+]
+
 # ACTIVE window for this round's driver correctness gate (first 50).
-DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R6[:50]
+DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R7[:50]
 
 
 def export_name(key: str) -> str:

@@ -100,7 +100,25 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Runtime re-assertion (covers a pre-existing session getOrCreate
-    # returned), still honoring extra_conf precedence.
+    # returned), still honoring extra_conf precedence. Includes the
+    # builder-block SQL confs that ARE runtime-settable (shuffle
+    # partitions, arrow, parquet pushdown) so a reused session actually
+    # gets the requested profile — e.g. bench.py's 8-partition local
+    # profile; non-settable ones (spark.master, ui, socket timeout)
+    # no-op via the except guard.
+    _builder_sql_conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    for k, v in _builder_sql_conf.items():
+        if k in (extra_conf or {}):
+            continue
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     for k, v in _RUNTIME_CONF.items():
         if k in (extra_conf or {}):
             continue

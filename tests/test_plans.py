@@ -543,3 +543,45 @@ def test_q160_warm_path_reads_index_not_corpus_text(spark):
     ]
     assert doc_scans, "expected documents scans for the incoming batch"
     assert "PushedFilters" in plan
+
+
+def test_q160_production_index_probe_no_corpus_exchange(spark):
+    """VERDICT r6 #3 closed: the PRODUCTION corpus index — as written
+    by get_or_build_corpus_index (digest-bucketed + sorted files,
+    band-namespaced c3 digests, bucket spec re-attached on read) — is
+    probed with NO Exchange on the index side, in the same shape
+    admission_verdicts uses (digest-only left-semi against a DISTINCT
+    digest set; even the distinct runs exchange-free because the scan
+    is already clustered by digest). Broadcast is disabled to force the
+    at-scale path: a 100 TB index never broadcasts, so the plan must be
+    a shuffle join whose only exchange is the batch-sized incoming
+    side."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        get_or_build_corpus_index,
+    )
+
+    idx = get_or_build_corpus_index(spark, SF_DIR)
+    inc = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", F.md5("text").alias("digest"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for known in (
+            idx.filter(F.col("band_idx") == -1).select("digest").distinct(),
+            idx.filter(F.col("band_idx") >= 0).select("digest").distinct(),
+        ):
+            probe = inc.join(known, "digest", "left_semi")
+            plan = explain.formatted_plan(probe)
+            # formatted mode puts the node name and its arguments on
+            # separate lines, so count the Exchange ARGUMENT lines
+            n_exchange = len(re.findall(r"Arguments: hashpartitioning", plan))
+            assert n_exchange == 1, plan  # the incoming side, nothing else
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+            assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -586,3 +586,70 @@ def test_admission_sink_streaming_q160_twin(spark, tmp_path):
         r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
     }
     assert verdicts2 == verdicts
+
+
+def test_admission_sink_survives_session_restart(spark, tmp_path):
+    """VERDICT r6 #6: verdict continuity across a RESTART. Phase 1
+    admits a batch and stops; phase 2 runs under a brand-new
+    SparkSession (``newSession()`` — fresh session state, fresh
+    in-memory catalog, nothing served from session cache) against the
+    SAME persisted store + checkpoint. The phase-1 docs must verdict
+    ``exact_store`` from the on-disk signature store, and the
+    checkpoint must resume at the right offset (phase 2 processes only
+    the new file)."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import run_admission_sink
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    phase1 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+    ]
+    spark.createDataFrame(phase1, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_admission_sink(stream, ckpt, store, out).awaitTermination(120)
+    assert {
+        r["verdict"] for r in spark.read.parquet(out).collect()
+    } == {"novel"}
+
+    # --- restart: fresh session state, same disk artifacts ---
+    spark.catalog.clearCache()
+    spark2 = spark.newSession()
+    phase2 = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # replay
+        (11, "entirely different sentence with brand new vocabulary"),
+    ]
+    spark2.createDataFrame(phase2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream2 = (
+        spark2.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_admission_sink(stream2, ckpt, store, out).awaitTermination(120)
+
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in spark2.read.parquet(out).collect()
+    }
+    # phase-1 rows unchanged (checkpoint did not reprocess b0)
+    assert verdicts[1] == "novel" and verdicts[2] == "novel"
+    # the replay is recognized from the DISK store, not session state
+    assert verdicts[10] == "exact_store"
+    assert verdicts[11] == "novel"
+    # store grew by exactly the phase-2 novel doc's 5 signature rows
+    sig = spark2.read.parquet(store)
+    assert sig.filter(F.col("doc_id") == 11).count() == 5
+    assert sig.filter(F.col("doc_id") == 10).count() == 0

@@ -128,7 +128,96 @@ def full_soak(spark, queries) -> None:
         print(f"  {k:42s} {g}")
 
 
+def duckdb_soak(timeout_s: float = 600.0) -> None:
+    """--duckdb: the ORACLE side of the sf~1 soak (VERDICT r6 #2).
+
+    Runs every declared query's DuckDB oracle SQL against the same sf~1
+    parquet (best-of-2 warm, all cores, per-query interrupt watchdog)
+    and merges per-query ``d1`` + ``ratio_t1`` into SCALE_FULL.json,
+    plus a ``_summary`` block with the headline sf~1 Spark-vs-DuckDB
+    ratio. This is the measurement that settles whether the sf0.1
+    strict ratio is a per-job-floor artifact: if the floor amortizes,
+    the sf~1 ratio should sit near the compute-bound ~1x, not 2.4x.
+    """
+    import json
+    import threading
+
+    import duckdb
+
+    from kinesis_logs_reader_spark.registry import all_oracle_sql
+
+    with open("/root/repo/SCALE_FULL.json") as f:
+        out = json.load(f)
+    out.pop("_summary", None)
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        # Spark wrote the sf~1 tables as directories of part files
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SCALE_DIR}/{t}.parquet/*.parquet')"
+        )
+
+    def timed(sql: str) -> float:
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            return time.perf_counter() - t0
+        finally:
+            timer.cancel()
+
+    oracles = all_oracle_sql()
+    for i, name in enumerate(sorted(oracles)):
+        if name not in out or "t1" not in out.get(name, {}):
+            continue
+        try:
+            best = min(timed(oracles[name]) for _ in range(2))
+            out[name]["d1"] = round(best, 3)
+            out[name]["ratio_t1"] = (
+                round(out[name]["t1"] / best, 2) if best else None
+            )
+        except Exception as exc:
+            out[name]["d1_err"] = f"{type(exc).__name__}: {exc}"[:160]
+        print(f"[{i + 1}/{len(oracles)}] {name}: {out[name].get('d1', out[name].get('d1_err'))}", flush=True)
+    con.close()
+
+    both = [k for k in out if isinstance(out[k], dict) and "d1" in out[k]]
+    spark_total = sum(out[k]["t1"] for k in both)
+    duck_total = sum(out[k]["d1"] for k in both)
+    cb = [k for k in both if out[k]["d1"] >= 0.1]
+    out["_summary"] = {
+        "sf": "~1 (10x sf0.1)",
+        "n_both_engines": len(both),
+        "spark_t1_total": round(spark_total, 3),
+        "duckdb_d1_total": round(duck_total, 3),
+        "ratio_sf1": round(spark_total / duck_total, 2) if duck_total else None,
+        "ratio_sf1_compute_bound": round(
+            sum(out[k]["t1"] for k in cb) / sum(out[k]["d1"] for k in cb), 2
+        )
+        if cb
+        else None,
+        "n_compute_bound": len(cb),
+        "timeout_s": timeout_s,
+        "n_duckdb_err": sum(
+            1 for k in out if isinstance(out[k], dict) and "d1_err" in out[k]
+        ),
+    }
+    with open("/root/repo/SCALE_FULL.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print("\n_summary:", json.dumps(out["_summary"]))
+
+
 def main() -> None:
+    if "--duckdb" in sys.argv:
+        duckdb_soak()
+        return
+
     from kinesis_logs_reader_spark import registry as entry
     from kinesis_logs_reader_spark.session import build_session
 
