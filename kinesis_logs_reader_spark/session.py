@@ -28,12 +28,16 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalesce to the advisory partition size instead of maximizing
-    # parallelism: fewer, right-sized shuffle partitions. Measured
-    # ~15% off shuffle-heavy queries locally; at cluster scale this is
-    # the documented setting when partitions should track data volume,
-    # not core count.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at Spark's DEFAULT (true). r6 set it to
+    # false after a ~15% win on sf0.1 shuffle-heavy queries; the r7
+    # sf~1 soak showed that at 10x data the advisory-size coalescing
+    # strangles parallelism — shuffles collapse to a handful of 64 MB
+    # partitions and window sorts/aggregates run 2-7x slower (measured
+    # A/B at sf~1: q18 4.5x, q20 5.4x, q60 6.8x, q17 2.5x, q01 3.6x).
+    # The default keeps enough partitions to fill the cores and only
+    # coalesces genuinely tiny ones — the behavior that survives a
+    # 100x scale-up. (Left unset == true; recorded here as the
+    # measured decision.)
     # Runtime bloom-filter join pruning stays OFF (Spark's default):
     # the scale probe measured it 1.6-2.2x SLOWER on the Q3/Q18 shapes
     # at sf~1 (6M lineitem) — the extra filter-building scan of the

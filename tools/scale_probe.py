@@ -95,12 +95,21 @@ def full_soak(spark, queries) -> None:
     sf~1 (best-of-2 warm). Emits SCALE_FULL.json {query: {t01, t1,
     growth, err}} so SCALE.md can cover 165/165 (VERDICT r5 item #8).
     A healthy row grows <= ~3x on 10x data (fixed overhead + linear
-    scan); superlinear rows are the shuffle/spill suspects."""
+    scan); superlinear rows are the shuffle/spill suspects.
+
+    Merges into an existing SCALE_FULL.json so the DuckDB-side fields
+    (d1, ratio_t1) and _summary survive a Spark-side re-run; the
+    summary's Spark totals/ratios are recomputed from the fresh t1."""
     import json
 
     out = {}
+    try:
+        with open("/root/repo/SCALE_FULL.json") as f:
+            out = json.load(f)
+    except Exception:
+        pass
     for i, name in enumerate(sorted(queries)):
-        rec = {}
+        rec = {k: v for k, v in out.get(name, {}).items() if k.startswith("d1")}
         for key, d in (("t01", "/root/testdata/sf0.1"), ("t1", SCALE_DIR)):
             try:
                 best = float("inf")
@@ -116,12 +125,42 @@ def full_soak(spark, queries) -> None:
                 break
         if "err" not in rec:
             rec["growth"] = round(rec["t1"] / rec["t01"], 2) if rec["t01"] else None
+            if rec.get("d1"):
+                rec["ratio_t1"] = round(rec["t1"] / rec["d1"], 2)
         out[name] = rec
         print(f"[{i + 1}/{len(queries)}] {name}: {rec}", flush=True)
+    both = [
+        k
+        for k, v in out.items()
+        if not k.startswith("_") and isinstance(v, dict)
+        and "d1" in v and "t1" in v
+    ]
+    if both:
+        sp = sum(out[k]["t1"] for k in both)
+        du = sum(out[k]["d1"] for k in both)
+        cb = [k for k in both if out[k]["d1"] >= 0.1]
+        out.setdefault("_summary", {}).update(
+            {
+                "n_both_engines": len(both),
+                "spark_t1_total": round(sp, 3),
+                "duckdb_d1_total": round(du, 3),
+                "ratio_sf1": round(sp / du, 2) if du else None,
+                "ratio_sf1_compute_bound": round(
+                    sum(out[k]["t1"] for k in cb)
+                    / sum(out[k]["d1"] for k in cb),
+                    2,
+                )
+                if cb
+                else None,
+                "n_compute_bound": len(cb),
+            }
+        )
     with open("/root/repo/SCALE_FULL.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     worst = sorted(
-        (v["growth"], k) for k, v in out.items() if v.get("growth")
+        (v["growth"], k)
+        for k, v in out.items()
+        if isinstance(v, dict) and v.get("growth")
     )[-10:]
     print("\nworst growth (x on 10x data):")
     for g, k in reversed(worst):
