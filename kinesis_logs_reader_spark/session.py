@@ -70,6 +70,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int = 32,
     extra_conf: dict[str, str] | None = None,
+    driver_memory: str = "16g",
 ) -> SparkSession:
     """Build the engine's SparkSession.
 
@@ -83,6 +84,13 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.config("spark.master", master)
+        # local[N] runs driver + all executor threads in ONE JVM whose
+        # heap defaults to 1g — the r7 sf~1 soak OOM'd it (166 queries'
+        # session caches + sort buffers on 32 threads). A max-heap cap,
+        # not a reservation: only set for explicitly-local sessions;
+        # spark-submit / cluster managers own it otherwise. extra_conf
+        # still overrides (applied later).
+        builder = builder.config("spark.driver.memory", driver_memory)
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
