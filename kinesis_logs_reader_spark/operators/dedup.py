@@ -467,6 +467,99 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval-set contamination (r7): per-training-doc containment
+    fraction against the benchmark shingle set, with verdicts.
+
+    q89 reports raw shared-shingle counts per (train, eval) pair; real
+    decontamination (C4/Dolma-style) wants a per-doc DECISION: what
+    fraction of this document's distinct 3-token shingles appear
+    anywhere in the eval set, and does that cross the drop threshold?
+    ``containment = |sh(doc) ∩ sh(eval set)| / |sh(doc)|`` — the
+    asymmetric overlap that catches a short eval prompt embedded in a
+    long training doc, which symmetric Jaccard dilutes away.
+
+    Contamination is planted by construction: each eval doc
+    (``doc_id % 101 == 0``) is re-emitted on the train side at
+    ``id + 5_000_000`` truncated to its first 2/3 tokens — containment
+    ~1.0 (every shingle of the truncation exists in the original), so
+    the 'dirty' class is non-empty at every SF and the planted rows
+    must all land there.
+
+    Scale shape: the eval shingle set aggregates to ONE array row
+    (distinct hashes of ~1% of docs) broadcast to every executor; the
+    train side then computes ``size(array_intersect(sh, eval_set))``
+    entirely map-side — zero shuffle of the training corpus, no
+    explode, no join. At 100 TB this is the right plan: the eval set
+    is KB-to-MB sized while the train side only rides the scan.
+    Quantization: FLOOR(x*1e6+0.5)/1e6 == ROUND(x,6) for these
+    rationals (n_hit/n_sh with n_sh << 1e5 — the q63 dyadic-boundary
+    argument), identical in both engines.
+
+    Reference analog: none (beyond-reference mandate; composes the
+    q89 shingle kernels into a per-doc admission verdict).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev_docs = docs.filter(F.col("doc_id") % 101 == 0)
+    planted = ev_docs.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tokens(),
+                1,
+                F.greatest(
+                    F.lit(1), F.floor(F.size(tokens()) * 2 / 3).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    train_docs = docs.filter(
+        (F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 800)
+    ).unionByName(planted)
+
+    def _sh(frame: DataFrame) -> DataFrame:
+        tok = frame.select("doc_id", token_base_hashes().alias("tb"))
+        return tok.select(
+            "doc_id", token_shingle_hashes(F.col("tb")).alias("sh")
+        )
+
+    ev_set = (
+        _sh(ev_docs)
+        .select(F.explode("sh").alias("s"))
+        .agg(F.array_sort(F.collect_set("s")).alias("ev"))
+    )
+    scored = (
+        _sh(train_docs)
+        .crossJoin(F.broadcast(ev_set))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_sh"),
+            F.size(F.array_intersect("sh", "ev")).alias("n_hit"),
+        )
+    )
+    containment = F.when(F.col("n_sh") > 0, (
+        F.floor(
+            F.col("n_hit").cast("double") / F.col("n_sh") * 1e6 + 0.5
+        ) / 1e6
+    ).cast("double")).otherwise(F.lit(0.0))
+    return (
+        scored.select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            containment.alias("containment"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("containment") >= 0.5, F.lit("dirty"))
+            .when(F.col("containment") >= 0.2, F.lit("suspect"))
+            .otherwise(F.lit("clean")),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q101_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     algorithm): hash every k-token shingle positionally, slide a

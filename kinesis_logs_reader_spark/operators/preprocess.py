@@ -115,6 +115,84 @@ def q77_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order generation (r7): per-epoch document
+    permutation + shard assignment, the step that turns a curated
+    corpus into a reproducible training data order.
+
+    Real pipelines need three properties q77's static split does not
+    give: (1) a DIFFERENT order every epoch, (2) byte-reproducible
+    across re-runs, cluster sizes, and engines — never ``rand()`` —
+    and (3) balanced shards whose contents are provable without
+    shipping the full permutation. Shard = md5-hash of
+    ``(epoch, doc_id)`` mod 8; within-shard position = rank by the
+    same hash (ties by doc_id). The audit output pins the whole
+    permutation order-insensitively: per (epoch, shard) the doc count,
+    the position-weighted checksum ``sum(position * doc_id)`` (any
+    transposition of two docs changes it), and the first-position doc.
+
+    Scale shape: the only shuffle is the (epoch, shard)-partitioned
+    rank window — (16-byte hash + two ints) per row, never text; with
+    8 shards x E epochs the sort parallelism is 8E independent
+    partitions, and at 100 TB the within-shard rank swaps onto the
+    q152b range-rank machinery (per-range row_number + count-vector
+    offsets) so no single sort sees more than a range slice.
+    Checksum overflow envelope: position <= |shard| and doc_id <= 1e7
+    at tested SFs keeps ``sum(pos * id)`` under 2^50; a 1e12-doc
+    deployment would reduce the checksum mod 2^61-1 on both engines.
+
+    Reference analog: none (beyond-reference mandate; the reference
+    replays events in arrival order, kinesis_logs_reader.py:97-104).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("_k"),
+    )
+    sharded = staged.select(
+        "doc_id",
+        "epoch",
+        "_k",
+        (_base_hash_of_hex("_k") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("_k", "doc_id")
+    ranked = sharded.select(
+        "doc_id", "epoch", "shard", F.row_number().over(w).alias("pos")
+    )
+    return (
+        ranked.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def _base_hash_of_hex(col: str) -> F.Column:
+    """61-bit integer from an ALREADY-COMPUTED md5 hex column (the
+    same conv-substring reduction as functions.text._base_hash, minus
+    the inner md5 — the hex is reused for both shard and order)."""
+    from kinesis_logs_reader_spark.functions.text import MINHASH_P
+
+    return (
+        F.conv(F.substring(F.col(col), 1, 15), 16, 10).cast("bigint") % MINHASH_P
+    )
+
+
 def normalize_text(col) -> F.Column:
     """Canonical form: lowercase, strip non-alnum-non-space, collapse
     runs of whitespace, trim. Spark regexp_replace replaces all

@@ -3568,3 +3568,92 @@ FROM verdicted
 GROUP BY verdict
 ORDER BY verdict
 """
+
+# --- r7 additions: training-order generation + graded decontamination ------
+
+ORACLE["q161_epoch_shuffle"] = """
+WITH staged AS (
+  SELECT doc_id, epoch,
+         md5('ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS _k
+  FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch)
+), sharded AS (
+  SELECT doc_id, epoch, _k,
+         (CAST('0x' || substr(_k, 1, 15) AS BIGINT) % 2147483647) % 8 AS shard
+  FROM staged
+), ranked AS (
+  SELECT doc_id, epoch, shard,
+         ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY _k, doc_id) AS pos
+  FROM sharded
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum,
+       MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+FROM ranked
+GROUP BY epoch, shard
+ORDER BY epoch, shard
+"""
+
+ORACLE["q162_eval_containment"] = """
+WITH ev_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0
+), planted AS (
+  SELECT doc_id + 5000000 AS doc_id,
+         array_to_string(
+           str_split(text, ' ')[1:greatest(1,
+             CAST(floor(len(str_split(text, ' ')) * 2 / 3) AS INT))],
+           ' ') AS text
+  FROM ev_docs
+), train_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 101 <> 0 AND doc_id < 800
+  UNION ALL
+  SELECT doc_id, text FROM planted
+), tok_ev AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM ev_docs
+), sh_ev AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS sh
+  FROM tok_ev
+), ev_set AS (
+  SELECT list_distinct(flatten(list(sh))) AS ev FROM sh_ev
+), tok_tr AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM train_docs
+), sh_tr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS sh
+  FROM tok_tr
+), scored AS (
+  SELECT s.doc_id,
+         CAST(len(s.sh) AS INT) AS n_sh,
+         CAST(len(list_filter(s.sh, x -> list_contains(e.ev, x))) AS INT) AS n_hit
+  FROM sh_tr s CROSS JOIN ev_set e
+), graded AS (
+  SELECT doc_id, n_sh, n_hit,
+         CASE WHEN n_sh > 0
+              THEN CAST(floor(CAST(n_hit AS DOUBLE) / n_sh * 1e6 + 0.5) / 1e6
+                        AS DOUBLE)
+              ELSE 0.0 END AS containment
+  FROM scored
+)
+SELECT doc_id, n_sh, n_hit, containment,
+       CASE WHEN containment >= 0.5 THEN 'dirty'
+            WHEN containment >= 0.2 THEN 'suspect'
+            ELSE 'clean' END AS verdict
+FROM graded
+ORDER BY doc_id
+"""

@@ -25,8 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 166  # +q160 incremental ingest dedup (r6)
-N_ORACLES = 166  # r6: q160 oracle recomputes the persisted index content in SQL
+N_QUERIES = 168  # r7: +q161 epoch shuffle, +q162 graded eval containment
+N_ORACLES = 168  # both r7 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -306,6 +306,9 @@ DRIVER_WINDOW_R7: list[str] = [
 # (3) the r4-era block, oldest-first; trailing slots recheck r5-era
 # curation keys.
 DRIVER_WINDOW_R8: list[str] = [
+    # (0) r7 additions — never driver-checked (highest rotation priority)
+    "q161_epoch_shuffle",
+    "q162_eval_containment",
     # (1) r3-era driver rows (oldest on the board after r7)
     "q02_filter_predicates",
     "q107_variant_json",
