@@ -585,3 +585,50 @@ def test_q160_production_index_probe_no_corpus_exchange(spark):
             assert "Bucketed: true" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q161_single_window_exchange(spark):
+    """q161's only data shuffle is the (epoch, shard) rank window —
+    one hash exchange; the final ORDER BY adds the presentation range
+    exchange. No joins, no extra aggregation exchange (the audit
+    groups on the window's own partition keys, so the partial/final
+    agg rides the window's clustering)."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        q161_epoch_shuffle,
+    )
+
+    plan = (
+        q161_epoch_shuffle(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q162_train_side_is_map_only(spark):
+    """q162 scores the training corpus with ZERO hash exchanges: the
+    eval shingle set collapses to a one-row array broadcast (the only
+    join is the broadcast nested-loop cross of that single row) and
+    containment is size(array_intersect(...)) computed map-side. The
+    doc_id < 800 slice bound must reach the parquet scan."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q162_eval_containment,
+    )
+
+    plan = (
+        q162_eval_containment(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "LessThan(doc_id,800)" in plan, plan
