@@ -486,12 +486,19 @@ def q162_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'dirty' class is non-empty at every SF and the planted rows
     must all land there.
 
-    Scale shape: the eval shingle set aggregates to ONE array row
-    (distinct hashes of ~1% of docs) broadcast to every executor; the
-    train side then computes ``size(array_intersect(sh, eval_set))``
-    entirely map-side — zero shuffle of the training corpus, no
-    explode, no join. At 100 TB this is the right plan: the eval set
-    is KB-to-MB sized while the train side only rides the scan.
+    Scale shape: the eval shingle set (distinct hashes of ~1% of docs)
+    is BROADCAST and the train side probes it with a broadcast hash
+    join over its exploded shingles — the build-side hash set is
+    constructed once per task, then every probe is O(1). (The
+    tempting array formulation — ``size(array_intersect(sh, ev))``
+    against a one-row cross-joined eval array — re-builds the eval
+    hash set PER ROW inside the expression; measured 4.7 s vs 1.0 s
+    at sf≈1 on identical output.) Per-doc hit counts partial-aggregate
+    map-side, so the only train-side shuffle carries ~one row per
+    document, never per shingle; ``explode_outer`` keeps sub-k-token
+    docs (empty shingle set) in the output with n_sh = 0. At 100 TB
+    the eval set is KB-to-MB sized while the train side rides the
+    scan.
     Quantization: FLOOR(x*1e6+0.5)/1e6 == ROUND(x,6) for these
     rationals (n_hit/n_sh with n_sh << 1e5 — the q63 dyadic-boundary
     argument), identical in both engines.
@@ -527,16 +534,16 @@ def q162_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_set = (
         _sh(ev_docs)
         .select(F.explode("sh").alias("s"))
-        .agg(F.array_sort(F.collect_set("s")).alias("ev"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = _sh(train_docs).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("s")
     )
     scored = (
-        _sh(train_docs)
-        .crossJoin(F.broadcast(ev_set))
-        .select(
-            "doc_id",
-            F.size("sh").alias("n_sh"),
-            F.size(F.array_intersect("sh", "ev")).alias("n_hit"),
-        )
+        exploded.join(F.broadcast(ev_set), "s", "left")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("int").alias("n_hit"))
     )
     containment = F.when(F.col("n_sh") > 0, (
         F.floor(

@@ -610,12 +610,14 @@ def test_q161_single_window_exchange(spark):
     assert "Join" not in plan, plan
 
 
-def test_q162_train_side_is_map_only(spark):
-    """q162 scores the training corpus with ZERO hash exchanges: the
-    eval shingle set collapses to a one-row array broadcast (the only
-    join is the broadcast nested-loop cross of that single row) and
-    containment is size(array_intersect(...)) computed map-side. The
-    doc_id < 800 slice bound must reach the parquet scan."""
+def test_q162_probe_is_broadcast_hash_join(spark):
+    """q162 probes the eval shingle set via a BROADCAST hash join (the
+    build-side set is constructed once per task, never per row — the
+    array_intersect formulation rebuilt it per row, measured 4.7x),
+    and the train side's only hash exchanges are the tiny eval-side
+    distinct plus the per-doc partial-aggregated hit count — never a
+    per-shingle shuffle. The doc_id < 800 slice bound must reach the
+    parquet scan."""
     import re
 
     from kinesis_logs_reader_spark.operators.dedup import (
@@ -628,7 +630,10 @@ def test_q162_train_side_is_map_only(spark):
         .executedPlan()
         .toString()
     )
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # eval-side distinct (2-phase = same exchange count as 1) + the
+    # per-doc hit-count aggregation; nothing else shuffles
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "LessThan(doc_id,800)" in plan, plan
