@@ -144,11 +144,35 @@ def q161_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; the reference
     replays events in arrival order, kinesis_logs_reader.py:97-104).
     """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        epoch_shuffle_ranked(docs)
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def epoch_shuffle_ranked(
+    docs: DataFrame, epochs: int = 2, n_shards: int = 8
+) -> DataFrame:
+    """The q161 permutation as rows: (doc_id, epoch, shard, pos, _k).
+
+    Shared by the q161 audit aggregate and
+    :func:`kinesis_logs_reader_spark.sources.layout.write_training_shards`,
+    which materializes the same order as consumable per-shard files —
+    the two views are the same DAG, so the audit certifies exactly
+    what the writer ships.
+    """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     staged = docs.select(
-        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch"),
     ).select(
         "doc_id",
         "epoch",
@@ -165,20 +189,11 @@ def q161_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "epoch",
         "_k",
-        (_base_hash_of_hex("_k") % 8).alias("shard"),
+        (_base_hash_of_hex("_k") % n_shards).alias("shard"),
     )
     w = Window.partitionBy("epoch", "shard").orderBy("_k", "doc_id")
-    ranked = sharded.select(
-        "doc_id", "epoch", "shard", F.row_number().over(w).alias("pos")
-    )
-    return (
-        ranked.groupBy("epoch", "shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
-            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
-        )
-        .orderBy("epoch", "shard")
+    return sharded.select(
+        "doc_id", "epoch", "shard", "_k", F.row_number().over(w).alias("pos")
     )
 
 

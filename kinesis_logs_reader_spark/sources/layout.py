@@ -94,3 +94,42 @@ def zorder_write(df: DataFrame, path: str, x: Column, y: Column, n_files: int = 
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, epochs: int = 2, n_shards: int = 8
+) -> None:
+    """Materialize the q161 training order as consumable shard files.
+
+    Hive layout ``epoch=E/shard=S/`` with exactly one parquet file per
+    (epoch, shard), rows stored in training-position order — the
+    artifact a training data loader streams sequentially: workers each
+    own a shard directory, read its single sorted file front to back,
+    and the global order is reproducible because the permutation is
+    the deterministic md5 order of
+    :func:`...operators.preprocess.epoch_shuffle_ranked` (the SAME DAG
+    q161's audit aggregate certifies — checksum-green driver rows
+    certify these files' contents).
+
+    ``repartition(epoch, shard)`` hash-places every (epoch, shard)
+    group into its own task so each hive leaf gets one file whose
+    in-file row order is the within-shard sort. At 100 TB, shard
+    count scales with worker count, files stay ~corpus/(E*S) sized,
+    and the writer is the q161 window plan plus a parquet sink —
+    no extra shuffle beyond the rank window itself.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        epoch_shuffle_ranked,
+    )
+
+    ranked = epoch_shuffle_ranked(docs, epochs=epochs, n_shards=n_shards)
+    (
+        ranked.repartition(epochs * n_shards, "epoch", "shard")
+        .sortWithinPartitions("epoch", "shard", "pos")
+        .select("doc_id", "pos", "epoch", "shard")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard")
+        .parquet(path)
+    )

@@ -95,3 +95,40 @@ def test_zorder_write_prunes_2d_boxes(spark, tmp_path):
     p_hit, p_total = candidate_files(ppath, box)
     assert p_hit == p_total, "unclustered layout cannot skip anything"
     assert z_hit < p_hit, "z-order must reduce candidate files for a 2-D box"
+
+
+def test_write_training_shards_order_and_audit(spark, tmp_path):
+    """The materialized shard files carry the q161 permutation: one
+    file per (epoch, shard) hive leaf, in-file rows in training order
+    (pos == 1..n in physical sequence), and the position-weighted
+    checksum of the FILE BYTES equals the q161 audit row — the audit
+    certifies exactly what the writer shipped."""
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        q161_epoch_shuffle,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    path = str(tmp_path / "shards")
+    layout.write_training_shards(docs, path, epochs=2, n_shards=8)
+
+    audit = {
+        (r.epoch, r.shard): r
+        for r in q161_epoch_shuffle(spark, SF_DIR).collect()
+    }
+    leaves = sorted(glob.glob(os.path.join(path, "epoch=*", "shard=*")))
+    assert len(leaves) == 16
+    for leaf in leaves:
+        epoch = int(leaf.split("epoch=")[1].split(os.sep)[0])
+        shard = int(leaf.split("shard=")[1])
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{leaf}: one sorted file per shard"
+        tbl = pq.read_table(os.path.join(leaf, files[0]))
+        pos = tbl.column("pos").to_pylist()
+        ids = tbl.column("doc_id").to_pylist()
+        assert pos == list(range(1, len(pos) + 1)), "file order IS training order"
+        row = audit[(epoch, shard)]
+        assert row.n_docs == len(ids)
+        assert row.perm_checksum == sum(p * d for p, d in zip(pos, ids))
+        assert row.first_doc == ids[0]
