@@ -120,8 +120,12 @@ def q161_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation + shard assignment, the step that turns a curated
     corpus into a reproducible training data order.
 
-    Real pipelines need three properties q77's static split does not
-    give: (1) a DIFFERENT order every epoch, (2) byte-reproducible
+    Complements q156 (deterministic proportional interleave: WHICH
+    source feeds the next slot) and q77 (static membership split):
+    q161 is the intra-corpus RANDOMIZATION + PARALLELISM layer — which
+    worker owns which documents, in what order, differently each
+    epoch. Real pipelines need three properties q77's static split
+    does not give: (1) a DIFFERENT order every epoch, (2) byte-reproducible
     across re-runs, cluster sizes, and engines — never ``rand()`` —
     and (3) balanced shards whose contents are provable without
     shipping the full permutation. Shard = md5-hash of
