@@ -191,6 +191,125 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
     return vecs.mapInPandas(compute, out_schema)
 
 
+# --- SRP-banded near-dup pairs (distributed scale path for q50) -----------
+
+_SRP_PLANES = 16
+_SRP_BANDS = 4  # 16 sign bits -> 4 bands x 4 bits
+_SRP_GRID = 1000  # embedding quantization grid (floor(x*1000 + 0.5))
+
+
+def _srp_plane(j: int, dim: int = 64) -> list[int]:
+    """±1-valued deterministic hyperplane (same LCG family as
+    :func:`_plane`, reduced to its parity bit).
+
+    ±1 entries over a floor-quantized integer embedding make every
+    projection an exact int64 sum — the sign bit is then identical in
+    any evaluation order and any engine, unlike a float hyperplane
+    whose near-zero projections could flip between Spark's sequential
+    fold and DuckDB's ``list_inner_product``."""
+    vals, x = [], (j * 2654435761 + 1) % 2147483647
+    for _ in range(dim):
+        x = (x * 48271) % 2147483647
+        vals.append(1 if x % 2 == 1 else -1)
+    return vals
+
+
+def _srp_band_codes(vec: Column) -> Column:
+    """Array of _SRP_BANDS 4-bit SRP band codes for an embedding.
+
+    The projection is ``sum(round_half_up(e_i*1000) * p_i)`` with
+    p_i ∈ {-1, +1}: pure integer Catalyst expressions (codegen,
+    zero Python), |sum| ≤ 64 * max|e|*1000 — nowhere near int64."""
+    q = F.transform(vec, lambda x: F.floor(x.cast("double") * _SRP_GRID + F.lit(0.5)).cast("long"))
+    bits = []
+    for j in range(_SRP_PLANES):
+        plane = F.array(*[F.lit(v) for v in _srp_plane(j)])
+        proj = F.aggregate(
+            F.zip_with(q, plane, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append((proj > 0).cast("int"))
+    codes = []
+    for b in range(_SRP_BANDS):
+        code = F.lit(0)
+        for i in range(4):
+            code = code + bits[4 * b + i] * F.lit(1 << i)
+        codes.append(code)
+    return F.array(*codes)
+
+
+def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection banding —
+    the DISTRIBUTED scale path for q50's broadcast-BLAS all-pairs
+    (same production-twin pattern as q158 -> q158b).
+
+    q50's ``cosine_pairs_blas`` broadcasts one side and is capped at
+    1M rows by contract; at 100 TB the corpus side cannot be
+    broadcast at all. Here no side is collected: each vector gets 16
+    deterministic SRP sign bits banded into 4 x 4-bit codes, candidates
+    are an EQUI-join on (band, code) — shuffle keyed on a 4-bit-code
+    pair, never O(n^2) — and only candidates pay the exact cosine
+    filter (>= 0.99, rounded to 4, the q50 acceptance). Identical
+    vectors agree on every bit, so exact-copy pairs are
+    candidate-complete by construction; near-dups at cos >= 0.99 agree
+    per plane w.p. 1 - theta/pi ≈ 0.955, so >= 1-of-4 band collisions
+    happen w.p. ≈ 0.9992 (recall vs q50 asserted in
+    tests/test_llm_ops_r8.py). Contract = LSH-candidate pairs passing
+    the exact filter: deterministic, so the DuckDB oracle reproduces
+    the same planes (embedded as ±1 literals) and the same integer
+    projections bit-for-bit.
+
+    Scale shape: signature pass is map-only column arithmetic; the
+    band explode is 4 rows/vector of (band, code, id); bucket sizes —
+    not |V|^2 — bound the pair work, and the final cosine re-check
+    joins the tiny candidate set back to the vectors on id. On the
+    test slice Catalyst broadcasts the band join's build side; at
+    corpus scale the same plan degrades automatically to a shuffle
+    equi-join on (band, code), and the signature frame is materialized
+    once (persist / written side table, the `_cached_minhash_pairs`
+    pattern) so the corpus is scanned once, not per join branch.
+    Skewed buckets (mass at one code) admit the standard bucket-split
+    salt without changing semantics, because the exact filter is
+    order-independent.
+
+    Reference analog: none (beyond-reference mandate, SURVEY §2.2 I:
+    dedup family #4 at scale).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    vecs = emb.select("vec_id", "embedding").unionByName(planted)
+    sig = vecs.select(
+        "vec_id", F.posexplode(_srp_band_codes(F.col("embedding"))).alias("band", "code")
+    )
+    cand = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.code") == F.col("r.code"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("ida"), F.col("r.vec_id").alias("idb"))
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
+    vb = vecs.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(va, "ida")
+        .join(vb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).cast("double").alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+        .orderBy("ida", "idb")
+    )
+
+
 def q48_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 for vec_id 0 via LSH buckets (rows-only check; recall
     vs the exact q43 baseline is asserted in tests/test_llm_ops.py)."""

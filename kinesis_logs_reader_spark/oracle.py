@@ -3657,3 +3657,73 @@ SELECT doc_id, n_sh, n_hit, containment,
 FROM graded
 ORDER BY doc_id
 """
+
+
+def _srp_plane(j: int, dim: int = 64) -> list[int]:
+    """Bit-exact mirror of operators/similarity.py::_srp_plane (LCG
+    parity -> ±1). Kept inline so oracle.py builds identical BIGINT[]
+    literals without importing the Spark operator module;
+    tests/test_llm_ops_r8.py pins the two derivations equal."""
+    vals, x = [], (j * 2654435761 + 1) % 2147483647
+    for _ in range(dim):
+        x = (x * 48271) % 2147483647
+        vals.append(1 if x % 2 == 1 else -1)
+    return vals
+
+
+# One 4-bit band code per 4 consecutive sign bits. The projection is
+# exact integer arithmetic in both engines: floor-quantized embedding
+# times ±1 literals, |sum| << 2^53, so list_inner_product's DOUBLE
+# accumulation is exact and order-independent (every partial sum is an
+# integer) — no near-zero sign-flip hazard, unlike q48's float planes.
+_SRP_BIT = (
+    "(CASE WHEN list_inner_product(CAST(qe AS DOUBLE[]), "
+    "CAST([{plane}] AS DOUBLE[])) > 0 THEN 1 ELSE 0 END)"
+)
+_SRP_BITS = [
+    _SRP_BIT.format(plane=", ".join(str(v) for v in _srp_plane(j)))
+    for j in range(16)
+]
+_SRP_CODES = [
+    "({b0} + 2*{b1} + 4*{b2} + 8*{b3})".format(
+        b0=_SRP_BITS[4 * b], b1=_SRP_BITS[4 * b + 1],
+        b2=_SRP_BITS[4 * b + 2], b3=_SRP_BITS[4 * b + 3],
+    )
+    for b in range(4)
+]
+_SRP_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_SRP_CODES[b]} AS code FROM qv"
+    for b in range(4)
+)
+
+ORACLE["q163_srp_banded_pairs"] = f"""
+WITH sliced AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 2000
+), all_vecs AS (
+  SELECT vec_id, e FROM sliced
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, e FROM sliced WHERE vec_id < 10
+), qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS qe
+  FROM all_vecs
+), bands AS (
+  {_SRP_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.code = r.code AND l.vec_id < r.vec_id
+), pairs AS (
+  SELECT c.ida, c.idb,
+         CAST(ROUND(list_inner_product(a.e, b.e)
+              / (SQRT(list_inner_product(a.e, a.e))
+                 * SQRT(list_inner_product(b.e, b.e))),
+              4) AS DOUBLE) AS sim
+  FROM cand c
+  JOIN all_vecs a ON a.vec_id = c.ida
+  JOIN all_vecs b ON b.vec_id = c.idb
+)
+SELECT ida, idb, sim FROM pairs WHERE sim >= 0.99
+ORDER BY ida, idb
+"""

@@ -64,3 +64,35 @@ def test_q162_verdict_matches_thresholds(spark):
         else:
             want = "clean"
         assert r.verdict == want
+
+
+def test_srp_plane_derivations_agree():
+    """oracle.py inlines its own ±1 plane generator so it can build SQL
+    literals without importing the operator module — pin the two."""
+    from kinesis_logs_reader_spark import oracle
+    from kinesis_logs_reader_spark.operators import similarity
+
+    for j in range(16):
+        assert oracle._srp_plane(j) == similarity._srp_plane(j)
+
+
+def test_q163_recall_and_precision_vs_exact(spark):
+    """q163 (SRP-banded) vs q50 (broadcast-BLAS exact all-pairs):
+    - precision is exact by construction (candidates pass the same
+      cosine >= 0.99 filter), so q163 ⊆ q50;
+    - the 10 planted exact-copy pairs MUST all be recalled (identical
+      vectors agree on every sign bit -> every band collides);
+    - on this corpus recall is in fact 100% (no near-0.99 natural pair
+      falls in the ~0.08% band-miss tail)."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    banded = {
+        (r.ida, r.idb) for r in similarity.q163_srp_banded_pairs(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.ida, r.idb) for r in similarity.q50_cosine_dup_pairs(spark, SF_DIR).collect()
+    }
+    assert banded <= exact
+    planted = {(i, i + 1000000) for i in range(10)}
+    assert planted <= banded
+    assert banded == exact

@@ -637,3 +637,20 @@ def test_q162_probe_is_broadcast_hash_join(spark):
     # per-doc hit-count aggregation; nothing else shuffles
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "LessThan(doc_id,800)" in plan, plan
+
+
+def test_q163_candidates_are_equi_join(spark):
+    """q163 (SRP-banded cosine pairs, q50's distributed scale twin):
+    candidates must come from a hash/sort-merge EQUI-join on the
+    (band, code) key — the plan may not contain the O(n^2)
+    BroadcastNestedLoopJoin / CartesianProduct that an all-pairs
+    formulation (or q50's capped broadcast-BLAS) would imply, and the
+    signature pass must stay whole-stage-codegen column arithmetic
+    (no Python UDF / mapInPandas anywhere in the plan)."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q163_srp_banded_pairs(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
