@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from kinesis_logs_reader_spark.functions.text import (
     MINHASH_P,
+    _base_hash,
     band_hashes,
     banded_digest,
     minhash_signature,
@@ -1409,6 +1410,82 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("rows_per_band")
+    )
+
+
+def _split_of(key: Column) -> Column:
+    """train/val/test from md5(key) mod 100 -> 80/10/10 — the exact
+    q77 kernel (functions.text._base_hash), so a singleton document's
+    cluster-safe split equals its naive doc-level split."""
+    bucket = _base_hash(key.cast("string")) % 100
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def cluster_safe_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document frame (doc_id, cluster_id, split, naive_split):
+    split is hashed from the doc's DUP-CLUSTER representative (min
+    doc_id of its q46 LSH component; singletons represent themselves),
+    naive_split from the doc_id itself (the q77 assignment)."""
+    docs = _planted_docs(spark, sf_dir).select("doc_id")
+    cc = connected_components(_cached_minhash_pairs(spark, sf_dir))
+    member = docs.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        _split_of(F.col("cluster_id")).alias("split"),
+        _split_of(F.col("doc_id")).alias("naive_split"),
+    )
+
+
+def q164_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster-safe train/val/test split (r7): assign every
+    document's split from its NEAR-DUP CLUSTER representative, so a
+    cluster can never straddle splits — eval leakage from near-dups is
+    impossible BY CONSTRUCTION, not by after-the-fact audit.
+
+    Composes three existing kernels and closes their loop: q77's
+    static md5 split hashes the doc_id, so the planted near-dup pairs
+    (q46) routinely land train-vs-val — exactly the leakage q128
+    measures after the fact. Here the hash key is
+    ``coalesce(component_min_id, doc_id)`` over q46's candidate-pair
+    graph (q74's connected components), which q128's audit would score
+    as zero leaked pairs. Output is one row per split: document count,
+    distinct-cluster count, and how many docs were re-routed relative
+    to the naive q77 assignment (singletons hash identically under
+    both, so only dup-cluster members can move).
+
+    Scale shape: the cluster labels are the q74 frame — bounded by
+    near-dup EDGES, not corpus size — so the membership join's build
+    side is small (broadcast-able; at 100 TB a digest side table, the
+    `_cached_minhash_pairs` pattern) and the split itself is a pure
+    column expression riding the scan, exactly like q77. One shuffle:
+    the 3-group final aggregate (partial map-side). Oracle re-derives
+    the components with the q74 recursive min-label CTE and the q77
+    bucket kernel, both already hash-green individually.
+
+    Reference analog: none (beyond-reference mandate, SURVEY §2.2 I:
+    split hygiene at scale).
+    """
+    assigned = cluster_safe_assignment(spark, sf_dir)
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(
+                (F.col("split") != F.col("naive_split")).cast("int")
+            ).cast("long").alias("n_rerouted"),
+        )
+        .orderBy("split")
     )
 
 

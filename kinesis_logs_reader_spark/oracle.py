@@ -3727,3 +3727,53 @@ WITH sliced AS (
 SELECT ida, idb, sim FROM pairs WHERE sim >= 0.99
 ORDER BY ida, idb
 """
+
+# Cluster-safe split (operators/dedup.py::q164): the q74 recursive
+# min-label components over q46's pair set, then the q77 md5-bucket
+# kernel keyed on the cluster representative instead of the doc_id.
+# COUNT/SUM cast to BIGINT: DuckDB SUM(int) is HUGEINT (the r4 episode).
+ORACLE["q164_cluster_safe_split"] = f"""
+WITH RECURSIVE pairs AS (
+{_PAIRS_NO_ORDER}
+), edges AS (
+  SELECT ida AS a, idb AS b FROM pairs
+  UNION ALL
+  SELECT idb AS a, ida AS b FROM pairs
+), walk(node, lbl) AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM edges
+  UNION
+  SELECT e.b AS node, w.lbl
+  FROM walk w JOIN edges e ON e.a = w.node
+  WHERE w.lbl < e.b
+), cc AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+), all_docs AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id < 20
+), member AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM all_docs d LEFT JOIN cc c ON c.node = d.doc_id
+), assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2147483647 % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2147483647 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2147483647 % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2147483647 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM member
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rerouted
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""

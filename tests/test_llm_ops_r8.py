@@ -96,3 +96,49 @@ def test_q163_recall_and_precision_vs_exact(spark):
     planted = {(i, i + 1000000) for i in range(10)}
     assert planted <= banded
     assert banded == exact
+
+
+def test_q164_no_cluster_straddles_splits(spark):
+    """The defining invariant: every dup cluster lands wholly inside
+    one split (leakage-free BY CONSTRUCTION), while the naive q77
+    doc-hash assignment demonstrably splits at least one planted
+    cluster on this corpus — i.e. the operator changes something."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        cluster_safe_assignment,
+    )
+
+    rows = cluster_safe_assignment(spark, SF_DIR).collect()
+    by_cluster: dict[int, set] = {}
+    naive_by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        naive_by_cluster.setdefault(r.cluster_id, set()).add(r.naive_split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert any(len(s) > 1 for s in naive_by_cluster.values())
+    # singletons (cluster == own id) hash identically under both keys
+    for r in rows:
+        if r.cluster_id == r.doc_id and r.doc_id < 1000000:
+            # planted copies (>= 1000000) are never singletons; a
+            # natural doc that is its own representative keeps q77's
+            # assignment
+            assert r.split == r.naive_split
+
+
+def test_q164_aggregate_consistency(spark):
+    """The q164 aggregate must tie out against the per-doc frame: doc
+    and cluster counts per split, and n_rerouted = docs whose naive
+    split differs."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        cluster_safe_assignment,
+        q164_cluster_safe_split,
+    )
+
+    rows = cluster_safe_assignment(spark, SF_DIR).collect()
+    agg = {r.split: r for r in q164_cluster_safe_split(spark, SF_DIR).collect()}
+    assert set(agg) == {"train", "val", "test"}
+    for split, a in agg.items():
+        docs = [r for r in rows if r.split == split]
+        assert a.n_docs == len(docs)
+        assert a.n_clusters == len({r.cluster_id for r in docs})
+        assert a.n_rerouted == sum(1 for r in docs if r.naive_split != r.split)
+    assert sum(a.n_rerouted for a in agg.values()) > 0
