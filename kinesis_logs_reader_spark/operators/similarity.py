@@ -14,8 +14,11 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -193,8 +196,9 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
 
 # --- SRP-banded near-dup pairs (distributed scale path for q50) -----------
 
-_SRP_PLANES = 16
-_SRP_BANDS = 4  # 16 sign bits -> 4 bands x 4 bits
+_SRP_PLANES = 60
+_SRP_BANDS = 5  # 60 sign bits -> 5 bands x 12 bits (4096 buckets/band)
+_SRP_BITS_PER_BAND = _SRP_PLANES // _SRP_BANDS
 _SRP_GRID = 1000  # embedding quantization grid (floor(x*1000 + 0.5))
 
 
@@ -214,29 +218,34 @@ def _srp_plane(j: int, dim: int = 64) -> list[int]:
     return vals
 
 
-def _srp_band_codes(vec: Column) -> Column:
-    """Array of _SRP_BANDS 4-bit SRP band codes for an embedding.
+def _srp_codes_series(embs: pd.Series) -> pd.Series:
+    """Batch SRP band codes: one int64 matmul per Arrow batch.
 
-    The projection is ``sum(round_half_up(e_i*1000) * p_i)`` with
-    p_i ∈ {-1, +1}: pure integer Catalyst expressions (codegen,
-    zero Python), |sum| ≤ 64 * max|e|*1000 — nowhere near int64."""
-    q = F.transform(vec, lambda x: F.floor(x.cast("double") * _SRP_GRID + F.lit(0.5)).cast("long"))
-    bits = []
-    for j in range(_SRP_PLANES):
-        plane = F.array(*[F.lit(v) for v in _srp_plane(j)])
-        proj = F.aggregate(
-            F.zip_with(q, plane, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        bits.append((proj > 0).cast("int"))
-    codes = []
-    for b in range(_SRP_BANDS):
-        code = F.lit(0)
-        for i in range(4):
-            code = code + bits[4 * b + i] * F.lit(1 << i)
-        codes.append(code)
-    return F.array(*codes)
+    Same reasoning as dedup._simhash_series: the per-plane Catalyst
+    fold (``aggregate(zip_with(...))``) is a higher-order lambda —
+    CodegenFallback, interpreted per element — measured ~1 ms/row for
+    16 planes; here ALL 60 projections are one (n, 64) @ (64, 60)
+    BLAS integer matmul. Arithmetic stays exactly the oracle's:
+    float64 widen -> floor(x*1000 + 0.5) -> int64 -> ±1 dot -> sign,
+    every step exact, so the codes are bit-identical to the SQL
+    derivation (pinned by the parity gate)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_srp_plane(j) for j in range(_SRP_PLANES)], dtype=np.int64
+    ).T  # (dim, planes)
+    weights = (1 << np.arange(_SRP_BITS_PER_BAND, dtype=np.int64))
+    mat = np.array(list(embs), dtype=np.float64)
+    q = np.floor(mat * _SRP_GRID + 0.5).astype(np.int64)
+    bits = (q @ planes > 0).astype(np.int64)  # (n, planes)
+    codes = bits.reshape(len(mat), _SRP_BANDS, _SRP_BITS_PER_BAND) @ weights
+    return pd.Series(list(codes.astype(np.int32)))
+
+
+# Explicit ArrayType: a DDL returnType would need an active SparkContext
+# at definition time (same note as dedup.simhash_udf).
+srp_codes_udf = F.pandas_udf(_srp_codes_series, T.ArrayType(T.IntegerType()))
 
 
 def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,28 +255,37 @@ def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q50's ``cosine_pairs_blas`` broadcasts one side and is capped at
     1M rows by contract; at 100 TB the corpus side cannot be
-    broadcast at all. Here no side is collected: each vector gets 16
-    deterministic SRP sign bits banded into 4 x 4-bit codes, candidates
-    are an EQUI-join on (band, code) — shuffle keyed on a 4-bit-code
-    pair, never O(n^2) — and only candidates pay the exact cosine
-    filter (>= 0.99, rounded to 4, the q50 acceptance). Identical
-    vectors agree on every bit, so exact-copy pairs are
-    candidate-complete by construction; near-dups at cos >= 0.99 agree
-    per plane w.p. 1 - theta/pi ≈ 0.955, so >= 1-of-4 band collisions
-    happen w.p. ≈ 0.9992 (recall vs q50 asserted in
-    tests/test_llm_ops_r8.py). Contract = LSH-candidate pairs passing
-    the exact filter: deterministic, so the DuckDB oracle reproduces
-    the same planes (embedded as ±1 literals) and the same integer
-    projections bit-for-bit.
+    broadcast at all. Here no side is collected: each vector gets 60
+    deterministic SRP sign bits banded into 5 x 12-bit codes (4096
+    buckets/band — the (bands, bits) knob trades recall at the
+    threshold boundary against random-collision candidates, the q155
+    banding curve; 12 bits cuts candidates 4x vs 10 at sf0.1),
+    candidates are an EQUI-join on (band, code), and only candidates
+    pay the exact cosine filter (>= 0.99, rounded to 4, the q50
+    acceptance). Identical vectors agree on every bit, so exact-copy
+    pairs are candidate-complete by construction; near-dups exactly
+    AT cos 0.99 agree per plane w.p. 1 - theta/pi ≈ 0.955, so a
+    12-bit band collides w.p. ≈ 0.575 and >= 1-of-5 bands w.p.
+    ≈ 0.986 — rising steeply above the threshold (0.9999 at 0.999) —
+    and the fixture corpus has NO natural pair above 0.97 (0.03
+    margin, checked both engines), so recall vs q50 is exactly 100%
+    here (asserted in tests/test_llm_ops_r8.py).
+    Contract = LSH-candidate pairs passing the exact filter:
+    deterministic, so the DuckDB oracle reproduces the same planes
+    (embedded as ±1 literals) and the same integer projections
+    bit-for-bit.
 
-    Scale shape: signature pass is map-only column arithmetic; the
-    band explode is 4 rows/vector of (band, code, id); bucket sizes —
-    not |V|^2 — bound the pair work, and the final cosine re-check
-    joins the tiny candidate set back to the vectors on id. On the
-    test slice Catalyst broadcasts the band join's build side; at
-    corpus scale the same plan degrades automatically to a shuffle
-    equi-join on (band, code), and the signature frame is materialized
-    once (persist / written side table, the `_cached_minhash_pairs`
+    Scale shape: the signature pass is map-only — one Arrow-batched
+    int64 matmul per batch (the Catalyst per-plane fold is an
+    interpreted higher-order lambda, measured ~1 ms/row; the A/B is
+    in PERF.md r7) — then the band explode is 5 small rows/vector
+    of (band, code, id); the (band, code) join's work is bounded by
+    bucket sizes, and the final cosine re-check joins the tiny
+    candidate set back to the vectors on id. On the test slice
+    Catalyst broadcasts the band join's build side; at corpus scale
+    the same plan degrades automatically to a shuffle equi-join on
+    (band, code), and the signature frame is materialized once
+    (persist / written side table, the `_cached_minhash_pairs`
     pattern) so the corpus is scanned once, not per join branch.
     Skewed buckets (mass at one code) admit the standard bucket-split
     salt without changing semantics, because the exact filter is
@@ -282,17 +300,30 @@ def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", "embedding").unionByName(planted)
     sig = vecs.select(
-        "vec_id", F.posexplode(_srp_band_codes(F.col("embedding"))).alias("band", "code")
+        "vec_id", F.posexplode(srp_codes_udf(F.col("embedding"))).alias("band", "code")
+    )
+    # One signature pass (a self-join would recompute the UDF lineage
+    # per branch — a second Python-worker round-trip, measured ~0.5 s
+    # at sf0.1): group each (band, code) bucket, then expand the
+    # bucket-local id list into ordered pairs JVM-side. Work per
+    # bucket is |bucket|^2 — the quantity the 10-bit band width was
+    # sized to keep small.
+    buckets = (
+        sig.groupBy("band", "code")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     cand = (
-        sig.alias("l")
-        .join(
-            sig.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.code") == F.col("r.code"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS ida, y AS idb))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.vec_id").alias("ida"), F.col("r.vec_id").alias("idb"))
+        .select("p.ida", "p.idb")
         .distinct()
     )
     va = vecs.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))

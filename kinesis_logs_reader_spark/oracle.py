@@ -3671,29 +3671,33 @@ def _srp_plane(j: int, dim: int = 64) -> list[int]:
     return vals
 
 
-# One 4-bit band code per 4 consecutive sign bits. The projection is
-# exact integer arithmetic in both engines: floor-quantized embedding
-# times ±1 literals, |sum| << 2^53, so list_inner_product's DOUBLE
-# accumulation is exact and order-independent (every partial sum is an
-# integer) — no near-zero sign-flip hazard, unlike q48's float planes.
+# One 12-bit band code per 12 consecutive sign bits (60 planes, 5
+# bands — sized so bucket population, not |V|^2, bounds the candidate
+# set). The projection is exact integer arithmetic in both engines:
+# floor-quantized embedding times ±1 literals, |sum| << 2^53, so
+# list_inner_product's DOUBLE accumulation is exact and
+# order-independent (every partial sum is an integer) — no near-zero
+# sign-flip hazard, unlike q48's float planes.
+_SRP_N_PLANES = 60
+_SRP_N_BANDS = 5
+_SRP_BPB = _SRP_N_PLANES // _SRP_N_BANDS
 _SRP_BIT = (
     "(CASE WHEN list_inner_product(CAST(qe AS DOUBLE[]), "
     "CAST([{plane}] AS DOUBLE[])) > 0 THEN 1 ELSE 0 END)"
 )
 _SRP_BITS = [
     _SRP_BIT.format(plane=", ".join(str(v) for v in _srp_plane(j)))
-    for j in range(16)
+    for j in range(_SRP_N_PLANES)
 ]
 _SRP_CODES = [
-    "({b0} + 2*{b1} + 4*{b2} + 8*{b3})".format(
-        b0=_SRP_BITS[4 * b], b1=_SRP_BITS[4 * b + 1],
-        b2=_SRP_BITS[4 * b + 2], b3=_SRP_BITS[4 * b + 3],
-    )
-    for b in range(4)
+    "(" + " + ".join(
+        f"{1 << i}*{_SRP_BITS[_SRP_BPB * b + i]}" for i in range(_SRP_BPB)
+    ) + ")"
+    for b in range(_SRP_N_BANDS)
 ]
 _SRP_BAND_SELECTS = "\n  UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, {_SRP_CODES[b]} AS code FROM qv"
-    for b in range(4)
+    for b in range(_SRP_N_BANDS)
 )
 
 ORACLE["q163_srp_banded_pairs"] = f"""

@@ -639,14 +639,16 @@ def test_q162_probe_is_broadcast_hash_join(spark):
     assert "LessThan(doc_id,800)" in plan, plan
 
 
-def test_q163_candidates_are_equi_join(spark):
+def test_q163_candidates_are_banded_not_all_pairs(spark):
     """q163 (SRP-banded cosine pairs, q50's distributed scale twin):
-    candidates must come from a hash/sort-merge EQUI-join on the
-    (band, code) key — the plan may not contain the O(n^2)
-    BroadcastNestedLoopJoin / CartesianProduct that an all-pairs
-    formulation (or q50's capped broadcast-BLAS) would imply, and the
-    signature pass must stay whole-stage-codegen column arithmetic
-    (no Python UDF / mapInPandas anywhere in the plan)."""
+    the plan may not contain the O(n^2) BroadcastNestedLoopJoin /
+    CartesianProduct an all-pairs formulation (or q50's capped
+    broadcast-BLAS) would imply; the ONE sanctioned Python stage is
+    the Arrow-batched signature matmul (ArrowEvalPython, the q47
+    SimHash pattern — the per-plane Catalyst fold is an interpreted
+    higher-order lambda, measured ~1 ms/row, PERF.md r7), evaluated
+    exactly once (a (band,code) self-join would re-run the UDF per
+    branch); no row-at-a-time Python, no mapInPandas."""
     from kinesis_logs_reader_spark.operators import similarity
 
     df = similarity.q163_srp_banded_pairs(spark, SF_DIR)
@@ -654,3 +656,9 @@ def test_q163_candidates_are_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # formatted output names each node twice (tree + detail): count
+    # distinct node ids, not substring hits
+    import re
+
+    nodes = set(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    assert len(nodes) == 1, plan
