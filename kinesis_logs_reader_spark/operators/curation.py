@@ -1399,3 +1399,105 @@ def q157_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("overfit_risk", F.col("epochs_micro") > 4_000_000)
         .orderBy("source")
     )
+
+
+def q165_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (r7):
+    for each query document, the top-5 lexically-closest corpus
+    documents that are NOT near-duplicates of it.
+
+    Training a retriever/embedder needs (query, positive, negatives)
+    triples where the negatives are HARD — lexically similar enough
+    to be informative — but not accidental positives. Both halves are
+    existing kernels composed: the scorer is idf-weighted distinct
+    3-token-SHINGLE overlap (the q46/q89 shingle-hash kernel — the
+    corpus vocabulary is ~31 tokens, so unigram idf is degenerate
+    while the shingle space discriminates; idf integer-scaled so the
+    per-pair sum is exact int64 in both engines, no float-order
+    hazard), and the accidental-positive filter is an ANTI-join
+    against q46's MinHash candidate pairs. The planted corpus makes the semantics
+    visible: each query doc_id < 20 has an exact copy at id+1000000
+    that tops the lexical ranking but MUST be excluded (it is the
+    positive, not a negative) — pinned in tests/test_llm_ops_r8.py.
+
+    Scale shape: queries are a bounded set by contract (broadcast of
+    (query, token, idf) rows); the corpus side is one distinct-token
+    explode streaming through a broadcast hash join, partial-
+    aggregated to one row per (query, candidate) before its only
+    shuffle. The df-prune (tokens in > 10% of docs carry ~no idf
+    signal and dominate fan-out) is the standard stopword lever that
+    keeps the join linear in corpus size; per-query top-5 is a
+    bounded-partition window (#queries partitions).
+
+    Reference analog: none (beyond-reference mandate, SURVEY §2.2 I:
+    training-pair construction).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    stats = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    from kinesis_logs_reader_spark.functions.text import (
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    base = corpus.select("doc_id", token_base_hashes().alias("tb"))
+    tok = base.select(
+        "doc_id",
+        F.explode(token_shingle_hashes(F.col("tb"))).alias("t"),
+    )
+    idf_u = F.floor(
+        F.log(F.col("n_corpus").cast("double") / F.col("df")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    df_tbl = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 10 <= F.col("n_corpus"))
+        .select("t", idf_u.alias("idf_u"))
+    )
+    qtok = (
+        tok.filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("query_id"), "t")
+        .join(df_tbl, "t")
+    )
+    scored = (
+        tok.join(F.broadcast(qtok), "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("idf_u").alias("s_u"))
+    )
+    pairs = _dup_pairs_both_ways(spark, sf_dir)
+    negatives = scored.join(
+        pairs,
+        (scored.query_id == pairs.a) & (scored.doc_id == pairs.b),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_u").desc(), F.col("doc_id")
+    )
+    return (
+        negatives.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "rank",
+            F.col("doc_id").alias("neg_id"),
+            F.round(F.col("s_u") / 1e6, 4).cast("double").alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _dup_pairs_both_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46's candidate pairs, symmetrized to (a, b) for anti-joins."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _cached_minhash_pairs,
+    )
+
+    p = _cached_minhash_pairs(spark, sf_dir)
+    return p.select(F.col("ida").alias("a"), F.col("idb").alias("b")).unionByName(
+        p.select(F.col("idb").alias("a"), F.col("ida").alias("b"))
+    )

@@ -3781,3 +3781,65 @@ FROM assigned
 GROUP BY split
 ORDER BY split
 """
+
+# Hard-negative mining (operators/curation.py::q165): idf-weighted
+# distinct 3-token-shingle overlap (the q46/q89 shingle-hash kernel;
+# integer-scaled idf -> exact int64 sums, the same LN-then-FLOOR
+# scaling q140 uses), q46 pair set as the accidental-positive
+# exclusion. df-prune: shingles in > 10% of docs.
+ORACLE["q165_hard_negatives"] = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+), stats AS (
+  SELECT COUNT(*) AS n_corpus FROM all_docs
+), tokbase AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM all_docs
+), tok AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647))) AS t
+  FROM tokbase
+), df_tbl AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(s.n_corpus AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT)
+           AS idf_u
+  FROM (SELECT t, COUNT(*) AS df FROM tok GROUP BY t) d
+  CROSS JOIN stats s
+  WHERE d.df * 10 <= s.n_corpus
+), qtok AS (
+  SELECT tok.doc_id AS query_id, tok.t, df_tbl.idf_u
+  FROM tok JOIN df_tbl USING (t)
+  WHERE tok.doc_id < 20
+), scored AS (
+  SELECT q.query_id, tok.doc_id, SUM(q.idf_u) AS s_u
+  FROM tok JOIN qtok q USING (t)
+  WHERE tok.doc_id <> q.query_id
+  GROUP BY q.query_id, tok.doc_id
+), pairs AS (
+{_PAIRS_NO_ORDER}
+), negatives AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE (p.ida = s.query_id AND p.idb = s.doc_id)
+       OR (p.idb = s.query_id AND p.ida = s.doc_id)
+  )
+), ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s_u DESC, doc_id) AS rank,
+         s_u
+  FROM negatives
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id AS neg_id,
+       CAST(ROUND(s_u / 1e6, 4) AS DOUBLE) AS score
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""

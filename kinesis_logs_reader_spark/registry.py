@@ -25,10 +25,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 170  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 171  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
-#                      +q164 dup-cluster-safe train/val/test split
-N_ORACLES = 170  # all r7 additions are fully oracle-backed
+#                      +q164 dup-cluster-safe train/val/test split,
+#                      +q165 hard-negative mining (contrastive pairs)
+N_ORACLES = 171  # all r7 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -313,6 +314,7 @@ DRIVER_WINDOW_R8: list[str] = [
     "q162_eval_containment",
     "q163_srp_banded_pairs",
     "q164_cluster_safe_split",
+    "q165_hard_negatives",
     # (1) r3-era driver rows (oldest on the board after r7)
     "q02_filter_predicates",
     "q107_variant_json",
