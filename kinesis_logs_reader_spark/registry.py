@@ -25,11 +25,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 171  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 172  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
-N_ORACLES = 171  # all r7 additions are fully oracle-backed
+#                  r8: +q166 distributed BPE-merge training (iterative)
+N_ORACLES = 172  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -371,8 +372,23 @@ DRIVER_WINDOW_R8: list[str] = [
     "q114_mixture_weights",
 ]
 
+# Round-8 ACTIVE window. The r7 driver correctness run never landed
+# (no CORRECTNESS_r07.json exists), so the R7 window's re-checks —
+# most critically the band-digest family whose digest kernel changed
+# in r6 (c1->c2 NULL-propagating concat, then c3 band-namespacing)
+# AFTER those keys' last driver rows — are still without fresh driver
+# evidence. Blend: (a) never-driver-checked r7/r8 additions, (b) the
+# R7 head (digest-kernel family + newest q160-era code), (c) as many
+# of the R7 tail's r1/r2-era oldest-evidence keys as fit in 50.
+# DRIVER_WINDOW_R8 (above) remains the staged source list for R9.
+DRIVER_WINDOW_R8_ACTIVE: list[str] = (
+    DRIVER_WINDOW_R8[:5]          # q161-q165: never driver-checked
+    + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
+    + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])
+)
+
 # ACTIVE window for this round's driver correctness gate (first 50).
-DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R7[:50]
+DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R8_ACTIVE[:50]
 
 
 def export_name(key: str) -> str:

@@ -142,3 +142,111 @@ def test_q164_aggregate_consistency(spark):
         assert a.n_clusters == len({r.cluster_id for r in docs})
         assert a.n_rerouted == sum(1 for r in docs if r.naive_split != r.split)
     assert sum(a.n_rerouted for a in agg.values()) > 0
+
+
+def test_q165_planted_positive_excluded(spark):
+    """The planted exact copy (query_id + 1000000) is the lexically
+    closest doc by construction; the MinHash anti-join must drop it —
+    it is the positive, not a hard negative."""
+    from kinesis_logs_reader_spark.operators.curation import q165_hard_negatives
+
+    rows = q165_hard_negatives(spark, SF_DIR).collect()
+    assert rows, "hard-negative mining must be non-empty at every SF"
+    for r in rows:
+        assert r.neg_id != r.query_id + 1_000_000
+        assert r.neg_id != r.query_id
+
+
+def test_q165_topk_shape_and_ordering(spark):
+    from kinesis_logs_reader_spark.operators.curation import q165_hard_negatives
+
+    rows = q165_hard_negatives(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert qid < 20
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # scores non-increasing in rank (ties broken by neg_id asc)
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (
+                a.score == b.score and a.neg_id < b.neg_id
+            )
+
+
+def _py_bpe(texts: list[str], n_merges: int) -> list[tuple]:
+    """Reference BPE trainer: same semantics as curation.q166_bpe_train
+    (argmax pair by count desc then lexicographic; greedy left-to-right
+    non-overlapping application), in plain Python."""
+    streams = [t.split(" ") for t in texts]
+    log = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for s in streams:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = l + " " + r
+        new_streams = []
+        for s in streams:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_streams.append(out)
+        streams = new_streams
+        log.append((step, l, r, c, sum(len(s) for s in streams)))
+    return log
+
+
+def test_q166_matches_python_reference(spark):
+    """The distributed window-stack rewrite must reproduce the exact
+    sequential greedy trajectory, including overlapping-run parity
+    (left==right chains)."""
+    from kinesis_logs_reader_spark.operators.curation import q166_bpe_train
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    expected = _py_bpe(texts, 8)
+    got = [
+        (r.step, r.left, r.right, r.pair_count, r.tokens_after)
+        for r in q166_bpe_train(spark, SF_DIR).orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_q166_overlapping_run_parity():
+    """Pin the greedy rule itself: 'a a a a a' under merge (a,a) must
+    become ['a a', 'a a', 'a'] — positions 0,2 merge, 4 survives."""
+    log = _py_bpe(["a a a a a"], 1)
+    assert log == [(1, "a", "a", 4, 3)]
+
+
+def test_q166_spark_overlap_branch(spark, tmp_path):
+    """Drive the DISTRIBUTED rewrite through the left==right chain
+    branch: a crafted corpus whose first merge is (a,a) with
+    overlapping runs, compared against the sequential reference."""
+    import pandas as pd
+
+    from kinesis_logs_reader_spark.operators.curation import q166_bpe_train
+
+    texts = ["a a a a a", "a a a b a a", "b a a a a c", "c b c b c"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sf = str(tmp_path / "bpe")
+    (tmp_path / "bpe").mkdir()
+    pdf.to_parquet(sf + "/documents.parquet")
+    got = [
+        (r.step, r.left, r.right, r.pair_count, r.tokens_after)
+        for r in q166_bpe_train(spark, sf, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 3)
+    assert got[0][1] == got[0][2] == "a"  # first merge IS the chain case
