@@ -1501,3 +1501,116 @@ def _dup_pairs_both_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(F.col("ida").alias("a"), F.col("idb").alias("b")).unionByName(
         p.select(F.col("idb").alias("a"), F.col("ida").alias("b"))
     )
+
+
+def q166_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
+    """Distributed BPE-merge training (r8): run ``n_merges`` full
+    greedy merge iterations over the corpus token stream and emit the
+    training trajectory — per step, the winning pair, its corpus
+    count, and the stream length after applying it.
+
+    q120 computes the statistic ONE merge iteration maximizes; this is
+    the trainer that loops it (Sennrich et al. 2016 semantics, applied
+    at token level over the document streams): each step (a) counts
+    adjacent pairs corpus-wide, (b) picks the argmax (ties: count
+    desc, then left/right lexicographic), (c) rewrites every stream
+    greedily left-to-right non-overlapping — in a run of k identical
+    overlapping matches (only possible when left==right) positions
+    0,2,4... merge, exactly like the reference BPE implementations.
+
+    Spark shape, per iteration: the pair count is a lead() window
+    partitioned by doc_id (parallel across documents, no global sort)
+    into a (left,right) groupBy — map-side-combinable and bounded by
+    vocab^2, not corpus size; ONE row (the argmax) reaches the driver.
+    The rewrite is the same doc-partitioned window stack (match flag ->
+    run id by cumulative-sum -> run-parity apply -> consume right
+    neighbor -> re-rank), all whole-stage-codegen expressions; the
+    stream is localCheckpoint()ed per iteration to cut the iterative
+    lineage (on a cluster: checkpoint to reliable storage). At 100 TB
+    each iteration is one doc-partitioned pass + one tiny aggregate —
+    the canonical distributed-BPE layout; nothing corpus-sized ever
+    converges on the driver.
+
+    Greedy-run-parity correctness: a match at rn can only chain with a
+    match at rn+1 when left==right, so grouping consecutive matched
+    rns (grp = rn - cumulative_match_count, constant within a run,
+    strictly increasing across runs) and applying even offsets within
+    each run reproduces leftmost-first non-overlapping application.
+
+    Oracle: the identical trajectory re-derived in DuckDB as chained
+    CTEs (oracle.py _bpe_cte) — exact integer counts and string
+    equality only, no float hazard anywhere.
+    """
+    w_doc = Window.partitionBy("doc_id").orderBy("rn")
+    w_cum = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", F.posexplode(tokens()).alias("rn", "tok")
+    ).localCheckpoint()
+    n_now = cur.count()
+    log: list[tuple[int, str, str, int, int]] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            cur.select(
+                "doc_id",
+                F.col("tok").alias("l"),
+                F.lead("tok").over(w_doc).alias("r"),
+            )
+            .filter(F.col("r").isNotNull())
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        l, r, c = best["l"], best["r"], int(best["c"])
+        # when/otherwise: lead() is NULL on each doc's last row and the
+        # flag must be 0 there, not NULL (cumulative SUM + lag read it)
+        marked = cur.withColumn(
+            "m",
+            F.when(
+                (F.col("tok") == F.lit(l))
+                & (F.lead("tok").over(w_doc) == F.lit(r)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        grouped = marked.withColumn(
+            "grp",
+            F.when(
+                F.col("m") == 1, F.col("rn") - F.sum("m").over(w_cum)
+            ),
+        )
+        applied = grouped.withColumn(
+            "ap",
+            F.when(
+                (F.col("m") == 1)
+                & (
+                    (
+                        F.col("rn")
+                        - F.min("rn").over(Window.partitionBy("doc_id", "grp"))
+                    )
+                    % 2
+                    == 0
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        cur = (
+            applied.withColumn(
+                "cons", F.coalesce(F.lag("ap").over(w_doc), F.lit(0))
+            )
+            .filter(F.col("cons") == 0)
+            .select(
+                "doc_id",
+                (F.row_number().over(w_doc) - 1).alias("rn"),
+                F.when(F.col("ap") == 1, F.lit(l + " " + r))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+        n_now = cur.count()
+        log.append((step, l, r, c, n_now))
+    return spark.createDataFrame(
+        log, "step int, left string, right string, pair_count bigint, tokens_after bigint"
+    ).orderBy("step")

@@ -3843,3 +3843,73 @@ SELECT query_id, CAST(rank AS INT) AS rank, doc_id AS neg_id,
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+# --- round-8 additions -------------------------------------------------------
+
+
+def _bpe_cte(n_merges: int = 8) -> str:
+    """WITH-clause body re-deriving q166's BPE training trajectory:
+    per merge step, one chained CTE block (pair count -> argmax ->
+    greedy run-parity rewrite), mirroring curation.q166_bpe_train's
+    per-iteration window stack exactly — integer counts and string
+    equality only. Exposes s1..s{n} one-row step summaries."""
+    parts = [
+        """t0 AS MATERIALIZED (
+  SELECT doc_id, i AS rn, toks[i] AS tok
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""b{i} AS MATERIALIZED (
+  SELECT l, r, COUNT(*) AS c FROM (
+    SELECT tok AS l, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY rn) AS r
+    FROM t{p}) q
+  WHERE r IS NOT NULL GROUP BY l, r
+  ORDER BY c DESC, l, r LIMIT 1
+)""")
+        parts.append(f"""x{i} AS (
+  SELECT t.doc_id, t.rn, t.tok,
+         CASE WHEN t.tok = b.l
+               AND LEAD(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.rn) = b.r
+              THEN 1 ELSE 0 END AS m
+  FROM t{p} t CROSS JOIN b{i} b
+)""")
+        parts.append(f"""y{i} AS (
+  SELECT *, CASE WHEN m = 1 THEN rn - SUM(m) OVER (
+              PARTITION BY doc_id ORDER BY rn ROWS UNBOUNDED PRECEDING)
+            END AS grp
+  FROM x{i}
+)""")
+        parts.append(f"""z{i} AS (
+  SELECT *, CASE WHEN m = 1
+                  AND (rn - MIN(rn) OVER (PARTITION BY doc_id, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS ap
+  FROM y{i}
+)""")
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rn) AS rn,
+         CASE WHEN ap = 1 THEN (SELECT l || ' ' || r FROM b{i}) ELSE tok END AS tok
+  FROM (SELECT *, COALESCE(LAG(ap) OVER (PARTITION BY doc_id ORDER BY rn), 0)
+                    AS cons
+        FROM z{i}) q
+  WHERE cons = 0
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT {i} AS step, b.l AS left, b.r AS right,
+         CAST(b.c AS BIGINT) AS pair_count,
+         CAST((SELECT COUNT(*) FROM t{i}) AS BIGINT) AS tokens_after
+  FROM b{i} b
+)""")
+    return ",\n".join(parts)
+
+
+ORACLE["q166_bpe_train"] = (
+    "WITH\n"
+    + _bpe_cte(8)
+    + "\n"
+    + "\nUNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 9))
+    + "\nORDER BY step"
+)
