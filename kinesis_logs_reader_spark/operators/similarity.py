@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -912,10 +913,47 @@ def q141_ivf_fixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    # The cell index (centroids + per-vector assignment) is built ONCE
-    # per session+corpus and persisted — the IVF discipline the trained
-    # path (q75) already follows with its parquet centroid index. A
-    # probe call then pays only routing + the cell-bounded cosine.
+    idx = _ivf_fixed_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = idx["assigned"]
+    probe_cells = (
+        idx["dist"]
+        .filter(F.col("vec_id") == 0)
+        .orderBy("d2", "cell")
+        .limit(2)
+        .select("cell")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(assigned, "vec_id")
+        .join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(qvec))
+    )
+    sims = cand.select(
+        "vec_id",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+        .cast("double")
+        .alias("sim"),
+    )
+    return (
+        sims.orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+        .orderBy("vec_id")
+    )
+
+
+def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> dict:
+    """The fixed (label-centroid) IVF cell index q141 documents: the
+    per-(vector, cell) int64 distance frame and the argmin assignment,
+    built ONCE per session+corpus and persisted — the IVF discipline
+    the trained path (q75) already follows with its parquet centroid
+    index. A probe call then pays only routing + the cell-bounded
+    cosine. Shared by q141 (single-query probe) and q167 (recall@k
+    evaluation over a query set)."""
     cache = spark.__dict__.setdefault("_klrs_ivf_fixed_cache", {})
     if sf_dir not in cache:
         emb0 = load_table(spark, sf_dir, "embeddings")
@@ -959,34 +997,114 @@ def q141_ivf_fixed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist": dist.persist(),
             "assigned": assigned.persist(),
         }
-    idx = cache[sf_dir]
+    return cache[sf_dir]
+
+
+def q167_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 evaluation curve (r8): for an 8-query set and
+    nprobe in {1, 2, 4}, measure the fixed-codebook IVF index (q141's
+    cells) against the exact brute-force top-10 — per (query, nprobe):
+    candidates scanned, exact neighbors recovered, and recall@10.
+
+    This is the tuning measurement every ANN deployment runs before
+    picking nprobe: the recall/scan-cost frontier. q141 pins ONE probe
+    end-to-end; this sweeps the probe budget and scores it, reusing
+    the same session-persisted index (routing and assignment are exact
+    int64, so the candidate sets are bit-stable cross-engine; the
+    cosine is the q43 formula rounded to 4 with vec_id tie-breaks).
+
+    Scale shape: probes are (|Q| x nprobe) rows, broadcast; the IVF
+    side joins assignment -> probed cells (candidate count = probed
+    fraction of the corpus, the thing being measured, emitted as
+    n_cand). The exact baseline is one corpus scan against the
+    broadcast 8-row query set with a per-query top-10 window (|Q|
+    partitions — bounded because the EVALUATION set is bounded by
+    contract; at 100 TB you run this exact baseline over a sampled
+    query set, never all-pairs, and the IVF side's cost stays the
+    probed fraction).
+    """
+    idx = _ivf_fixed_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = idx["assigned"]
-    probe_cells = (
+    n_q, k = 8, 10
+    qcells = (
         idx["dist"]
-        .filter(F.col("vec_id") == 0)
-        .orderBy("d2", "cell")
-        .limit(2)
-        .select("cell")
+        .filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), "cell", "d2")
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cell")
+            ),
+        )
     )
-    qvec = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
-    )
+    nprobes = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    probe = qcells.join(
+        F.broadcast(nprobes), F.col("crank") <= F.col("nprobe")
+    ).select("qid", "nprobe", "cell")
     cand = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(assigned, "vec_id")
-        .join(F.broadcast(probe_cells), "cell")
-        .join(F.broadcast(qvec))
+        idx["assigned"]
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "nprobe", "vec_id")
     )
-    sims = cand.select(
-        "vec_id",
-        "cell",
-        F.round(cosine(F.col("embedding"), F.col("qe")), 4)
-        .cast("double")
-        .alias("sim"),
+    qv = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nprobe",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w_top = Window.partitionBy("qid", "nprobe").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    approx = scored.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= k
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("hit"))
+    )
+    per = (
+        approx.join(exact, ["qid", "vec_id"], "left")
+        .groupBy("qid", "nprobe")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    candn = cand.groupBy("qid", "nprobe").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    grid = qv.select("qid").crossJoin(F.broadcast(nprobes))
     return (
-        sims.orderBy(F.col("sim").desc(), "vec_id")
-        .limit(5)
-        .orderBy("vec_id")
+        grid.join(candn, ["qid", "nprobe"], "left")
+        .join(per, ["qid", "nprobe"], "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "nprobe",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k)), 4
+            )
+            .cast("double")
+            .alias("recall"),
+        )
+        .orderBy("query_id", "nprobe")
     )

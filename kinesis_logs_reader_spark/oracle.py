@@ -3913,3 +3913,80 @@ ORACLE["q166_bpe_train"] = (
     + "\nUNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, 9))
     + "\nORDER BY step"
 )
+
+
+ORACLE["q167_ann_recall"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label AS cell, dim,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN cent c USING (dim)
+  GROUP BY f.vec_id, c.cell
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) t WHERE rn = 1
+), nprobes(nprobe) AS (VALUES (1), (2), (4)),
+qcells AS (
+  SELECT vec_id AS qid, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crank
+  FROM dist WHERE vec_id < 8
+), probe AS (
+  SELECT q.qid, n.nprobe, q.cell FROM qcells q, nprobes n WHERE q.crank <= n.nprobe
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8
+), cand AS (
+  SELECT p.qid, p.nprobe, a.vec_id
+  FROM probe p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.qid
+), scored AS (
+  SELECT c.qid, c.nprobe, c.vec_id,
+         CAST(ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(q.qe, q.qe))), 4) AS DOUBLE) AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv q ON q.qid = c.qid
+), approx AS (
+  SELECT qid, nprobe, vec_id FROM (
+    SELECT qid, nprobe, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid, nprobe ORDER BY sim DESC, vec_id) AS rk
+    FROM scored) t WHERE rk <= 10
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             CAST(ROUND(
+               list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * SQRT(list_inner_product(q.qe, q.qe))), 4) AS DOUBLE) DESC,
+             e.vec_id) AS rk
+    FROM embeddings e, qv q WHERE e.vec_id <> q.qid) t
+  WHERE rk <= 10
+), per AS (
+  SELECT a.qid, a.nprobe,
+         SUM(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM approx a LEFT JOIN exact x ON x.qid = a.qid AND x.vec_id = a.vec_id
+  GROUP BY a.qid, a.nprobe
+), candn AS (
+  SELECT qid, nprobe, COUNT(*) AS n_cand FROM cand GROUP BY qid, nprobe
+)
+SELECT g.qid AS query_id, g.nprobe,
+       CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(ROUND(COALESCE(p.n_hit, 0) / 10.0, 4) AS DOUBLE) AS recall
+FROM (SELECT qid, nprobe FROM qv, nprobes) g
+LEFT JOIN candn c ON c.qid = g.qid AND c.nprobe = g.nprobe
+LEFT JOIN per p ON p.qid = g.qid AND p.nprobe = g.nprobe
+ORDER BY 1, 2
+"""

@@ -250,3 +250,23 @@ def test_q166_spark_overlap_branch(spark, tmp_path):
     ]
     assert got == _py_bpe(texts, 3)
     assert got[0][1] == got[0][2] == "a"  # first merge IS the chain case
+
+
+def test_q167_monotone_in_nprobe(spark):
+    """Growing the probe budget grows the candidate set, and a
+    candidate that displaces a true hit from the approx top-10 must
+    rank above it globally (so it is itself a true hit): n_cand and
+    n_hit are both non-decreasing in nprobe, per query."""
+    from kinesis_logs_reader_spark.operators.similarity import q167_ann_recall
+
+    rows = q167_ann_recall(spark, SF_DIR).collect()
+    by_q: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        assert 0 <= r.n_hit <= 10 and abs(r.recall - r.n_hit / 10.0) < 1e-9
+        by_q.setdefault(r.query_id, {})[r.nprobe] = (r.n_cand, r.n_hit)
+    assert len(by_q) == 8
+    for qid, curve in by_q.items():
+        assert sorted(curve) == [1, 2, 4]
+        for lo, hi in [(1, 2), (2, 4)]:
+            assert curve[lo][0] <= curve[hi][0], (qid, curve)
+            assert curve[lo][1] <= curve[hi][1], (qid, curve)
