@@ -1108,3 +1108,115 @@ def q167_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "nprobe")
     )
+
+
+def q168_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pair mining (r8): align two corpora by
+    keeping only RECIPROCAL best matches — the margin-filtered
+    mutual-NN criterion parallel-text mining pipelines use to extract
+    aligned pairs from two monolingual pools (CCMatrix/LASER shape).
+    Sides here: even vec_ids vs odd vec_ids of a fixed 2000-vector
+    slice (the q50 bounding discipline — at 100 TB each side is an IVF
+    cell / LSH bucket, never the full table).
+
+    Exactness: ranking floats from two different summation orders
+    (BLAS matmul vs a sequential SQL fold) can disagree at 1 ulp and
+    flip an argmax, so scoring runs on the NORMALIZED-QUANTIZED grid
+    qn = floor(v / ||v|| * 2^20 + 0.5): ||v|| is the q43 sequential
+    fold (bit-identical in both engines), and every qn dot product is
+    a sum of 64 int products < 2^46 — exact in int64 AND in float64
+    BLAS regardless of accumulation order. Argmax (ties -> smaller id)
+    is therefore bit-stable, and sim/margin are derived from the
+    integer dots, not from free-floating doubles.
+
+    Spark shape: each side's (id, qn) matrix broadcasts once (bounded
+    by the slice contract); the other side streams through ONE
+    mapInPandas matmul pass emitting only its per-row best-2 — the
+    pair matrix is never materialized. Mutuality is a tiny equi-join
+    of the two best-lists. Margin = best - second_best dot, the
+    standard mining threshold signal.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2000
+    )
+    nrm = emb.withColumn("nr", norm(F.col("embedding")))
+    qn = nrm.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                v.cast("double") / F.col("nr") * F.lit(1048576.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qn"),
+    )
+    side_a = qn.filter(F.col("vec_id") % 2 == 0)
+    side_b = qn.filter(F.col("vec_id") % 2 == 1)
+
+    def _best2_against(stream: DataFrame, fixed: DataFrame, want_second: bool):
+        rows = sorted(
+            ((r["vec_id"], r["qn"]) for r in fixed.collect()),
+            key=lambda t: t[0],
+        )
+        f_ids = np.array([t[0] for t in rows], dtype=np.int64)
+        f_mat = np.array([t[1] for t in rows], dtype=np.float64)
+        b_ids = spark.sparkContext.broadcast(f_ids)
+        b_mat = spark.sparkContext.broadcast(f_mat)
+        fields = [
+            T.StructField("sid", T.LongType()),
+            T.StructField("best", T.LongType()),
+            T.StructField("dot1", T.LongType()),
+        ]
+        if want_second:
+            fields.append(T.StructField("dot2", T.LongType()))
+        schema = T.StructType(fields)
+
+        def compute(batches):
+            ids, mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                q = np.array(list(pdf["qn"]), dtype=np.float64)
+                dots = q @ mat.T  # exact: int-valued, |dot| < 2^46
+                out = {"sid": pdf["vec_id"].to_numpy(), "best": [], "dot1": []}
+                if want_second:
+                    out["dot2"] = []
+                for i in range(dots.shape[0]):
+                    d = dots[i].astype(np.int64)
+                    j = int(np.argmax(d))  # first max = smallest id (sorted)
+                    out["best"].append(int(ids[j]))
+                    out["dot1"].append(int(d[j]))
+                    if want_second:
+                        d2 = d.copy()
+                        d2[j] = np.iinfo(np.int64).min
+                        out["dot2"].append(int(d2[int(np.argmax(d2))]))
+                import pandas as pd
+
+                yield pd.DataFrame(out)
+
+        return stream.mapInPandas(compute, schema)
+
+    best_a = _best2_against(side_a, side_b, want_second=True).select(
+        F.col("sid").alias("a_id"),
+        F.col("best").alias("b_id"),
+        "dot1",
+        "dot2",
+    )
+    best_b = _best2_against(side_b, side_a, want_second=False).select(
+        F.col("sid").alias("b_id"), F.col("best").alias("back_a")
+    )
+    scale = float(2**40)
+    return (
+        best_a.join(F.broadcast(best_b), "b_id")
+        .filter(F.col("back_a") == F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("dot1") / F.lit(scale), 4).cast("double").alias("sim"),
+            F.round((F.col("dot1") - F.col("dot2")) / F.lit(scale), 4)
+            .cast("double")
+            .alias("margin"),
+        )
+        .orderBy("a_id")
+    )

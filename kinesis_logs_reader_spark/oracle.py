@@ -3990,3 +3990,42 @@ LEFT JOIN candn c ON c.qid = g.qid AND c.nprobe = g.nprobe
 LEFT JOIN per p ON p.qid = g.qid AND p.nprobe = g.nprobe
 ORDER BY 1, 2
 """
+
+
+ORACLE["q168_mutual_nn"] = """
+WITH sl AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 2000
+), nrm AS (
+  SELECT vec_id, e, SQRT(list_inner_product(e, e)) AS nr FROM sl
+), qn AS (
+  SELECT vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(FLOOR(e[i] / nr * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM nrm
+), a AS (SELECT vec_id AS a_id, q FROM qn WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id AS b_id, q FROM qn WHERE vec_id % 2 = 1),
+dots AS (
+  SELECT a.a_id, b.b_id,
+         list_inner_product(CAST(a.q AS DOUBLE[]), CAST(b.q AS DOUBLE[])) AS d
+  FROM a CROSS JOIN b
+), ra AS (
+  SELECT a_id, b_id, d,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d DESC, b_id) AS rk
+  FROM dots
+), best_a AS (SELECT a_id, b_id, d AS dot1 FROM ra WHERE rk = 1),
+second_a AS (SELECT a_id, d AS dot2 FROM ra WHERE rk = 2),
+best_b AS (
+  SELECT b_id, a_id AS back_a FROM (
+    SELECT b_id, a_id,
+           ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY d DESC, a_id) AS rk
+    FROM dots) t WHERE rk = 1
+)
+SELECT ba.a_id, ba.b_id,
+       CAST(ROUND(ba.dot1 / 1099511627776.0, 4) AS DOUBLE) AS sim,
+       CAST(ROUND((ba.dot1 - sa.dot2) / 1099511627776.0, 4) AS DOUBLE) AS margin
+FROM best_a ba
+JOIN best_b bb ON bb.b_id = ba.b_id AND bb.back_a = ba.a_id
+JOIN second_a sa ON sa.a_id = ba.a_id
+ORDER BY 1
+"""

@@ -25,13 +25,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 173  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 174  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
 #                  r8: +q166 distributed BPE-merge training (iterative),
-#                      +q167 ANN recall@10 / nprobe sweep
-N_ORACLES = 173  # all r7/r8 additions are fully oracle-backed
+#                      +q167 ANN recall@10 / nprobe sweep,
+#                      +q168 mutual-NN pair mining (exact int grid)
+N_ORACLES = 174  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",

@@ -270,3 +270,20 @@ def test_q167_monotone_in_nprobe(spark):
         for lo, hi in [(1, 2), (2, 4)]:
             assert curve[lo][0] <= curve[hi][0], (qid, curve)
             assert curve[lo][1] <= curve[hi][1], (qid, curve)
+
+
+def test_q168_is_a_partial_matching(spark):
+    """Mutual-NN output must be a one-to-one partial matching between
+    the two sides: reciprocal best matches can't share endpoints."""
+    from kinesis_logs_reader_spark.operators.similarity import q168_mutual_nn
+
+    rows = q168_mutual_nn(spark, SF_DIR).collect()
+    assert rows, "mutual pairs must exist at every SF"
+    a_side = [r.a_id for r in rows]
+    b_side = [r.b_id for r in rows]
+    assert len(set(a_side)) == len(a_side)
+    assert len(set(b_side)) == len(b_side)
+    for r in rows:
+        assert r.a_id % 2 == 0 and r.b_id % 2 == 1
+        assert r.margin >= 0.0, "best minus second-best cannot be negative"
+        assert -1.0001 <= r.sim <= 1.0001
