@@ -1542,7 +1542,6 @@ def q166_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
     equality only, no float hazard anywhere.
     """
     w_doc = Window.partitionBy("doc_id").orderBy("rn")
-    w_cum = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id", F.posexplode(tokens()).alias("rn", "tok")
@@ -1564,53 +1563,61 @@ def q166_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
             .collect()[0]
         )
         l, r, c = best["l"], best["r"], int(best["c"])
-        # when/otherwise: lead() is NULL on each doc's last row and the
-        # flag must be 0 there, not NULL (cumulative SUM + lag read it)
-        marked = cur.withColumn(
-            "m",
-            F.when(
-                (F.col("tok") == F.lit(l))
-                & (F.lead("tok").over(w_doc) == F.lit(r)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        grouped = marked.withColumn(
-            "grp",
-            F.when(
-                F.col("m") == 1, F.col("rn") - F.sum("m").over(w_cum)
-            ),
-        )
-        applied = grouped.withColumn(
-            "ap",
-            F.when(
-                (F.col("m") == 1)
-                & (
-                    (
-                        F.col("rn")
-                        - F.min("rn").over(Window.partitionBy("doc_id", "grp"))
-                    )
-                    % 2
-                    == 0
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        cur = (
-            applied.withColumn(
-                "cons", F.coalesce(F.lag("ap").over(w_doc), F.lit(0))
-            )
-            .filter(F.col("cons") == 0)
-            .select(
-                "doc_id",
-                (F.row_number().over(w_doc) - 1).alias("rn"),
-                F.when(F.col("ap") == 1, F.lit(l + " " + r))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .localCheckpoint()
-        )
+        cur = _bpe_merge_step(cur, l, r).localCheckpoint()
         n_now = cur.count()
         log.append((step, l, r, c, n_now))
     return spark.createDataFrame(
         log, "step int, left string, right string, pair_count bigint, tokens_after bigint"
     ).orderBy("step")
+
+
+def _bpe_merge_step(cur: DataFrame, l: str, r: str) -> DataFrame:
+    """One greedy BPE rewrite of a (doc_id, rn, tok) stream: merge
+    every leftmost-first non-overlapping (l, r) adjacency. All windows
+    partition by doc_id (plan-pinned: never a global sort); the whole
+    step is whole-stage-codegen expressions, map-side after one
+    doc-partitioned sort."""
+    w_doc = Window.partitionBy("doc_id").orderBy("rn")
+    w_cum = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # when/otherwise: lead() is NULL on each doc's last row and the
+    # flag must be 0 there, not NULL (cumulative SUM + lag read it)
+    marked = cur.withColumn(
+        "m",
+        F.when(
+            (F.col("tok") == F.lit(l))
+            & (F.lead("tok").over(w_doc) == F.lit(r)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grouped = marked.withColumn(
+        "grp",
+        F.when(F.col("m") == 1, F.col("rn") - F.sum("m").over(w_cum)),
+    )
+    applied = grouped.withColumn(
+        "ap",
+        F.when(
+            (F.col("m") == 1)
+            & (
+                (
+                    F.col("rn")
+                    - F.min("rn").over(Window.partitionBy("doc_id", "grp"))
+                )
+                % 2
+                == 0
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        applied.withColumn(
+            "cons", F.coalesce(F.lag("ap").over(w_doc), F.lit(0))
+        )
+        .filter(F.col("cons") == 0)
+        .select(
+            "doc_id",
+            (F.row_number().over(w_doc) - 1).alias("rn"),
+            F.when(F.col("ap") == 1, F.lit(l + " " + r))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+    )

@@ -384,7 +384,13 @@ DRIVER_WINDOW_R8: list[str] = [
 # of the R7 tail's r1/r2-era oldest-evidence keys as fit in 50.
 # DRIVER_WINDOW_R8 (above) remains the staged source list for R9.
 DRIVER_WINDOW_R8_ACTIVE: list[str] = (
-    DRIVER_WINDOW_R8[:5]          # q161-q165: never driver-checked
+    [
+        # r8 additions — never driver-checked, written this round
+        "q166_bpe_train",
+        "q167_ann_recall",
+        "q168_mutual_nn",
+    ]
+    + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])
 )

@@ -662,3 +662,62 @@ def test_q163_candidates_are_banded_not_all_pairs(spark):
 
     nodes = set(re.findall(r"\(\d+\) ArrowEvalPython", plan))
     assert len(nodes) == 1, plan
+
+
+def test_q166_merge_step_windows_are_doc_partitioned(spark):
+    """q166 (BPE trainer): every window in the per-iteration rewrite
+    must partition by doc_id — a global (no-partitionBy) window would
+    funnel the whole token stream through one task at every merge
+    step. Also: no join of any kind inside the rewrite."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.curation import _bpe_merge_step
+
+    stream = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("rn", "tok")
+    )
+    plan = explain.formatted_plan(_bpe_merge_step(stream, "a", "b"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the rewrite's window stack"
+    for s in specs:
+        assert "doc_id" in s, f"global window spec in BPE rewrite: {s}"
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q167_probe_joins_are_broadcast(spark):
+    """q167 (ANN recall sweep): the probe list and the query set are
+    tiny by contract — both must reach the corpus-sized sides as
+    broadcasts, and every window must partition by qid (the bounded
+    evaluation set), never globally."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.similarity import q167_ann_recall
+
+    plan = explain.formatted_plan(q167_ann_recall(spark, SF_DIR))
+    # probe list, nprobe grid, and query vectors all broadcast; the one
+    # legitimate shuffle join is candidates->embeddings on vec_id
+    # (both sides corpus-fraction-sized at scale)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        # qid = evaluation-set partitions; vec_id = the index's per-
+        # vector argmin window. Both bounded; neither is global.
+        assert "qid" in spec or "vec_id" in spec, f"unbounded window: {spec}"
+
+
+def test_q168_pair_matrix_never_materialized(spark):
+    """q168 (mutual-NN mining): the A x B score matrix must stay inside
+    the two mapInPandas matmul passes — the plan may contain no
+    cartesian/nested-loop join, and the only join is the broadcast
+    equi-join of the two best-lists."""
+    from kinesis_logs_reader_spark.operators.similarity import q168_mutual_nn
+
+    plan = explain.formatted_plan(q168_mutual_nn(spark, SF_DIR))
+    # each node appears in the tree AND in the details section
+    assert plan.count("MapInPandas") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
