@@ -1541,12 +1541,27 @@ def q166_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
     CTEs (oracle.py _bpe_cte) — exact integer counts and string
     equality only, no float hazard anywhere.
     """
+    log, _ = _bpe_train(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        log, "step int, left string, right string, pair_count bigint, tokens_after bigint"
+    ).orderBy("step")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
+    """Run the q166 training loop; returns (trajectory rows, final
+    encoded (doc_id, rn, tok) stream). Session-cached per
+    (sf_dir, n_merges): q166 reads the trajectory, q169 reads the
+    encoded stream — one training pass serves both (the stream is
+    localCheckpoint()ed, so reuse costs nothing)."""
+    cache = spark.__dict__.setdefault("_klrs_bpe_cache", {})
+    ckey = (sf_dir, n_merges)
+    if ckey in cache:
+        return cache[ckey]
     w_doc = Window.partitionBy("doc_id").orderBy("rn")
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id", F.posexplode(tokens()).alias("rn", "tok")
     ).localCheckpoint()
-    n_now = cur.count()
     log: list[tuple[int, str, str, int, int]] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -1564,11 +1579,58 @@ def q166_bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataF
         )
         l, r, c = best["l"], best["r"], int(best["c"])
         cur = _bpe_merge_step(cur, l, r).localCheckpoint()
-        n_now = cur.count()
-        log.append((step, l, r, c, n_now))
-    return spark.createDataFrame(
-        log, "step int, left string, right string, pair_count bigint, tokens_after bigint"
-    ).orderBy("step")
+        log.append((step, l, r, c, cur.count()))
+    cache[ckey] = (log, cur)
+    return cache[ckey]
+
+
+def q169_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference (r8): ENCODE the corpus with q166's learned
+    merge table and report per-source compression — the measurement a
+    tokenizer rollout runs before committing a vocabulary (does the
+    learned table compress every source, or only the dominant one?).
+
+    Applying a merge list in rank order is exactly re-running the
+    training rewrites (each _bpe_merge_step is a deterministic
+    function of the stream), so the encoded stream falls out of the
+    same session-cached training pass q166 uses — no second loop. The
+    per-source rollup is one groupBy over (doc_id -> n_after) joined
+    to the documents dimension; compression is integer ppm
+    (after * 1e6 DIV before), no float division.
+
+    At 100 TB: inference is n_merges map-only window passes over the
+    token stream (doc-partitioned, plan-pinned via _bpe_merge_step) —
+    embarrassingly parallel across documents; the rollup shuffles one
+    row per document.
+    """
+    _, stream = _bpe_train(spark, sf_dir, 8)
+    after = stream.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tokens().alias("nt")
+    )
+    return (
+        docs.join(after, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tokens_before"),
+            F.sum("n_after").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            # integer DIV, never float division + cast (truncation of a
+            # double quotient can differ at representation boundaries)
+            F.expr("(tokens_after * 1000000L) div tokens_before").alias(
+                "compression_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 def _bpe_merge_step(cur: DataFrame, l: str, r: str) -> DataFrame:
@@ -1621,3 +1683,77 @@ def _bpe_merge_step(cur: DataFrame, l: str, r: str) -> DataFrame:
             .alias("tok"),
         )
     )
+
+
+def q170_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT capacity-respecting next-fit packing (r8): q94's offset
+    rule is streaming-friendly but lets a bin overflow its token
+    capacity (a doc straddling the boundary lands in the bin its
+    START falls in); this is the packing a sequence-length-strict
+    trainer needs — a doc goes into the current bin only if it FITS
+    (cum + nt <= 256), else opens a new bin; oversize docs get a bin
+    alone. Emits one row per packed bin.
+
+    Running-sum-with-reset is inherently sequential, so the stream is
+    cut into BOUNDED groups first — bucket = doc_id DIV 128, <= 128
+    docs per group by construction — and the sequential fold runs
+    per-group inside ONE applyInPandas pass (the mandated custom-
+    stateful-operator shape: bounded per-key state, embarrassingly
+    parallel across groups). At 100 TB the bucket key keeps every
+    task's state constant-size; no global order, no driver loop.
+    Bucket-relative packing is the documented semantic (each bucket
+    packs independently), which is what makes it both exact AND
+    distributed — the cross-bucket seam waste is bounded by
+    cap/bucket_size per bucket.
+
+    Oracle: the same fold as a DuckDB RECURSIVE CTE advancing one row
+    per group per iteration (<= 128 iterations), then the identical
+    per-bin rollup — integer arithmetic only.
+    """
+    import pandas as pd
+
+    cap, bucket_sz = 256, 128
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"doc_id div {bucket_sz}").alias("bucket"),
+        "doc_id",
+        n_tokens().alias("nt"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins = []
+        b, cum = 0, 0
+        first = True
+        for nt in pdf["nt"]:
+            if first:
+                first, cum = False, nt
+            elif cum + nt <= cap:
+                cum += nt
+            else:
+                b, cum = b + 1, nt
+            bins.append(b)
+        pdf = pdf.assign(bin=bins)
+        out = (
+            pdf.groupby("bin")
+            .agg(
+                lang=("lang", "first"),
+                bucket=("bucket", "first"),
+                n_docs=("doc_id", "count"),
+                tokens=("nt", "sum"),
+            )
+            .reset_index()
+        )
+        return out[["lang", "bucket", "bin", "n_docs", "tokens"]]
+
+    packed = docs.groupBy("lang", "bucket").applyInPandas(
+        pack, "lang string, bucket bigint, bin bigint, n_docs bigint, tokens bigint"
+    )
+    return packed.select(
+        "lang",
+        "bucket",
+        "bin",
+        "n_docs",
+        "tokens",
+        F.expr(f"(tokens * 1000000L) div {cap}").alias("fill_ppm"),
+    ).orderBy("lang", "bucket", "bin")

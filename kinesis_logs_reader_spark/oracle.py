@@ -4029,3 +4029,52 @@ JOIN best_b bb ON bb.b_id = ba.b_id AND bb.back_a = ba.a_id
 JOIN second_a sa ON sa.a_id = ba.a_id
 ORDER BY 1
 """
+
+
+ORACLE["q169_bpe_encode"] = (
+    "WITH\n"
+    + _bpe_cte(8)
+    + """,
+after AS (
+  SELECT doc_id, COUNT(*) AS n_after FROM t8 GROUP BY doc_id
+), base AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS nt FROM documents
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.nt) AS BIGINT) AS tokens_before,
+       CAST(SUM(a.n_after) AS BIGINT) AS tokens_after,
+       CAST((SUM(a.n_after) * 1000000) // SUM(b.nt) AS BIGINT) AS compression_ppm
+FROM base b JOIN after a USING (doc_id)
+GROUP BY b.source
+ORDER BY b.source
+"""
+)
+
+
+ORACLE["q170_pack_nextfit"] = """
+WITH RECURSIVE base AS (
+  SELECT lang, doc_id // 128 AS bucket, doc_id,
+         len(str_split(text, ' ')) AS nt,
+         ROW_NUMBER() OVER (PARTITION BY lang, doc_id // 128
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT lang, bucket, doc_id, nt, rn,
+         CAST(0 AS BIGINT) AS bin, nt AS cum
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.bucket, b.doc_id, b.nt, b.rn,
+         CASE WHEN p.cum + b.nt <= 256 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.cum + b.nt <= 256 THEN p.cum + b.nt ELSE b.nt END
+  FROM pack p
+  JOIN base b ON b.lang = p.lang AND b.bucket = p.bucket AND b.rn = p.rn + 1
+)
+SELECT lang, bucket, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS tokens,
+       CAST((SUM(nt) * 1000000) // 256 AS BIGINT) AS fill_ppm
+FROM pack
+GROUP BY lang, bucket, bin
+ORDER BY lang, bucket, bin
+"""

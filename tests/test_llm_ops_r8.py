@@ -287,3 +287,46 @@ def test_q168_is_a_partial_matching(spark):
         assert r.a_id % 2 == 0 and r.b_id % 2 == 1
         assert r.margin >= 0.0, "best minus second-best cannot be negative"
         assert -1.0001 <= r.sim <= 1.0001
+
+
+def test_q169_ties_out_with_q166(spark):
+    """Encoding with the learned table must land exactly on the
+    trainer's final stream length, and no source can be expanded by
+    a merge-only rewrite."""
+    from kinesis_logs_reader_spark.operators.curation import (
+        q166_bpe_train,
+        q169_bpe_encode,
+    )
+
+    enc = q169_bpe_encode(spark, SF_DIR).collect()
+    traj = q166_bpe_train(spark, SF_DIR).collect()
+    assert sum(r.tokens_after for r in enc) == traj[-1].tokens_after
+    for r in enc:
+        assert r.tokens_after <= r.tokens_before
+        assert r.compression_ppm <= 1_000_000
+
+
+def test_q170_capacity_and_contiguity(spark):
+    """Next-fit invariants: a bin exceeds capacity only when it holds
+    exactly one (oversize) doc; bins are numbered contiguously from 0
+    within each (lang, bucket) group; fill is exact integer ppm."""
+    from kinesis_logs_reader_spark.operators.curation import q170_pack_nextfit
+
+    rows = q170_pack_nextfit(spark, SF_DIR).collect()
+    assert rows
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        assert r.tokens <= 256 or r.n_docs == 1
+        assert r.fill_ppm == r.tokens * 1_000_000 // 256
+        groups.setdefault((r.lang, r.bucket), []).append(r.bin)
+    for key, bins in groups.items():
+        assert sorted(bins) == list(range(len(bins))), key
+
+
+def test_q170_packs_every_doc(spark):
+    from kinesis_logs_reader_spark.operators.curation import q170_pack_nextfit
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    rows = q170_pack_nextfit(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs

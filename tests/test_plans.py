@@ -721,3 +721,18 @@ def test_q168_pair_matrix_never_materialized(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q170_sequential_fold_is_group_bounded(spark):
+    """q170 (exact next-fit packing): the sequential fold must run as
+    ONE grouped-pandas pass over (lang, bucket) groups — no cartesian
+    join, no global window, no driver-side loop shape in the plan."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.curation import q170_pack_nextfit
+
+    plan = explain.formatted_plan(q170_pack_nextfit(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        raise AssertionError(f"unexpected window in packing plan: {spec}")
