@@ -1562,9 +1562,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
     cur = docs.select(
         "doc_id", F.posexplode(tokens()).alias("rn", "tok")
     ).localCheckpoint()
+    n_docs = -1  # filled by the first stats pass
     log: list[tuple[int, str, str, int, int]] = []
+    prev: tuple[str, str, int] | None = None
     for step in range(1, n_merges + 1):
-        best = (
+        # ONE aggregate job returns both the argmax pair and the
+        # current stream length: every doc of length n contributes
+        # n-1 adjacencies, so tokens_now = sum(all pair counts)
+        # + n_docs — no separate count() job per iteration. min of
+        # struct(-c, l, r) IS the (count desc, l, r) tie-break.
+        pc = (
             cur.select(
                 "doc_id",
                 F.col("tok").alias("l"),
@@ -1573,13 +1580,27 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
             .filter(F.col("r").isNotNull())
             .groupBy("l", "r")
             .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
-            .collect()[0]
         )
-        l, r, c = best["l"], best["r"], int(best["c"])
+        stats = pc.agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), "l", "r")
+            ).alias("best"),
+            F.sum("c").alias("tot_pairs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        ).collect()[0]
+        if n_docs < 0:
+            n_docs = docs.count()
+        tokens_now = int(stats["tot_pairs"]) + n_docs
+        if prev is not None:
+            log.append((step - 1, *prev, tokens_now))
+        l, r, c = (
+            stats["best"]["l"],
+            stats["best"]["r"],
+            -int(stats["best"]["nc"]),
+        )
+        prev = (l, r, c)
         cur = _bpe_merge_step(cur, l, r).localCheckpoint()
-        log.append((step, l, r, c, cur.count()))
+    log.append((n_merges, *prev, cur.count()))
     cache[ckey] = (log, cur)
     return cache[ckey]
 
