@@ -708,9 +708,9 @@ def test_q167_probe_joins_are_broadcast(spark):
 
 
 def test_q168_pair_matrix_never_materialized(spark):
-    """q168 (mutual-NN mining): the A x B score matrix must stay inside
-    the two mapInPandas matmul passes — the plan may contain no
-    cartesian/nested-loop join, and the only join is the broadcast
+    """q168 (mutual-NN mining): the A x B score matrix must stay
+    inside the single mapInPandas matmul pass — the plan may contain
+    no cartesian/nested-loop join, and the only join is the broadcast
     equi-join of the two best-lists."""
     from kinesis_logs_reader_spark.operators.similarity import q168_mutual_nn
 
