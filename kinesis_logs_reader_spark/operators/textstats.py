@@ -1040,3 +1040,73 @@ def q158b_fuzzy_variants_banded(
         .otherwise(F.col("tok_b"))
         .alias("preferred"),
     ).orderBy("tok_a", "tok_b")
+
+
+def q171_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CIs for per-source mean
+    document length (r8): is a source's quality statistic stable, or
+    an artifact of a few outlier documents? Every corpus-health
+    dashboard needs the uncertainty, not just the point estimate —
+    and at 100 TB you cannot resample with a driver-side RNG.
+
+    32 half-sample replicas, membership decided by the bits of the
+    repo's md5 base-hash of doc_id (bit b set -> doc in replica b):
+    no RNG state, bit-identical in both engines, and each doc lands
+    in ~16 replicas so every replica is an independent-ish half
+    sample. Replica means are exact integer ppm (sum * 1e6 DIV n);
+    the CI is the empirical [5th, 95th] percentile of the <= 32
+    replica means via rank = ceil(q * n_reps) (rank formula, no
+    interpolation — missing empty replicas shift both engines
+    identically).
+
+    Plan shape: one corpus scan -> explode over the 32-row replica
+    spine -> bit filter -> (source, b) partial aggregate: the shuffle
+    carries at most |sources| x 32 rows regardless of corpus size;
+    the percentile windows run on that bounded frame. No explode
+    alternative (32 conditional aggregates) was measured slower to
+    compile and equal at runtime; kept the symmetric shape.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        n_tokens().alias("nt"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("base"),
+    )
+    reps = (
+        docs.select(
+            "source",
+            "nt",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+            "base",
+        )
+        .filter(F.expr("shiftright(base, cast(b as int)) % 2 = 1"))
+        .groupBy("source", "b")
+        .agg(F.sum("nt").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "source", "b", F.expr("(s * 1000000L) div n").alias("rep_ppm")
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy("rep_ppm", "b")
+    w_all = Window.partitionBy("source")
+    ranked = reps.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "n_reps", F.count(F.lit(1)).over(w_all)
+    )
+    lo = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n_reps") * 0.05)
+    ).select("source", F.col("rep_ppm").alias("lo_ppm"))
+    hi = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n_reps") * 0.95)
+    ).select("source", F.col("rep_ppm").alias("hi_ppm"))
+    full = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(sum(nt) * 1000000L) div count(1)").alias("mean_ppm"),
+    )
+    return (
+        full.join(lo, "source")
+        .join(hi, "source")
+        .select("source", "n_docs", "mean_ppm", "lo_ppm", "hi_ppm")
+        .orderBy("source")
+    )

@@ -4078,3 +4078,36 @@ FROM pack
 GROUP BY lang, bucket, bin
 ORDER BY lang, bucket, bin
 """
+
+
+ORACLE["q171_bootstrap_ci"] = """
+WITH docs AS (
+  SELECT source, len(str_split(text, ' ')) AS nt,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS base
+  FROM documents
+), reps AS (
+  SELECT source, b, CAST((SUM(nt) * 1000000) // COUNT(*) AS BIGINT) AS rep_ppm
+  FROM docs, range(32) t(b)
+  WHERE (base >> b) % 2 = 1
+  GROUP BY source, b
+), ranked AS (
+  SELECT source, rep_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY rep_ppm, b) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_reps
+  FROM reps
+), lo AS (
+  SELECT source, rep_ppm AS lo_ppm FROM ranked
+  WHERE rk = CEIL(n_reps * 0.05)
+), hi AS (
+  SELECT source, rep_ppm AS hi_ppm FROM ranked
+  WHERE rk = CEIL(n_reps * 0.95)
+), fullagg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST((SUM(nt) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm
+  FROM docs GROUP BY source
+)
+SELECT f.source, f.n_docs, f.mean_ppm, l.lo_ppm, h.hi_ppm
+FROM fullagg f JOIN lo l USING (source) JOIN hi h USING (source)
+ORDER BY f.source
+"""

@@ -330,3 +330,19 @@ def test_q170_packs_every_doc(spark):
     rows = q170_pack_nextfit(spark, SF_DIR).collect()
     docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.n_docs for r in rows) == docs
+
+
+def test_q171_ci_brackets_the_mean_sanely(spark):
+    """Bootstrap invariants: lo <= hi; the full-sample mean lies inside
+    (or at worst at) the replica-mean envelope; replicas are genuine
+    half-samples (mean within a sane band of the point estimate)."""
+    from kinesis_logs_reader_spark.operators.textstats import q171_bootstrap_ci
+
+    rows = q171_bootstrap_ci(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lo_ppm <= r.hi_ppm
+        # the [5th, 95th] replica envelope should cover the full-sample
+        # mean for a half-sample bootstrap of any non-degenerate source
+        assert r.lo_ppm <= r.mean_ppm <= r.hi_ppm or r.n_docs < 8
+        assert r.n_docs > 0 and r.mean_ppm > 0
