@@ -1903,3 +1903,67 @@ def merge_batch_into_index(
     old = spark.read.parquet(index_path)
     _write_index_bucketed(spark, old.unionByName(new_rows), out)
     return out
+
+
+def q172_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve over ingest order (r8): per ingest
+    decile, how many documents are genuinely NEW vs repeats of an
+    already-seen normal form — the data-value curve that tells a
+    scaling-law pipeline when additional crawl stops adding
+    information (and which slice of a 100 TB ingest to prioritize).
+
+    Novelty key: md5 of the SORTED DISTINCT token list — the
+    bag-of-words set signature (order- and multiplicity-insensitive,
+    one per-row array expression, the q78/q118 canonicalization
+    family's coarser sibling). A doc is new in decile d iff its key's
+    FIRST occurrence (min doc_id — ingest order) falls in d.
+
+    Plan shape: one scan computes the key per row (codegen, no
+    shuffle); first-seen is one key-grouped MIN (map-side
+    combinable); the curve is a 10-row rollup + a 10-row cumulative
+    window. Nothing but decile aggregates leaves the map side; the
+    per-key state is exactly the dedup-index cardinality any exact
+    dedup already pays (q40/q160's digest discipline).
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+        ).alias("key"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    with_dec = docs.crossJoin(F.broadcast(tot)).select(
+        "key", F.expr("(doc_id * 10) div n").alias("dec")
+    )
+    per_dec = with_dec.groupBy("dec").agg(F.count(F.lit(1)).alias("n_docs"))
+    news = (
+        with_dec.groupBy("key")
+        .agg(F.min("dec").alias("fdec"))
+        .groupBy(F.col("fdec").alias("dec"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w_cum = (
+        W.orderBy("dec")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_dec.join(news, "dec", "left")
+        .select(
+            "dec",
+            "n_docs",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_distinct", F.sum("n_new").over(w_cum))
+        .select(
+            F.col("dec").alias("decile"),
+            "n_docs",
+            "n_new",
+            "cum_distinct",
+            F.expr("((n_docs - n_new) * 1000000L) div n_docs").alias(
+                "repeat_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -4111,3 +4111,29 @@ SELECT f.source, f.n_docs, f.mean_ppm, l.lo_ppm, h.hi_ppm
 FROM fullagg f JOIN lo l USING (source) JOIN hi h USING (source)
 ORDER BY f.source
 """
+
+
+ORACLE["q172_novelty_curve"] = """
+WITH docs AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))),
+                             ' ')) AS key
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM docs),
+wd AS (SELECT key, (doc_id * 10) // n AS dec FROM docs, tot),
+per_dec AS (SELECT dec, COUNT(*) AS n_docs FROM wd GROUP BY dec),
+news AS (
+  SELECT fdec AS dec, COUNT(*) AS n_new
+  FROM (SELECT key, MIN(dec) AS fdec FROM wd GROUP BY key) t
+  GROUP BY fdec
+)
+SELECT CAST(p.dec AS BIGINT) AS decile,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY p.dec
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct,
+       CAST(((p.n_docs - COALESCE(nw.n_new, 0)) * 1000000) // p.n_docs
+              AS BIGINT) AS repeat_ppm
+FROM per_dec p LEFT JOIN news nw USING (dec)
+ORDER BY 1
+"""

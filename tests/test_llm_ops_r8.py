@@ -346,3 +346,31 @@ def test_q171_ci_brackets_the_mean_sanely(spark):
         # mean for a half-sample bootstrap of any non-degenerate source
         assert r.lo_ppm <= r.mean_ppm <= r.hi_ppm or r.n_docs < 8
         assert r.n_docs > 0 and r.mean_ppm > 0
+
+
+def test_q172_conservation_and_monotonicity(spark):
+    """Novelty-curve invariants: n_new <= n_docs per decile; cumulative
+    distinct is the running sum and ends at the corpus's distinct
+    normal-form count; repeats exist (the corpus plants bag-of-words
+    collisions)."""
+    from kinesis_logs_reader_spark.operators.dedup import q172_novelty_curve
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q172_novelty_curve(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == sorted(r.decile for r in rows)
+    run = 0
+    for r in rows:
+        assert 0 <= r.n_new <= r.n_docs
+        run += r.n_new
+        assert r.cum_distinct == run
+    docs = load_table(spark, SF_DIR, "documents")
+    n_distinct = docs.select(
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("k")
+    ).distinct().count()
+    assert rows[-1].cum_distinct == n_distinct
+    assert sum(r.n_docs for r in rows) == docs.count()
