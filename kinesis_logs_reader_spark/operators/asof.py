@@ -106,3 +106,71 @@ def q62_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+def q173_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + forward-fill (r8): each user's 'purchase' gauge
+    value re-sampled onto a fixed hourly grid with last-observation-
+    carried-forward — the canonical telemetry/feature-store gap-fill
+    (a model-serving feature table wants one row per (entity, slot),
+    not ragged event times). Users bounded to user_id < 10 by
+    contract (the evaluation slice); the grid is the fixed January
+    2024 hourly spine (720 slots).
+
+    Same scalable composition as asof_join — grid spine and events
+    tagged and UNIONed, ONE shuffle partitioned by user ordered by
+    (ts, side-rank, event_id), ``last(ignorenulls)`` carries the
+    value forward — never a per-slot range join (fan-out-independent;
+    at 100 TB the spine is entities x slots, generated map-side by
+    ``sequence``, and the window state is one value per user). Slots
+    before a user's first purchase stay NULL (no back-fill), slots at
+    an event's exact timestamp take it (<= semantics: events sort
+    before grid points at equal ts); equal-ts events tie-break by
+    event_id (the asof_join determinism contract).
+
+    Oracle: identical union + IGNORE NULLS window in DuckDB; values
+    carried verbatim (both engines read the same parquet doubles —
+    no cross-engine float arithmetic at all).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 10) & (F.col("event_type") == "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_grid"),
+            "event_id",
+            "value",
+        )
+    )
+    users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id")
+        .distinct()
+    )
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("ts"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(grid)
+        .withColumn("val", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select("user_id", F.col("ts").alias("slot_ts"), "val")
+        .orderBy("user_id", "slot_ts")
+    )

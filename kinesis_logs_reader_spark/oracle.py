@@ -4137,3 +4137,31 @@ SELECT CAST(p.dec AS BIGINT) AS decile,
 FROM per_dec p LEFT JOIN news nw USING (dec)
 ORDER BY 1
 """
+
+
+ORACLE["q173_resample_ffill"] = """
+WITH ev AS (
+  SELECT user_id, ts, 0 AS is_grid, event_id, value
+  FROM events WHERE user_id < 10 AND event_type = 'purchase'
+), users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 10
+), grid AS (
+  SELECT u.user_id, g.ts, 1 AS is_grid,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+  FROM users u,
+       (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS ts) g
+), unioned AS (
+  SELECT * FROM ev UNION ALL SELECT * FROM grid
+), filled AS (
+  SELECT user_id, ts, is_grid,
+         LAST_VALUE(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_grid, event_id
+           ROWS UNBOUNDED PRECEDING) AS val
+  FROM unioned
+)
+SELECT user_id, ts AS slot_ts, val
+FROM filled WHERE is_grid = 1
+ORDER BY user_id, slot_ts
+"""

@@ -374,3 +374,40 @@ def test_q172_conservation_and_monotonicity(spark):
     ).distinct().count()
     assert rows[-1].cum_distinct == n_distinct
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_q173_ffill_semantics(spark):
+    """Gap-fill invariants: 720 slots per user; series are NULL until
+    the user's first purchase, then never NULL again; every filled
+    value is a real purchase value of THAT user at-or-before the
+    slot."""
+    from kinesis_logs_reader_spark.operators.asof import q173_resample_ffill
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q173_resample_ffill(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter((F.col("user_id") < 10) & (F.col("event_type") == "purchase"))
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    purchases: dict[int, list] = {}
+    for e in ev:
+        purchases.setdefault(e.user_id, []).append((e.ts, e.value))
+    for uid, series in by_user.items():
+        series.sort(key=lambda r: r.slot_ts)
+        assert len(series) == 720
+        seen_value = False
+        for r in series:
+            if r.val is not None:
+                seen_value = True
+                assert any(
+                    ts <= r.slot_ts and v == r.val
+                    for ts, v in purchases.get(uid, [])
+                )
+            else:
+                assert not seen_value, "NULL after first fill = broken ffill"
