@@ -1967,3 +1967,59 @@ def q172_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def q174_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth transitive closure over the dup-pair graph (r8),
+    written as a RECURSIVE CTE — the Spark 4 recursive-union operator
+    driving a data-dependent cyclic graph (q88's spine recursion is a
+    pure generator; this one joins back into real edges with a depth
+    guard for cycle termination). Per seed (the 5 smallest nodes in
+    the edge set): how many distinct documents are reachable within
+    1, 2, and 3 hops — the "how big is this near-dup neighborhood"
+    drill-down an auditor runs on a flagged document.
+
+    Scale posture: recursion-by-join is iterative shuffle work — the
+    PRODUCTION full-component answer stays q74's min-label loop
+    (threshold-gated) / q159's bounded PageRank; this is the bounded-
+    depth interactive form (depth <= 3, 5 seeds), where each recursion
+    step is one broadcast-able join of a frontier against the edge
+    list. The edge frame is the session-persisted q46 candidate set —
+    near-dups only, orders of magnitude smaller than the corpus.
+
+    Oracle: the identical WITH RECURSIVE in DuckDB over the same
+    re-derived pair set.
+    """
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _cached_minhash_pairs,
+    )
+
+    p = _cached_minhash_pairs(spark, sf_dir)
+    edges = p.select(
+        F.col("ida").alias("src"), F.col("idb").alias("dst")
+    ).unionByName(
+        p.select(F.col("idb").alias("src"), F.col("ida").alias("dst"))
+    )
+    edges.createOrReplaceTempView("dup_edges_q174")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        seeds AS (
+          SELECT DISTINCT src FROM dup_edges_q174 ORDER BY src LIMIT 5
+        ),
+        reach(seed, node, depth) AS (
+          SELECT src, src, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.dst, r.depth + 1
+          FROM reach r JOIN dup_edges_q174 e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT seed,
+               COUNT(DISTINCT CASE WHEN depth <= 1 THEN node END) AS n_d1,
+               COUNT(DISTINCT CASE WHEN depth <= 2 THEN node END) AS n_d2,
+               COUNT(DISTINCT node) AS n_d3
+        FROM reach
+        GROUP BY seed
+        ORDER BY seed
+        """
+    )

@@ -4165,3 +4165,29 @@ SELECT user_id, ts AS slot_ts, val
 FROM filled WHERE is_grid = 1
 ORDER BY user_id, slot_ts
 """
+
+
+ORACLE["q174_reachability_cte"] = f"""
+WITH RECURSIVE pairs AS (
+{_PAIRS_NO_ORDER}
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL
+  SELECT idb AS src, ida AS dst FROM pairs
+), seeds AS (
+  SELECT DISTINCT src FROM edges ORDER BY src LIMIT 5
+), reach(seed, node, depth) AS (
+  SELECT src, src, 0 FROM seeds
+  UNION ALL
+  SELECT r.seed, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 3
+)
+SELECT seed,
+       CAST(COUNT(DISTINCT CASE WHEN depth <= 1 THEN node END) AS BIGINT) AS n_d1,
+       CAST(COUNT(DISTINCT CASE WHEN depth <= 2 THEN node END) AS BIGINT) AS n_d2,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_d3
+FROM reach
+GROUP BY seed
+ORDER BY seed
+"""

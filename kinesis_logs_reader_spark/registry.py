@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 179  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 180  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -36,8 +36,9 @@ N_QUERIES = 179  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q170 exact next-fit packing (applyInPandas),
 #                      +q171 half-sample bootstrap CIs (md5-bit replicas),
 #                      +q172 marginal-novelty curve per ingest decile,
-#                      +q173 hourly resample + forward-fill (gap-fill)
-N_ORACLES = 179  # all r7/r8 additions are fully oracle-backed
+#                      +q173 hourly resample + forward-fill (gap-fill),
+#                      +q174 bounded-depth reachability (recursive CTE)
+N_ORACLES = 180  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -399,6 +400,7 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
         "q171_bootstrap_ci",
         "q172_novelty_curve",
         "q173_resample_ffill",
+        "q174_reachability_cte",
     ]
     + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109

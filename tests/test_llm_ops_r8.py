@@ -411,3 +411,17 @@ def test_q173_ffill_semantics(spark):
                 )
             else:
                 assert not seen_value, "NULL after first fill = broken ffill"
+
+
+def test_q174_hop_counts_are_monotone_and_rooted(spark):
+    """Reachability invariants: 1 <= n_d1 <= n_d2 <= n_d3 (the seed
+    itself counts at depth 0, so every count is >= 1); a seed with an
+    edge must reach at least one other node at depth 1."""
+    from kinesis_logs_reader_spark.operators.dedup import q174_reachability_cte
+
+    rows = q174_reachability_cte(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r.n_d1 <= r.n_d2 <= r.n_d3
+        # seeds come FROM the edge set, so depth-1 must add a neighbor
+        assert r.n_d1 >= 2
