@@ -401,7 +401,7 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
         "q172_novelty_curve",
         "q173_resample_ffill",
         "q174_reachability_cte",
-    ]
+    ]  # 9 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
     + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])
