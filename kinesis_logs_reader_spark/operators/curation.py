@@ -1717,11 +1717,18 @@ def q170_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Running-sum-with-reset is inherently sequential, so the stream is
     cut into BOUNDED groups first — bucket = doc_id DIV 128, <= 128
-    docs per group by construction — and the sequential fold runs
-    per-group inside ONE applyInPandas pass (the mandated custom-
-    stateful-operator shape: bounded per-key state, embarrassingly
-    parallel across groups). At 100 TB the bucket key keeps every
-    task's state constant-size; no global order, no driver loop.
+    docs per group by construction — and the sequential fold runs as
+    a JVM ``aggregate()`` over each group's sorted collect_list array:
+    one hash aggregate builds the <= 128-element per-group arrays, the
+    fold assigns bins in-array, and posexplode + a second aggregate
+    roll up per-bin stats. No Python anywhere. (The first cut ran the
+    fold per-group via applyInPandas — semantically identical, but at
+    sf~1 the ~39k small groups paid ~0.8 ms of per-group Arrow/pandas
+    overhead each: 30.1 s vs 2.0 s for the in-array fold, the
+    measured-negative recorded in PERF.md r8. Grouped-pandas is the
+    right shape for LARGE per-group state; for <= 128-row groups the
+    array fold wins by 15x.) At 100 TB the bucket key keeps per-group
+    arrays constant-size; no global order, no driver loop.
     Bucket-relative packing is the documented semantic (each bucket
     packs independently), which is what makes it both exact AND
     distributed — the cross-bucket seam waste is bounded by
@@ -1731,8 +1738,6 @@ def q170_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group per iteration (<= 128 iterations), then the identical
     per-bin rollup — integer arithmetic only.
     """
-    import pandas as pd
-
     cap, bucket_sz = 256, 128
     docs = load_table(spark, sf_dir, "documents").select(
         "lang",
@@ -1740,41 +1745,54 @@ def q170_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tokens().alias("nt"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        bins = []
-        b, cum = 0, 0
-        first = True
-        for nt in pdf["nt"]:
-            if first:
-                first, cum = False, nt
-            elif cum + nt <= cap:
-                cum += nt
-            else:
-                b, cum = b + 1, nt
-            bins.append(b)
-        pdf = pdf.assign(bin=bins)
-        out = (
-            pdf.groupby("bin")
-            .agg(
-                lang=("lang", "first"),
-                bucket=("bucket", "first"),
-                n_docs=("doc_id", "count"),
-                tokens=("nt", "sum"),
-            )
-            .reset_index()
-        )
-        return out[["lang", "bucket", "bin", "n_docs", "tokens"]]
-
-    packed = docs.groupBy("lang", "bucket").applyInPandas(
-        pack, "lang string, bucket bigint, bin bigint, n_docs bigint, tokens bigint"
+    grouped = docs.groupBy("lang", "bucket").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "nt"))).alias("items")
     )
-    return packed.select(
+
+    def fold_step(acc, x):
+        # next-fit: open a new bin iff the doc does NOT fit (first doc
+        # always lands in bin 0 because cum starts at 0)
+        overflow = (acc["cum"] > 0) & (acc["cum"] + x["nt"] > cap)
+        new_bin = F.when(overflow, acc["bin"] + 1).otherwise(acc["bin"])
+        new_cum = F.when(overflow, x["nt"]).otherwise(acc["cum"] + x["nt"])
+        return F.struct(
+            new_bin.alias("bin"),
+            new_cum.alias("cum"),
+            F.concat(acc["bins"], F.array(new_bin)).alias("bins"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("bin"),
+        F.lit(0).cast("bigint").alias("cum"),
+        F.array().cast("array<bigint>").alias("bins"),
+    )
+    folded = grouped.select(
         "lang",
         "bucket",
-        "bin",
-        "n_docs",
-        "tokens",
-        F.expr(f"(tokens * 1000000L) div {cap}").alias("fill_ppm"),
-    ).orderBy("lang", "bucket", "bin")
+        "items",
+        F.aggregate("items", init, fold_step).getField("bins").alias("bins"),
+    )
+    per_doc = folded.select(
+        "lang",
+        "bucket",
+        F.posexplode("items").alias("pos", "item"),
+        "bins",
+    ).select(
+        "lang",
+        "bucket",
+        F.element_at(F.col("bins"), F.col("pos") + 1).alias("bin"),
+        F.col("item.nt").alias("nt"),
+    )
+    return (
+        per_doc.groupBy("lang", "bucket", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("tokens"))
+        .select(
+            "lang",
+            "bucket",
+            "bin",
+            "n_docs",
+            "tokens",
+            F.expr(f"(tokens * 1000000L) div {cap}").alias("fill_ppm"),
+        )
+        .orderBy("lang", "bucket", "bin")
+    )

@@ -725,14 +725,18 @@ def test_q168_pair_matrix_never_materialized(spark):
 
 def test_q170_sequential_fold_is_group_bounded(spark):
     """q170 (exact next-fit packing): the sequential fold must run as
-    ONE grouped-pandas pass over (lang, bucket) groups — no cartesian
-    join, no global window, no driver-side loop shape in the plan."""
+    a JVM aggregate() over per-group collect_list arrays — NO Python
+    node of any kind (the applyInPandas form paid ~0.8 ms/group Arrow
+    overhead x 39k small groups = 30 s at sf~1, PERF.md r8), no
+    cartesian join, no window, no driver-side loop shape."""
     import re
 
     from kinesis_logs_reader_spark.operators.curation import q170_pack_nextfit
 
     plan = explain.formatted_plan(q170_pack_nextfit(spark, SF_DIR))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ObjectHashAggregate" in plan  # the collect_list group build
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         raise AssertionError(f"unexpected window in packing plan: {spec}")
