@@ -410,6 +410,17 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
 # ACTIVE window for this round's driver correctness gate (first 50).
 DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R8_ACTIVE[:50]
 
+# Round-9 window (STAGED — swap DRIVER_WINDOW to this after the r8
+# driver run lands green). Rotation policy: no key's driver evidence
+# ages past ~4 rounds. The R8 active window covered the nine r8
+# additions, q161-q165, the band-digest family, and the r1/r2-era
+# oldest keys; what it DISPLACED is exactly DRIVER_WINDOW_R8's
+# r3/r4/r5-era tail (oldest evidence after r8), so R9 is those 50
+# verbatim — every one parity-green locally this round.
+DRIVER_WINDOW_R9: list[str] = [
+    k for k in DRIVER_WINDOW_R8 if k not in DRIVER_WINDOW_R8_ACTIVE[:50]
+]
+
 
 def export_name(key: str) -> str:
     """Driver-facing key: 'a{NN}_<canonical>' inside the window, else
