@@ -23,9 +23,11 @@ import io
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from kinesis_logs_reader_spark.sources.tables import load_table
 
 try:  # optional dependency: real image codec
     from PIL import Image as _PILImage
@@ -243,3 +245,52 @@ def decode_images(
     if buckets:
         src = src.repartition(buckets, F.abs(F.xxhash64("payload")) % buckets)
     return src.mapInPandas(decode_image_batch(codec), DECODED_SCHEMA)
+
+
+def q175_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup audit over video-shaped binaries (r8): sample
+    8 'frames' per clip (the fake codec slices evenly-spaced 64-byte
+    windows; a real deployment swaps in ffmpeg keyframes behind the
+    same mapInPandas stage — multimodal.py's stated contract), md5-
+    fingerprint each frame, and report per-source frame counts,
+    distinct-fingerprint counts, and the duplicate rate — the static-
+    intro / duplicated-b-roll detector a video-training pipeline runs
+    before sampling clips.
+
+    Spark shape: payload is an opaque BINARY column; the fan-out (1
+    clip -> 8 frame rows) runs in the Arrow-batched sample_frames
+    stage (the real multimodal plumbing: binary in, binary out,
+    bounded 64-byte frames); fingerprints are JVM md5 over the binary
+    frames; the rollup is one (source) aggregate with a distinct
+    count. At 100 TB frames shuffle as 16-byte digests, never pixels
+    (the q40/q160 digest discipline).
+
+    Oracle: the fake codec's byte windows re-derived as VARCHAR
+    substrings — valid because the corpus is ASCII (octet == char,
+    the same fixture invariant the levenshtein contract pins in
+    tests/test_hash_contract_fuzz.py); md5 of the same bytes is the
+    same hex in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").cast("binary").alias("payload")
+    )
+    frames = sample_frames(docs, n_frames=8)
+    fp = frames.select(
+        "doc_id", F.md5(F.col("frame")).alias("fp")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_frames",
+            "n_distinct",
+            F.expr(
+                "((n_frames - n_distinct) * 1000000L) div n_frames"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -4191,3 +4191,21 @@ FROM reach
 GROUP BY seed
 ORDER BY seed
 """
+
+
+ORACLE["q175_frame_dedup"] = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(substring(text,
+                       k * GREATEST(length(text) // 8, 1) + 1, 64)) AS fp
+  FROM documents, range(8) t(k)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 1000000) // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM f
+GROUP BY source
+ORDER BY source
+"""

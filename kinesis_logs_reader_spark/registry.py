@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 180  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 181  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -33,12 +33,13 @@ N_QUERIES = 180  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q167 ANN recall@10 / nprobe sweep,
 #                      +q168 mutual-NN pair mining (exact int grid),
 #                      +q169 BPE encode / per-source compression,
-#                      +q170 exact next-fit packing (applyInPandas),
+#                      +q170 exact next-fit packing (JVM in-array fold),
 #                      +q171 half-sample bootstrap CIs (md5-bit replicas),
 #                      +q172 marginal-novelty curve per ingest decile,
 #                      +q173 hourly resample + forward-fill (gap-fill),
-#                      +q174 bounded-depth reachability (recursive CTE)
-N_ORACLES = 180  # all r7/r8 additions are fully oracle-backed
+#                      +q174 bounded-depth reachability (recursive CTE),
+#                      +q175 frame-level dedup audit (binary fan-out)
+N_ORACLES = 181  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -401,7 +402,8 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
         "q172_novelty_curve",
         "q173_resample_ffill",
         "q174_reachability_cte",
-    ]  # 9 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
+        "q175_frame_dedup",
+    ]  # 10 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
     + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])

@@ -425,3 +425,18 @@ def test_q174_hop_counts_are_monotone_and_rooted(spark):
         assert 1 <= r.n_d1 <= r.n_d2 <= r.n_d3
         # seeds come FROM the edge set, so depth-1 must add a neighbor
         assert r.n_d1 >= 2
+
+
+def test_q175_frame_accounting(spark):
+    """Every clip contributes exactly 8 frames; distinct <= total;
+    dup rate is exact integer ppm; duplicates exist corpus-wide (the
+    31-token vocabulary guarantees window collisions)."""
+    from kinesis_logs_reader_spark.operators.multimodal import q175_frame_dedup
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    rows = q175_frame_dedup(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_frames for r in rows) == 8 * n_docs
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_frames
+        assert r.dup_ppm == (r.n_frames - r.n_distinct) * 1_000_000 // r.n_frames
