@@ -1263,3 +1263,124 @@ def _mutual_best2(spark: SparkSession, sf_dir: str):
             yield pd.concat(out_frames, ignore_index=True)
 
     return qn.mapInPandas(compute, schema), qn
+
+
+# NDCG@10 discount table, integer micro-units: D[i] = round(1e6 / log2(i+1)).
+# Precomputed so NO log/float runs at query time in either engine — the
+# whole metric is exact integer arithmetic (the q165 idf discipline).
+_NDCG_DISC = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+# ideal DCG for gains (10, 9, ..., 1) at ranks 1..10 — a constant
+_NDCG_IDEAL = sum((10 - i) * d for i, d in enumerate(_NDCG_DISC))  # 29966114
+
+
+def q176_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN ranking-quality metrics (r8): MRR and NDCG@10 of the fixed-
+    codebook IVF result list against the exact top-10, per (query,
+    nprobe) — q167 answers "did the right neighbors come back";
+    this answers "did they come back in the right ORDER", the metric
+    a retrieval deployment actually tunes on.
+
+    Relevance = position in the exact top-10 (gain 10 for the true
+    best neighbor down to 1 for the 10th; 0 for anything outside).
+    Discounts are the precomputed integer table _NDCG_DISC — round(1e6
+    / log2(rank+1)) — so no transcendental function evaluates at query
+    time and DCG/IDCG/MRR are exact int64 in both engines (ndcg_ppm =
+    dcg * 1e6 DIV ideal; rr_ppm = 1e6 DIV first-hit-rank).
+
+    Same data movement as q167 (shares the session-persisted IVF
+    index; probes and the 8-row query set broadcast; windows bounded
+    by the evaluation contract); the metric layer adds only a
+    broadcast-able join of the two <= 10-row-per-group rank lists.
+    """
+    idx = _ivf_fixed_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q, k = 8, 10
+    qcells = (
+        idx["dist"]
+        .filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), "cell", "d2")
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("d2", "cell")
+            ),
+        )
+    )
+    nprobes = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    probe = qcells.join(
+        F.broadcast(nprobes), F.col("crank") <= F.col("nprobe")
+    ).select("qid", "nprobe", "cell")
+    cand = (
+        idx["assigned"]
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "nprobe", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "nprobe",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w_top = Window.partitionBy("qid", "nprobe").orderBy(
+        F.col("sim").desc(), "vec_id"
+    )
+    approx = scored.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= k
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    exact = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 4)
+            .cast("double")
+            .alias("sim"),
+        )
+        .withColumn("erank", F.row_number().over(w_exact))
+        .filter(F.col("erank") <= k)
+        .select("qid", "vec_id", "erank")
+    )
+    disc = F.array(*[F.lit(d).cast("bigint") for d in _NDCG_DISC])
+    marked = (
+        approx.join(exact, ["qid", "vec_id"], "left")
+        .withColumn(
+            "gain",
+            F.coalesce(F.lit(11) - F.col("erank"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("disc", F.element_at(disc, F.col("rk")))
+    )
+    per = marked.groupBy("qid", "nprobe").agg(
+        F.sum(F.col("gain") * F.col("disc")).alias("dcg_u"),
+        F.min(F.when(F.col("gain") > 0, F.col("rk"))).alias("first_hit"),
+    )
+    grid = qv.select("qid").crossJoin(F.broadcast(nprobes))
+    return (
+        grid.join(per, ["qid", "nprobe"], "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "nprobe",
+            F.coalesce(F.col("dcg_u"), F.lit(0)).alias("dcg_u"),
+            F.coalesce(
+                F.expr("1000000L div first_hit"), F.lit(0)
+            ).cast("bigint").alias("rr_ppm"),
+            F.expr(
+                f"(coalesce(dcg_u, 0L) * 1000000L) div {_NDCG_IDEAL}L"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id", "nprobe")
+    )

@@ -4209,3 +4209,86 @@ FROM f
 GROUP BY source
 ORDER BY source
 """
+
+
+ORACLE["q176_ann_ranking_quality"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label AS cell, dim,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN cent c USING (dim)
+  GROUP BY f.vec_id, c.cell
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) t WHERE rn = 1
+), nprobes(nprobe) AS (VALUES (1), (2), (4)),
+qcells AS (
+  SELECT vec_id AS qid, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS crank
+  FROM dist WHERE vec_id < 8
+), probe AS (
+  SELECT q.qid, n.nprobe, q.cell FROM qcells q, nprobes n WHERE q.crank <= n.nprobe
+), qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8
+), cand AS (
+  SELECT p.qid, p.nprobe, a.vec_id
+  FROM probe p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.qid
+), scored AS (
+  SELECT c.qid, c.nprobe, c.vec_id,
+         CAST(ROUND(
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * SQRT(list_inner_product(q.qe, q.qe))), 4) AS DOUBLE) AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv q ON q.qid = c.qid
+), approx AS (
+  SELECT qid, nprobe, vec_id, rk FROM (
+    SELECT qid, nprobe, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid, nprobe ORDER BY sim DESC, vec_id) AS rk
+    FROM scored) t WHERE rk <= 10
+), exact AS (
+  SELECT qid, vec_id, erank FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             CAST(ROUND(
+               list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * SQRT(list_inner_product(q.qe, q.qe))), 4) AS DOUBLE) DESC,
+             e.vec_id) AS erank
+    FROM embeddings e, qv q WHERE e.vec_id <> q.qid) t
+  WHERE erank <= 10
+), disc(rk, d) AS (
+  VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+         (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)
+), marked AS (
+  SELECT a.qid, a.nprobe, a.rk,
+         COALESCE(11 - x.erank, 0) AS gain, dd.d AS disc
+  FROM approx a
+  LEFT JOIN exact x ON x.qid = a.qid AND x.vec_id = a.vec_id
+  JOIN disc dd ON dd.rk = a.rk
+), per AS (
+  SELECT qid, nprobe,
+         SUM(gain * disc) AS dcg_u,
+         MIN(CASE WHEN gain > 0 THEN rk END) AS first_hit
+  FROM marked GROUP BY qid, nprobe
+)
+SELECT g.qid AS query_id, g.nprobe,
+       CAST(COALESCE(p.dcg_u, 0) AS BIGINT) AS dcg_u,
+       CAST(COALESCE(1000000 // p.first_hit, 0) AS BIGINT) AS rr_ppm,
+       CAST((COALESCE(p.dcg_u, 0) * 1000000) // 29966114 AS BIGINT) AS ndcg_ppm
+FROM (SELECT qid, nprobe FROM qv, nprobes) g
+LEFT JOIN per p ON p.qid = g.qid AND p.nprobe = g.nprobe
+ORDER BY 1, 2
+"""

@@ -440,3 +440,35 @@ def test_q175_frame_accounting(spark):
     for r in rows:
         assert 0 < r.n_distinct <= r.n_frames
         assert r.dup_ppm == (r.n_frames - r.n_distinct) * 1_000_000 // r.n_frames
+
+
+def test_q176_consistent_with_q167(spark):
+    """Ranking metrics must agree with the recall surface: a (query,
+    nprobe) with zero recall has zero DCG/MRR; a nonzero recall implies
+    a first hit and positive NDCG; perfect NDCG (1e6 ppm) iff the
+    approx list IS the exact list, which implies recall 1.0; and NDCG
+    is monotone in nprobe (the superset-displacement argument)."""
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q167_ann_recall,
+        q176_ann_ranking_quality,
+    )
+
+    recall = {
+        (r.query_id, r.nprobe): r.n_hit
+        for r in q167_ann_recall(spark, SF_DIR).collect()
+    }
+    rows = q176_ann_ranking_quality(spark, SF_DIR).collect()
+    assert len(rows) == len(recall) == 24
+    by_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        hits = recall[(r.query_id, r.nprobe)]
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        if hits == 0:
+            assert r.dcg_u == 0 and r.rr_ppm == 0 and r.ndcg_ppm == 0
+        else:
+            assert r.dcg_u > 0 and r.rr_ppm > 0 and r.ndcg_ppm > 0
+        if r.ndcg_ppm == 1_000_000:
+            assert hits == 10
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.ndcg_ppm
+    for qid, curve in by_q.items():
+        assert curve[1] <= curve[2] <= curve[4], (qid, curve)
