@@ -472,3 +472,30 @@ def test_q176_consistent_with_q167(spark):
         by_q.setdefault(r.query_id, {})[r.nprobe] = r.ndcg_ppm
     for qid, curve in by_q.items():
         assert curve[1] <= curve[2] <= curve[4], (qid, curve)
+
+
+def test_q166_randomized_chain_stress(spark, tmp_path):
+    """Seeded random corpora over a 3-token alphabet produce long
+    left==right chains and merged-symbol re-merges ('a a' + 'a a');
+    the distributed rewrite must track the sequential reference
+    through 5 merge generations."""
+    import random
+
+    import pandas as pd
+
+    from kinesis_logs_reader_spark.operators.curation import q166_bpe_train
+
+    rng = random.Random(20260815)
+    texts = [
+        " ".join(rng.choice("a a a b c".split()) for _ in range(rng.randint(1, 40)))
+        for _ in range(30)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sf = str(tmp_path / "stress")
+    (tmp_path / "stress").mkdir()
+    pdf.to_parquet(sf + "/documents.parquet")
+    got = [
+        (r.step, r.left, r.right, r.pair_count, r.tokens_after)
+        for r in q166_bpe_train(spark, sf, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == _py_bpe(texts, 5)
