@@ -1796,3 +1796,71 @@ def q170_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket", "bin")
     )
+
+
+def q177_span_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level quality pruning (r8): drop low-quality WINDOWS inside
+    documents instead of whole documents — the RefinedWeb/CCNet-style
+    line-level filter reshaped for token windows. Rule: a 16-token
+    window is dropped iff its distinct-token ratio <= 2/3 (pure
+    integer comparison 3*distinct <= 2*len — repetition-heavy spans),
+    and the report is the per-source token-yield ledger (windows
+    dropped, tokens kept/dropped, drop ppm) a curation run reads
+    before committing the pruned corpus.
+
+    Whole-document filters (q91/q92) throw away salvageable documents;
+    span pruning keeps the clean 90% of a partly-degenerate doc. Plan
+    shape: windows are per-row ``slice()`` expressions over the
+    materialized token array (one scan, no join, no shuffle until the
+    |sources|-row rollup) — whole-stage codegen end to end; the window
+    spine is sequence(0, (n+15) div 16 - 1) so no float ceil crosses
+    an engine boundary.
+    """
+    win = 16
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", tokens().alias("toks")
+    )
+    wins = docs.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(size(toks) + {win - 1}) div {win} - 1"),
+            )
+        ).alias("k"),
+        "toks",
+    ).select(
+        "source",
+        F.slice(F.col("toks"), F.col("k") * win + 1, win).alias("w"),
+    )
+    flagged = wins.select(
+        "source",
+        F.size("w").alias("wn"),
+        (F.size(F.array_distinct("w")) * 3 <= F.size("w") * 2)
+        .cast("int")
+        .alias("dropped"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("dropped").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("dropped") == 0, F.col("wn")).otherwise(0)
+            ).alias("tokens_kept"),
+            F.sum(
+                F.when(F.col("dropped") == 1, F.col("wn")).otherwise(0)
+            ).alias("tokens_dropped"),
+        )
+        .select(
+            "source",
+            "n_windows",
+            "n_dropped",
+            "tokens_kept",
+            "tokens_dropped",
+            F.expr(
+                "(tokens_dropped * 1000000L) div (tokens_kept + tokens_dropped)"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("source")
+    )

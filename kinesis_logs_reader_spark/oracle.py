@@ -4292,3 +4292,28 @@ FROM (SELECT qid, nprobe FROM qv, nprobes) g
 LEFT JOIN per p ON p.qid = g.qid AND p.nprobe = g.nprobe
 ORDER BY 1, 2
 """
+
+
+ORACLE["q177_span_quality_prune"] = """
+WITH w AS (
+  SELECT source,
+         toks[k * 16 + 1 : LEAST((k + 1) * 16, len(toks))] AS win
+  FROM (SELECT source, str_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(0, (len(toks) + 15) // 16)) AS k)
+), flagged AS (
+  SELECT source, len(win) AS wn,
+         CASE WHEN len(list_distinct(win)) * 3 <= len(win) * 2
+              THEN 1 ELSE 0 END AS dropped
+  FROM w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dropped = 0 THEN wn ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN dropped = 1 THEN wn ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       CAST((SUM(CASE WHEN dropped = 1 THEN wn ELSE 0 END) * 1000000)
+            // (SUM(wn)) AS BIGINT) AS drop_ppm
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""

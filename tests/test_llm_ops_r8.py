@@ -499,3 +499,27 @@ def test_q166_randomized_chain_stress(spark, tmp_path):
         for r in q166_bpe_train(spark, sf, n_merges=5).orderBy("step").collect()
     ]
     assert got == _py_bpe(texts, 5)
+
+
+def test_q177_token_conservation(spark):
+    """kept + dropped tokens == corpus tokens; dropped windows exist
+    (the corpus has repetition-heavy spans); drop_ppm is exact."""
+    from kinesis_logs_reader_spark.operators.curation import (
+        q177_span_quality_prune,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q177_span_quality_prune(spark, SF_DIR).collect()
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.sum(F.size(F.split("text", " "))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sum(r.tokens_kept + r.tokens_dropped for r in rows) == total
+    assert sum(r.n_dropped for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_windows
+        assert r.drop_ppm == r.tokens_dropped * 1_000_000 // (
+            r.tokens_kept + r.tokens_dropped
+        )
