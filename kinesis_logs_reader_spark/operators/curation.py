@@ -1864,3 +1864,57 @@ def q177_span_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q178_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-stratified eval-set construction (r8): sample 2 docs
+    per (length bucket x within-bucket difficulty decile) cell — the
+    balanced grid an eval harness needs so easy/short docs don't
+    dominate the benchmark (uniform sampling reproduces the corpus
+    skew; this reproduces the DIFFICULTY SURFACE).
+
+    Difficulty = the q115 unigram score ranked WITHIN each 64-token
+    length bucket (per-bucket windows, partitioned — never the global
+    decile window q152's oracle twin uses; at 100 TB buckets are the
+    parallelism), decile = the closed-form integer ((rn-1)*10) div
+    cnt; the 2-per-cell pick is deterministic min-md5 (the repo's
+    standard RNG-free sampling key, q96/q77 family). Ordering rides
+    (avg_logprob, doc_id), the q152b-proven sort contract.
+
+    Output: one row per sampled doc with its cell coordinates and
+    cell population — the manifest a harness materializes.
+    """
+    from kinesis_logs_reader_spark.operators.textstats import q115_unigram_lm
+
+    scored = q115_unigram_lm(spark, sf_dir).select(
+        "doc_id", "n_tok", "avg_logprob"
+    )
+    bucketed = scored.withColumn(
+        "len_bucket", F.expr("n_tok div 64")
+    )
+    w_rank = Window.partitionBy("len_bucket").orderBy(
+        "avg_logprob", "doc_id"
+    )
+    w_cnt = Window.partitionBy("len_bucket")
+    with_dec = (
+        bucketed.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("difficulty_decile", F.expr("((rn - 1) * 10) div cnt"))
+    )
+    w_pick = Window.partitionBy("len_bucket", "difficulty_decile").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_cell = Window.partitionBy("len_bucket", "difficulty_decile")
+    return (
+        with_dec.withColumn("pick", F.row_number().over(w_pick))
+        .withColumn("n_cell", F.count(F.lit(1)).over(w_cell))
+        .filter(F.col("pick") <= 2)
+        .select(
+            "len_bucket",
+            "difficulty_decile",
+            F.col("pick").alias("rank"),
+            "doc_id",
+            "n_cell",
+        )
+        .orderBy("len_bucket", "difficulty_decile", "rank")
+    )

@@ -4317,3 +4317,46 @@ FROM flagged
 GROUP BY source
 ORDER BY source
 """
+
+
+ORACLE["q178_stratified_eval_sample"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), total AS (
+  SELECT SUM(c) AS tot FROM counts
+), lp AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM counts, total
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
+  FROM tok JOIN lp USING (t)
+  GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n_tok // 64 AS len_bucket,
+         CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+              AS DOUBLE) AS avg_logprob
+  FROM agg
+), with_dec AS (
+  SELECT doc_id, len_bucket,
+         ((ROW_NUMBER() OVER (PARTITION BY len_bucket
+                              ORDER BY avg_logprob, doc_id) - 1) * 10)
+           // (COUNT(*) OVER (PARTITION BY len_bucket)) AS difficulty_decile
+  FROM scored
+), picked AS (
+  SELECT len_bucket, difficulty_decile, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY len_bucket, difficulty_decile
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick,
+         COUNT(*) OVER (PARTITION BY len_bucket, difficulty_decile) AS n_cell
+  FROM with_dec
+)
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(difficulty_decile AS BIGINT) AS difficulty_decile,
+       CAST(pick AS INT) AS rank, doc_id,
+       CAST(n_cell AS BIGINT) AS n_cell
+FROM picked WHERE pick <= 2
+ORDER BY 1, 2, 3
+"""

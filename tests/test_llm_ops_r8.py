@@ -523,3 +523,23 @@ def test_q177_token_conservation(spark):
         assert r.drop_ppm == r.tokens_dropped * 1_000_000 // (
             r.tokens_kept + r.tokens_dropped
         )
+
+
+def test_q178_grid_shape(spark):
+    """Every cell yields min(2, n_cell) docs, deciles are 0..9, and no
+    doc repeats across the manifest."""
+    from kinesis_logs_reader_spark.operators.curation import (
+        q178_stratified_eval_sample,
+    )
+
+    rows = q178_stratified_eval_sample(spark, SF_DIR).collect()
+    assert rows
+    cells: dict[tuple, list] = {}
+    for r in rows:
+        assert 0 <= r.difficulty_decile <= 9
+        assert r.rank in (1, 2)
+        cells.setdefault((r.len_bucket, r.difficulty_decile), []).append(r)
+    for key, rs in cells.items():
+        assert len(rs) == min(2, rs[0].n_cell), key
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == len(ids)
