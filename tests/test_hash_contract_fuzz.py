@@ -368,3 +368,34 @@ def test_integer_div_mod_agree_on_negatives(spark):
     for a, b in ints:
         d = con.execute("SELECT ? // ?, ? % ?", [a, b, a, b]).fetchone()
         assert s[(a, b)] == tuple(d), (a, b)
+
+
+def test_bow_signature_agrees(spark, nasty_path):
+    """q172's novelty key — md5 over the SORTED DISTINCT token list —
+    must be bit-identical across engines even on unicode, emoji,
+    multi-space, and empty-token inputs: the sort order of the distinct
+    set and the join separator are the whole contract."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r["k"]
+        for r in spark.read.parquet(nasty_path)
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+                )
+            ).alias("k"),
+        )
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            f"str_split(text, ' '))), ' ')) FROM read_parquet('{nasty_path}')"
+        ).fetchall()
+    )
+    assert got == want
