@@ -1918,3 +1918,72 @@ def q178_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket", "difficulty_decile", "rank")
     )
+
+
+def q179_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (r8): the one-row-per-source datasheet a
+    curation pipeline publishes with a shipped corpus — volume, length
+    profile, exact-set duplicate rate, stopword density, and language
+    purity, every field exact integer/string (no float crosses the
+    engine boundary).
+
+    q90 is the capstone that TRANSFORMS the corpus; this is the
+    capstone that DESCRIBES it. One projected scan feeds two map-side-
+    combinable aggregates: (a) per-source volume/length/stopword plus
+    a distinct count of the q172 bag-of-words signature (the card's
+    dup_ppm is the same normal-form family the novelty curve uses),
+    (b) per-(source, lang) counts reduced to the dominant language via
+    min(struct(-cnt, lang)) — the q166 argmax idiom, ties to the
+    lexicographically smaller language. Shuffles carry |sources| and
+    |sources x langs| rows at any corpus size.
+    """
+    from kinesis_logs_reader_spark.functions.text import stopword_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        n_tokens().alias("nt"),
+        stopword_count().alias("sw"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens())))
+        ).alias("bow"),
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("tokens"),
+        F.max("nt").alias("max_len"),
+        F.sum("sw").alias("sw_total"),
+        F.countDistinct("bow").alias("n_distinct"),
+    )
+    dom = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), "lang")).alias("best")
+        )
+        .select(
+            "source",
+            F.col("best.lang").alias("dominant_lang"),
+            (-F.col("best.nc")).alias("dom_count"),
+        )
+    )
+    return (
+        base.join(dom, "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("(tokens * 1000000L) div n_docs").alias("mean_len_ppm"),
+            "max_len",
+            F.expr("((n_docs - n_distinct) * 1000000L) div n_docs").alias(
+                "dup_ppm"
+            ),
+            F.expr("(sw_total * 1000000L) div tokens").alias("stopword_ppm"),
+            "dominant_lang",
+            F.expr("(dom_count * 1000000L) div n_docs").alias(
+                "lang_purity_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -4360,3 +4360,41 @@ SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
 FROM picked WHERE pick <= 2
 ORDER BY 1, 2, 3
 """
+
+
+ORACLE["q179_data_card"] = """
+WITH docs AS (
+  SELECT source, lang,
+         len(str_split(text, ' ')) AS nt,
+         len(list_filter(str_split(text, ' '),
+                         t -> t IN ('the', 'a'))) AS sw,
+         md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))),
+                             ' ')) AS bow
+  FROM documents
+), base AS (
+  SELECT source,
+         COUNT(*) AS n_docs, SUM(nt) AS tokens, MAX(nt) AS max_len,
+         SUM(sw) AS sw_total, COUNT(DISTINCT bow) AS n_distinct
+  FROM docs GROUP BY source
+), dom AS (
+  SELECT source, lang AS dominant_lang, c AS dom_count
+  FROM (SELECT source, lang, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM docs GROUP BY source, lang) t
+  WHERE rn = 1
+)
+SELECT b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.tokens AS BIGINT) AS tokens,
+       CAST((b.tokens * 1000000) // b.n_docs AS BIGINT) AS mean_len_ppm,
+       CAST(b.max_len AS BIGINT) AS max_len,
+       CAST(((b.n_docs - b.n_distinct) * 1000000) // b.n_docs AS BIGINT)
+         AS dup_ppm,
+       CAST((b.sw_total * 1000000) // b.tokens AS BIGINT) AS stopword_ppm,
+       d.dominant_lang,
+       CAST((d.dom_count * 1000000) // b.n_docs AS BIGINT)
+         AS lang_purity_ppm
+FROM base b JOIN dom d USING (source)
+ORDER BY b.source
+"""

@@ -543,3 +543,23 @@ def test_q178_grid_shape(spark):
         assert len(rs) == min(2, rs[0].n_cell), key
     ids = [r.doc_id for r in rows]
     assert len(set(ids)) == len(ids)
+
+
+def test_q179_card_ties_out(spark):
+    """The datasheet must reconcile with its inputs: doc/token totals
+    match the corpus, dup_ppm matches the q172 normal-form family, and
+    purity is a valid share."""
+    from kinesis_logs_reader_spark.operators.curation import q179_data_card
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q179_data_card(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.tokens for r in rows) == docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    for r in rows:
+        assert 0 <= r.dup_ppm < 1_000_000
+        assert 0 < r.lang_purity_ppm <= 1_000_000
+        assert r.mean_len_ppm == r.tokens * 1_000_000 // r.n_docs
