@@ -1363,3 +1363,62 @@ def q176_ann_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "nprobe")
     )
+
+
+def q180_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly audit (r8): for each query, take the exact
+    top-4 retrieved documents (rank order = relevance order) and pack
+    their texts into a 192-token context budget greedily — include a
+    doc iff it still fits, else skip it and keep trying lower ranks
+    (the standard serving-side context builder) — and report what the
+    model actually sees: docs included/skipped, context tokens, fill.
+    This is the measurement that catches 'retrieval is great but the
+    context window is 60% empty / the best doc never fits'.
+
+    Shapes already paid for: the retrieval side is the session-
+    persisted _ann_eval_frames exact list (evaluation-set-bounded);
+    the greedy budget fold is the q170 in-array aggregate() idiom over
+    each query's <= 4-element (rank, n_tokens) array — zero Python,
+    zero window, one broadcast-able join to the documents dimension
+    (vec_id == doc_id row correspondence, the q110 convention).
+
+    Oracle: same exact-top-4 CTE + a 4-step RECURSIVE CTE advancing
+    the budget rank by rank — integer arithmetic only.
+    """
+    cap = 192
+    frames = _ann_eval_frames(spark, sf_dir)
+    exact4 = frames["exact"].filter(F.col("erank") <= 4)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    )
+    joined = exact4.join(
+        docs, exact4.vec_id == docs.doc_id
+    ).select("qid", "erank", F.col("nt").cast("bigint").alias("nt"))
+    items = joined.groupBy("qid").agg(
+        F.sort_array(F.collect_list(F.struct("erank", "nt"))).alias("items")
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(0).cast("bigint").alias("inc"),
+    )
+
+    def step(acc, x):
+        fit = acc["cum"] + x["nt"] <= cap
+        return F.struct(
+            F.when(fit, acc["cum"] + x["nt"]).otherwise(acc["cum"]).alias("cum"),
+            F.when(fit, acc["inc"] + 1).otherwise(acc["inc"]).alias("inc"),
+        )
+
+    folded = items.select(
+        "qid",
+        F.size("items").alias("n_retrieved"),
+        F.aggregate("items", init, step).alias("st"),
+    )
+    return folded.select(
+        F.col("qid").alias("query_id"),
+        "n_retrieved",
+        F.col("st.inc").alias("n_included"),
+        (F.col("n_retrieved") - F.col("st.inc")).alias("n_skipped"),
+        F.col("st.cum").alias("context_tokens"),
+        F.expr(f"(st.cum * 1000000L) div {cap}").alias("fill_ppm"),
+    ).orderBy("query_id")

@@ -4398,3 +4398,49 @@ SELECT b.source,
 FROM base b JOIN dom d USING (source)
 ORDER BY b.source
 """
+
+
+ORACLE["q180_rag_context_assembly"] = """
+WITH RECURSIVE qv AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 8
+), exact AS (
+  SELECT qid, vec_id, erank FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             CAST(ROUND(
+               list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (SQRT(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * SQRT(list_inner_product(q.qe, q.qe))), 4) AS DOUBLE) DESC,
+             e.vec_id) AS erank
+    FROM embeddings e, qv q WHERE e.vec_id <> q.qid) t
+  WHERE erank <= 4
+), sized AS (
+  SELECT x.qid, x.erank, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS nt
+  FROM exact x JOIN documents d ON d.doc_id = x.vec_id
+), pack AS (
+  SELECT qid, CAST(0 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS cum,
+         CAST(0 AS BIGINT) AS inc
+  FROM (SELECT DISTINCT qid FROM sized) s
+  UNION ALL
+  SELECT p.qid, p.rk + 1,
+         CASE WHEN p.cum + s.nt <= 192 THEN p.cum + s.nt ELSE p.cum END,
+         CASE WHEN p.cum + s.nt <= 192 THEN p.inc + 1 ELSE p.inc END
+  FROM pack p JOIN sized s ON s.qid = p.qid AND s.erank = p.rk + 1
+), finals AS (
+  SELECT p.qid, p.cum, p.inc
+  FROM pack p
+  JOIN (SELECT qid, MAX(rk) AS mrk FROM pack GROUP BY qid) m
+    ON m.qid = p.qid AND m.mrk = p.rk
+), counts AS (
+  SELECT qid, COUNT(*) AS n_retrieved FROM sized GROUP BY qid
+)
+SELECT f.qid AS query_id,
+       CAST(c.n_retrieved AS INT) AS n_retrieved,
+       f.inc AS n_included,
+       CAST(c.n_retrieved - f.inc AS BIGINT) AS n_skipped,
+       f.cum AS context_tokens,
+       CAST((f.cum * 1000000) // 192 AS BIGINT) AS fill_ppm
+FROM finals f JOIN counts c USING (qid)
+ORDER BY 1
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 185  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 186  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -42,8 +42,9 @@ N_QUERIES = 185  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q176 ANN ranking quality: MRR + NDCG@10 (int units),
 #                      +q177 span-level quality pruning (token-yield ledger),
 #                      +q178 difficulty-stratified eval sampling,
-#                      +q179 per-source data card (exact-integer datasheet)
-N_ORACLES = 185  # all r7/r8 additions are fully oracle-backed
+#                      +q179 per-source data card (exact-integer datasheet),
+#                      +q180 RAG context assembly audit (budgeted top-k pack)
+N_ORACLES = 186  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -411,7 +412,8 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
         "q177_span_quality_prune",
         "q178_stratified_eval_sample",
         "q179_data_card",
-    ]  # 14 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
+        "q180_rag_context_assembly",
+    ]  # 15 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
     + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])

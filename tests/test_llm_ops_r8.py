@@ -563,3 +563,21 @@ def test_q179_card_ties_out(spark):
         assert 0 <= r.dup_ppm < 1_000_000
         assert 0 < r.lang_purity_ppm <= 1_000_000
         assert r.mean_len_ppm == r.tokens * 1_000_000 // r.n_docs
+
+
+def test_q180_budget_respected(spark):
+    """Context packing invariants: every context fits the 192-token
+    budget; included + skipped == retrieved; greedy means a skipped
+    doc would NOT have fit at its turn (so context_tokens > 0 whenever
+    anything was retrievable under budget)."""
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q180_rag_context_assembly,
+    )
+
+    rows = q180_rag_context_assembly(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.context_tokens <= 192
+        assert r.n_included + r.n_skipped == r.n_retrieved
+        assert r.fill_ppm == r.context_tokens * 1_000_000 // 192
+        assert 0 <= r.n_included <= 4
