@@ -2023,3 +2023,47 @@ def q174_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY seed
         """
     )
+
+
+def q181_eval_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-sample placement audit (r8): where do q178's difficulty-
+    stratified picks land in q164's leakage-safe split? Before a
+    sampled manifest ships as an eval set, this is the gate: any pick
+    sitting in 'train' must be re-drawn (its near-dup cluster trains),
+    and the per-split sampling density shows whether the manifest can
+    even be filled from 'test' alone.
+
+    Two shipped artifacts audited AGAINST EACH OTHER — both sides are
+    existing pipelines (cluster_safe_assignment's component-keyed
+    split; q178's per-cell min-md5 manifest), so the audit itself is
+    a 40-row broadcast join + a 3-row rollup. Oracle composes the
+    shared _CLUSTER_SPLIT_CTES fragment with q178's scoring CTEs.
+    """
+    from kinesis_logs_reader_spark.operators.curation import (
+        q178_stratified_eval_sample,
+    )
+
+    assign = cluster_safe_assignment(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    sample = q178_stratified_eval_sample(spark, sf_dir).select("doc_id")
+    per_split = assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_split_docs")
+    )
+    hits = (
+        sample.join(assign, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        per_split.join(hits, "split", "left")
+        .select(
+            "split",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            "n_split_docs",
+            F.expr(
+                "(coalesce(n_sampled, 0L) * 1000000L) div n_split_docs"
+            ).alias("sampled_ppm"),
+        )
+        .orderBy("split")
+    )

@@ -3736,8 +3736,9 @@ ORDER BY ida, idb
 # min-label components over q46's pair set, then the q77 md5-bucket
 # kernel keyed on the cluster representative instead of the doc_id.
 # COUNT/SUM cast to BIGINT: DuckDB SUM(int) is HUGEINT (the r4 episode).
-ORACLE["q164_cluster_safe_split"] = f"""
-WITH RECURSIVE pairs AS (
+# q164's WITH body (pairs -> components -> cluster-keyed split), shared
+# with the q181 eval-sample audit. Interpolate inside WITH RECURSIVE.
+_CLUSTER_SPLIT_CTES = f"""pairs AS (
 {_PAIRS_NO_ORDER}
 ), edges AS (
   SELECT ida AS a, idb AS b FROM pairs
@@ -3771,7 +3772,10 @@ WITH RECURSIVE pairs AS (
                    % 2147483647 % 100 < 90 THEN 'val'
               ELSE 'test' END AS naive_split
   FROM member
-)
+)"""
+
+ORACLE["q164_cluster_safe_split"] = f"""
+WITH RECURSIVE {_CLUSTER_SPLIT_CTES}
 SELECT split,
        COUNT(*) AS n_docs,
        CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
@@ -4442,5 +4446,57 @@ SELECT f.qid AS query_id,
        f.cum AS context_tokens,
        CAST((f.cum * 1000000) // 192 AS BIGINT) AS fill_ppm
 FROM finals f JOIN counts c USING (qid)
+ORDER BY 1
+"""
+
+
+ORACLE["q181_eval_sample_audit"] = f"""
+WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
+tok2 AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts2 AS (
+  SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+), total2 AS (
+  SELECT SUM(c) AS tot FROM counts2
+), lp2 AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM counts2, total2
+), agg2 AS (
+  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
+  FROM tok2 JOIN lp2 USING (t)
+  GROUP BY doc_id
+), scored2 AS (
+  SELECT doc_id, n_tok // 64 AS len_bucket,
+         CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+              AS DOUBLE) AS avg_logprob
+  FROM agg2
+), with_dec2 AS (
+  SELECT doc_id, len_bucket,
+         ((ROW_NUMBER() OVER (PARTITION BY len_bucket
+                              ORDER BY avg_logprob, doc_id) - 1) * 10)
+           // (COUNT(*) OVER (PARTITION BY len_bucket)) AS difficulty_decile
+  FROM scored2
+), picked2 AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY len_bucket, difficulty_decile
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick
+  FROM with_dec2
+), sample AS (
+  SELECT doc_id FROM picked2 WHERE pick <= 2
+), per_split AS (
+  SELECT split, COUNT(*) AS n_split_docs FROM assigned GROUP BY split
+), hits AS (
+  SELECT a.split, COUNT(*) AS n_sampled
+  FROM sample s JOIN assigned a USING (doc_id)
+  GROUP BY a.split
+)
+SELECT p.split,
+       CAST(COALESCE(h.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(p.n_split_docs AS BIGINT) AS n_split_docs,
+       CAST((COALESCE(h.n_sampled, 0) * 1000000) // p.n_split_docs AS BIGINT)
+         AS sampled_ppm
+FROM per_split p LEFT JOIN hits h ON h.split = p.split
 ORDER BY 1
 """

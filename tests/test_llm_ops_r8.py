@@ -581,3 +581,24 @@ def test_q180_budget_respected(spark):
         assert r.n_included + r.n_skipped == r.n_retrieved
         assert r.fill_ppm == r.context_tokens * 1_000_000 // 192
         assert 0 <= r.n_included <= 4
+
+
+def test_q181_reconciles_both_sides(spark):
+    """The audit must tie out against its two inputs: split doc counts
+    match q164's aggregate, and sampled counts sum to the manifest
+    size (every sampled doc has a split — natural docs only)."""
+    from kinesis_logs_reader_spark.operators.curation import (
+        q178_stratified_eval_sample,
+    )
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q164_cluster_safe_split,
+        q181_eval_sample_audit,
+    )
+
+    rows = q181_eval_sample_audit(spark, SF_DIR).collect()
+    agg = {r.split: r.n_docs for r in q164_cluster_safe_split(spark, SF_DIR).collect()}
+    manifest = q178_stratified_eval_sample(spark, SF_DIR).count()
+    assert {r.split: r.n_split_docs for r in rows} == agg
+    assert sum(r.n_sampled for r in rows) == manifest
+    for r in rows:
+        assert r.sampled_ppm == r.n_sampled * 1_000_000 // r.n_split_docs
