@@ -174,3 +174,80 @@ def q173_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").alias("slot_ts"), "val")
         .orderBy("user_id", "slot_ts")
     )
+
+
+def q182_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (r8): credit each purchase to the user's
+    most recent click-or-view within the 24 h before it (same-instant
+    touches count — asof <= semantics), else 'direct'; report per
+    channel: purchases, exact revenue, and share — the marketing
+    rollup every event pipeline serves.
+
+    Same fan-out-free composition as q173: touches and purchases
+    UNIONed, ONE user-partitioned window where the carried state is an
+    ATOMIC struct last((ts, type), ignorenulls) — carrying ts and type
+    in separate windows could tear under equal-ts ties; the struct
+    can't. Tie order (ts, side-rank, event_id), the q173 contract.
+    Revenue sums as DECIMAL(18,2) — the q142 convention — so the
+    cross-engine aggregate is exact, never a float-order hazard.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        "event_id",
+        F.col("event_type").alias("ttype"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("string").alias("ttype"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = touches.unionByName(purch).withColumn(
+        "lt",
+        F.last(
+            F.when(F.col("is_p") == 0, F.struct("ts", "ttype")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attributed = (
+        carried.filter(F.col("is_p") == 1)
+        .select(
+            F.when(
+                F.col("lt").isNotNull()
+                & (F.col("lt.ts") >= F.expr("ts - interval 24 hours")),
+                F.col("lt.ttype"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    total = attributed.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_purchases",
+            "revenue",
+            F.expr("(n_purchases * 1000000L) div n_total").alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )

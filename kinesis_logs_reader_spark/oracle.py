@@ -4500,3 +4500,36 @@ SELECT p.split,
 FROM per_split p LEFT JOIN hits h ON h.split = p.split
 ORDER BY 1
 """
+
+
+ORACLE["q182_last_touch_attribution"] = """
+WITH un AS (
+  SELECT user_id, ts, 0 AS is_p, event_id, event_type AS ttype,
+         CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT user_id, ts, 1 AS is_p, event_id, CAST(NULL AS VARCHAR) AS ttype,
+         value
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN is_p = 0 THEN {'ts': ts, 'ttype': ttype} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS UNBOUNDED PRECEDING) AS lt
+  FROM un
+), attributed AS (
+  SELECT CASE WHEN lt IS NOT NULL AND lt.ts >= ts - INTERVAL 24 HOUR
+              THEN lt.ttype ELSE 'direct' END AS channel,
+         value
+  FROM carried WHERE is_p = 1
+), total AS (
+  SELECT COUNT(*) AS n_total FROM attributed
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       CAST((COUNT(*) * 1000000) // t.n_total AS BIGINT) AS share_ppm
+FROM attributed, total t
+GROUP BY channel, t.n_total
+ORDER BY channel
+"""

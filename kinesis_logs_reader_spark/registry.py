@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 187  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 188  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -44,8 +44,9 @@ N_QUERIES = 187  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q178 difficulty-stratified eval sampling,
 #                      +q179 per-source data card (exact-integer datasheet),
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
-#                      +q181 eval-sample placement audit (q178 x q164)
-N_ORACLES = 187  # all r7/r8 additions are fully oracle-backed
+#                      +q181 eval-sample placement audit (q178 x q164),
+#                      +q182 last-touch attribution (asof struct-carry)
+N_ORACLES = 188  # all r7/r8 additions are fully oracle-backed
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -415,7 +416,8 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
         "q179_data_card",
         "q180_rag_context_assembly",
         "q181_eval_sample_audit",
-    ]  # 16 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
+        "q182_last_touch_attribution",
+    ]  # 17 never-checked r8 keys lead; q161-q165 next; then R7 re-checks
     + DRIVER_WINDOW_R8[:5]        # q161-q165: never driver-checked
     + DRIVER_WINDOW_R7[:14]       # band-digest family + q160-era + q75/q109
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])

@@ -602,3 +602,28 @@ def test_q181_reconciles_both_sides(spark):
     assert sum(r.n_sampled for r in rows) == manifest
     for r in rows:
         assert r.sampled_ppm == r.n_sampled * 1_000_000 // r.n_split_docs
+
+
+def test_q182_attribution_conserves_purchases(spark):
+    """Channels partition the purchases exactly; 'direct' exists (some
+    purchase has no 24h-prior touch at every SF is NOT guaranteed, so
+    assert the weaker conservation + channel-domain contract);
+    revenue is non-negative and shares sum to ~1e6."""
+    from kinesis_logs_reader_spark.operators.asof import (
+        q182_last_touch_attribution,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q182_last_touch_attribution(spark, SF_DIR).collect()
+    n_purch = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purch
+    assert {r.channel for r in rows} <= {"click", "view", "direct"}
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000  # int DIV rounding
+    for r in rows:
+        assert r.revenue >= 0.0
