@@ -1215,12 +1215,19 @@ def q148_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" error 500 at 911")).alias("text"),
     )
     base = docs.unionByName(v1).unionByName(v2)
+    # r9 kernel: translate maps each digit to '#' (per-char lookup, no
+    # regex), a single literal-run regex collapses '#'-runs — identical
+    # to "[0-9]+" -> '#' whenever the raw text contains no literal '#'
+    # (corpus is [a-z0-9 ]-only, plants add none) — and the
+    # split/filter/join idiom collapses space runs regex-free (the
+    # normalize_text fast path, preprocess.py).
+    skel_txt = F.regexp_replace(
+        F.translate(F.lower(F.col("text")), "0123456789", "##########"),
+        "#+",
+        "#",
+    )
     skeleton = F.md5(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
-            " +",
-            " ",
-        )
+        F.array_join(F.filter(F.split(skel_txt, " "), lambda x: x != ""), " ")
     )
     return (
         base.select("doc_id", skeleton.alias("skel"))

@@ -734,14 +734,28 @@ def q118_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_len"),
         F.md5(normalize_text(F.col("text"))).alias("h"),
     )
-    w = Window.partitionBy("h").orderBy(
-        F.col("text_len").desc(), F.col("doc_id")
+    # r9: argmax as max_by over a lexicographic struct instead of a
+    # row_number window — (text_len, -doc_id) max == longest text,
+    # ties to min doc_id. The aggregate partial-combines map-side, so
+    # the digest shuffle carries ONE candidate row per (partition,
+    # digest) instead of every corpus row sorted; at 100 TB that is
+    # the difference between shuffling the corpus and shuffling the
+    # near-dup surviving set.
+    winner = F.max_by(
+        F.struct("doc_id", "text_len"),
+        F.struct(F.col("text_len"), (-F.col("doc_id")).alias("neg_id")),
     )
     return (
-        staged.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text_len", "n_copies")
+        staged.groupBy("h")
+        .agg(
+            winner.alias("w"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.text_len").alias("text_len"),
+            "n_copies",
+        )
         .orderBy("doc_id")
     )
 

@@ -212,19 +212,34 @@ def _base_hash_of_hex(col: str) -> F.Column:
     )
 
 
-def normalize_text(col) -> F.Column:
+# Every ASCII char (0x00-0x7F) outside the canonical keep-set
+# [a-z0-9 ]; uppercase is absent post-lower() but harmless to list.
+_ASCII_DELETE = "".join(
+    chr(i) for i in range(128) if chr(i) not in "abcdefghijklmnopqrstuvwxyz0123456789 "
+)
+
+
+def normalize_text(col, unicode_safe: bool = False) -> F.Column:
     """Canonical form: lowercase, strip non-alnum-non-space, collapse
-    runs of whitespace, trim. Spark regexp_replace replaces all
-    occurrences by default (DuckDB needs the 'g' flag)."""
-    # run-quantified classes: deleting "[^a-z0-9 ]+" per RUN instead of
-    # per char produces the identical string with far fewer regex
-    # matches (r5 A/B: 8% off the q90 map stage, 0 value mismatches);
-    # "  +" only rewrites 2+-space runs instead of touching every
-    # single space.
+    runs of whitespace, trim.
+
+    Fast path (default): ``translate`` deletes the 91 ASCII non-keep
+    chars via a per-char lookup — no regex engine — then
+    split/filter/array_join collapses space runs and trims in one
+    pass. Byte-identical to the regex form for any ASCII input
+    (r9 A/B at sf~1: 4.06 s -> 0.84 s on the q78 kernel, 0 digest
+    diffs corpus-wide; the documents corpus is pure ASCII, verified
+    max codepoint 121). Non-ASCII codepoints are NOT deleted by the
+    fast path — for general Unicode corpora pass ``unicode_safe=True``
+    to get the regex form (DuckDB twin: regexp_replace with 'g').
+    """
     c = F.lower(col)
-    c = F.regexp_replace(c, "[^a-z0-9 ]+", "")
-    c = F.regexp_replace(c, "  +", " ")
-    return F.trim(c)
+    if unicode_safe:
+        c = F.regexp_replace(c, "[^a-z0-9 ]+", "")
+        c = F.regexp_replace(c, "  +", " ")
+        return F.trim(c)
+    c = F.translate(c, _ASCII_DELETE, "")
+    return F.array_join(F.filter(F.split(c, " "), lambda x: x != ""), " ")
 
 
 def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -358,20 +358,33 @@ def q11_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: self join — ordered order pairs per customer.
 
-    Both sides shuffle on o_custkey once; the pair count per customer
-    is bounded by (orders/customer)^2, which AQE's skew handling splits
-    if a customer is hot.
+    The declared semantics are the self-join (the oracle keeps that
+    formulation verbatim): COUNT of pairs (a, b) within a customer
+    with b.o_orderdate > a.o_orderdate. The physical plan is the
+    window equivalence (r9, VERDICT r8 item 4): for each order b,
+    ``rank() over (partition by custkey order by date) - 1`` is
+    exactly |{a : a.date < b.date}| (rank's tie rule = strict
+    inequality), so ``pair_cnt = SUM(rank - 1)``. One shuffle on
+    o_custkey and O(k) work per customer, vs the join's second
+    orders shuffle plus O(k^2) intermediate rows per customer — the
+    term that kills a 100 TB self-join on a hot key. The groupBy
+    reuses the window's hashpartitioning(custkey), so no second
+    exchange; customers whose orders all tie on date (pair_cnt 0)
+    are filtered to match the inner join's row set.
+    r8 sf~1: 2.9x DuckDB, growth 4.73 -> r9 target growth <= 2.5.
     """
-    o1 = load_table(spark, sf_dir, "orders").alias("a")
-    o2 = load_table(spark, sf_dir, "orders").alias("b")
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
     return (
-        o1.join(
-            o2,
-            (F.col("a.o_custkey") == F.col("b.o_custkey"))
-            & (F.col("b.o_orderdate") > F.col("a.o_orderdate")),
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            (F.rank().over(w) - F.lit(1)).cast("bigint").alias("n_before"),
         )
-        .groupBy(F.col("a.o_custkey").alias("custkey"))
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .groupBy("custkey")
+        .agg(F.sum("n_before").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") > 0)
         .orderBy("custkey")
     )
 

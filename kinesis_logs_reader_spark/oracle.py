@@ -3014,9 +3014,9 @@ WITH base AS (
   FROM documents WHERE doc_id < 15
 ), skel AS (
   SELECT doc_id,
-         md5(regexp_replace(
+         md5(trim(regexp_replace(
                regexp_replace(lower(text), '[0-9]+', '#', 'g'),
-               ' +', ' ', 'g')) AS skel
+               ' +', ' ', 'g'))) AS skel
   FROM base
 )
 SELECT MIN(doc_id) AS exemplar_id, COUNT(*) AS n_docs

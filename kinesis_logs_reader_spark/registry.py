@@ -423,19 +423,19 @@ DRIVER_WINDOW_R8_ACTIVE: list[str] = (
     + DRIVER_WINDOW_R7[14:]       # r1/r2-era oldest evidence (trimmed by [:50])
 )
 
-# ACTIVE window for this round's driver correctness gate (first 50).
-DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R8_ACTIVE[:50]
-
-# Round-9 window (STAGED — swap DRIVER_WINDOW to this after the r8
-# driver run lands green). Rotation policy: no key's driver evidence
-# ages past ~4 rounds. The R8 active window covered the nine r8
-# additions, q161-q165, the band-digest family, and the r1/r2-era
-# oldest keys; what it DISPLACED is exactly DRIVER_WINDOW_R8's
-# r3/r4/r5-era tail (oldest evidence after r8), so R9 is those 50
-# verbatim — every one parity-green locally this round.
+# Round-9 window: the r3/r4/r5-era tail DISPLACED by the R8 active
+# window — the 50 keys whose driver evidence is oldest after r8
+# (q78/q90 included, so the r9 normalize_text kernel change is
+# driver-certified in the same round it lands). Rotation policy: no
+# key's driver evidence ages past ~4 rounds.
 DRIVER_WINDOW_R9: list[str] = [
     k for k in DRIVER_WINDOW_R8 if k not in DRIVER_WINDOW_R8_ACTIVE[:50]
 ]
+
+# ACTIVE window for this round's driver correctness gate (first 50).
+# r9: swapped from DRIVER_WINDOW_R8_ACTIVE (r8 ran 50/50 green,
+# CORRECTNESS_r08.json) to the staged R9 tail per VERDICT r8 item 1.
+DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R9[:50]
 
 
 def export_name(key: str) -> str:

@@ -627,3 +627,24 @@ def test_q182_attribution_conserves_purchases(spark):
     assert 1_000_000 - len(rows) <= share <= 1_000_000  # int DIV rounding
     for r in rows:
         assert r.revenue >= 0.0
+
+
+def test_broadcast_slice_cap_is_structural(spark, monkeypatch):
+    """VERDICT r8 item 5: the bounded-slice contract on every
+    driver-collected broadcast matrix must be enforced in code, not
+    prose. With the cap patched tiny, both cosine_pairs_blas and
+    q168's _mutual_best2 collect site must fail loud instead of
+    broadcasting an unbounded side."""
+    import pytest
+
+    from kinesis_logs_reader_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_ROWS", 10)
+
+    vecs = similarity.load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        similarity.cosine_pairs_blas(spark, vecs, threshold=0.99)
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        similarity.q168_mutual_nn(spark, SF_DIR).collect()
