@@ -124,6 +124,14 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the token array before shingling: the inline form
     # re-splits the text per shingle element (O(n^2) chars; 3.5x here).
     tok = docs.select("doc_id", "text", tokens().alias("_toks"))
+    # r9 partial-agg audit (VERDICT r8 item 8), measured-negative: a
+    # least()-fold over shingle indices (avoiding the per-shingle hash
+    # array) ties the array_min form within noise once run order is
+    # controlled (sf~1 head-to-head: 1.77-1.84 s array_min vs
+    # 1.85-1.97 s fold — the first A/B's 1.13 s was JVM warm-up order,
+    # not the fold). ~60% of the row is the declared ORDER BY +
+    # full-output write (0.57 s sort-free floor); per-shingle md5 is
+    # the rest. Keeping the simpler array_min form; see PERF.md.
     return (
         tok.select(
             "doc_id",

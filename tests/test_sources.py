@@ -119,3 +119,104 @@ def test_ignore_corrupt_files(spark, tmp_path):
         f.write(b"this is not a parquet file")
     df = spark.read.option("ignoreCorruptFiles", True).parquet(path)
     assert df.count() == good.count()
+
+
+def test_kinesis_connector_option_mapping():
+    """The reference's shard-iterator rule (kinesis_logs_reader.py:68-77)
+    as connector options, pinned as a pure mapping (VERDICT r8 item 7):
+    no start_time -> LATEST; start_time -> AT_TIMESTAMP + ISO timestamp;
+    caller options pass through verbatim and win over derived ones."""
+    from datetime import datetime
+
+    from kinesis_logs_reader_spark.reader import connector_options
+
+    assert connector_options("mystream", None) == {
+        "streamName": "mystream",
+        "startingPosition": "LATEST",
+    }
+
+    t = datetime(2020, 1, 2, 3, 4, 5)
+    opts = connector_options("mystream", t)
+    assert opts["startingPosition"] == "AT_TIMESTAMP"
+    assert opts["startingTimestamp"] == "2020-01-02T03:04:05"
+    assert opts["streamName"] == "mystream"
+
+    # explicit caller choice beats the derived default
+    opts = connector_options(
+        "mystream", None, {"startingPosition": "TRIM_HORIZON", "region": "x"}
+    )
+    assert opts["startingPosition"] == "TRIM_HORIZON"
+    assert opts["region"] == "x"
+
+
+def test_kinesis_connector_route_builds_streaming_reader(
+    spark, envelope_dir, monkeypatch
+):
+    """kinesis_options= must take the readStream.format("kinesis") route
+    with every option landing verbatim, and the resulting frame must be
+    STREAMING. No connector exists in this sandbox, so the stream
+    reader is intercepted at the DataStreamReader boundary and fed a
+    real binaryFile stream of CWL envelope blobs — everything downstream
+    (decode, typing) is the production path."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import readwriter as srw
+
+    from kinesis_logs_reader_spark.reader import KinesisLogsReader
+
+    captured: dict = {}
+    orig_format = srw.DataStreamReader.format
+    orig_option = srw.DataStreamReader.option
+    orig_load = srw.DataStreamReader.load
+
+    def fake_format(self, fmt):
+        if fmt == "kinesis":
+            captured["format"] = fmt
+            self._klrs_kinesis = True
+            fmt = "binaryFile"
+        return orig_format(self, fmt)
+
+    def fake_option(self, k, v):
+        if getattr(self, "_klrs_kinesis", False):
+            captured.setdefault("options", {})[k] = v
+            return self
+        return orig_option(self, k, v)
+
+    def fake_load(self, path=None, **kw):
+        if getattr(self, "_klrs_kinesis", False):
+            schema = T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("modificationTime", T.TimestampType()),
+                    T.StructField("length", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            )
+            df = (
+                spark.readStream.format("binaryFile")
+                .schema(schema)
+                .option("pathGlobFilter", "*.gz")
+                .option("recursiveFileLookup", "true")
+                .load(envelope_dir)
+            )
+            return df.select(F.col("content").alias("data"))
+        return orig_load(self, path, **kw)
+
+    monkeypatch.setattr(srw.DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(srw.DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(srw.DataStreamReader, "load", fake_load)
+
+    reader = KinesisLogsReader(
+        "mystream",
+        start_time=datetime(2020, 1, 2, 3, 4, 5),
+        spark=spark,
+        kinesis_options={"region": "us-east-1"},
+    )
+
+    assert captured["format"] == "kinesis"
+    assert captured["options"]["streamName"] == "mystream"
+    assert captured["options"]["startingPosition"] == "AT_TIMESTAMP"
+    assert captured["options"]["startingTimestamp"] == "2020-01-02T03:04:05"
+    assert captured["options"]["region"] == "us-east-1"
+    assert reader.to_df().isStreaming
