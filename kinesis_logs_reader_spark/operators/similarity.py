@@ -1436,3 +1436,99 @@ def q180_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.cum").alias("context_tokens"),
         F.expr(f"(st.cum * 1000000L) div {cap}").alias("fill_ppm"),
     ).orderBy("query_id")
+
+
+def q184_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-drift monitor (r9): route NEW arrivals against the
+    codebook frozen from the EXISTING corpus and measure, per cell,
+    load shift and distance inflation — the when-to-retrain signal an
+    incremental index (run_ann_index_sink, streaming/jobs.py) needs:
+    a cell whose arrivals sit much farther from the centroid than its
+    residents (drift_ppm >> 1e6) or whose traffic share jumped is a
+    cell the frozen codebook no longer describes.
+
+    Split is deterministic and id-spanning: vec_id % 4 == 0 are the
+    arrivals (25%), the rest are the indexed corpus. Centroids come
+    from the EXISTING rows only (the q141 fixed-cell integer recipe),
+    so arrival routing exercises exactly the incremental path. All
+    outputs are exact integers: counts, integer-ppm load shares, mean
+    d2 by integer division, drift = (mean_d2_arrivals * 1e6) div
+    mean_d2_existing (d2 ~ 1e8, x 1e6 fits int64 comfortably).
+
+    Scale shape: centroid build is a map-side-combinable agg over the
+    existing rows; routing is one broadcast join against the KB-sized
+    codebook + a (vec, cell)-bounded agg; the report is |cells| rows.
+    No all-pairs anywhere.
+
+    Reference analog: none (beyond-reference mandate; the monitoring
+    complement of q141/q167 and the batch twin of the r9 streaming
+    ANN-index sink).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 4 == 0).alias("is_arr"),
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "is_arr",
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1024 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = (
+        flat.filter(~F.col("is_arr"))
+        .groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            "dim",
+            F.floor(F.col("sum_q").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    dist = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "is_arr", "cell")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("mu")) * (F.col("q") - F.col("mu"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("is_arr", "cell", "d2")
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.sum(F.when(~F.col("is_arr"), 1).otherwise(0)).alias("n_existing"),
+        F.sum(F.when(F.col("is_arr"), 1).otherwise(0)).alias("n_arrivals"),
+        F.sum(F.when(~F.col("is_arr"), F.col("d2")).otherwise(0)).alias("s2_ex"),
+        F.sum(F.when(F.col("is_arr"), F.col("d2")).otherwise(0)).alias("s2_ar"),
+    )
+    totals = per_cell.agg(
+        F.sum("n_existing").alias("t_ex"), F.sum("n_arrivals").alias("t_ar")
+    )
+    j = per_cell.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n_existing",
+        "n_arrivals",
+        F.expr("(n_existing * 1000000L) div t_ex").alias("load_existing_ppm"),
+        F.expr("(n_arrivals * 1000000L) div t_ar").alias("load_arrivals_ppm"),
+        F.expr("s2_ex div n_existing").alias("mean_d2_existing"),
+        F.expr(
+            "CASE WHEN n_arrivals > 0 THEN s2_ar div n_arrivals END"
+        ).alias("mean_d2_arrivals"),
+        F.expr(
+            "CASE WHEN n_arrivals > 0 AND s2_ex div n_existing > 0 THEN"
+            " ((s2_ar div n_arrivals) * 1000000L) div (s2_ex div n_existing)"
+            " END"
+        ).alias("drift_ppm"),
+    )
+    return j.orderBy("cell")

@@ -1118,3 +1118,82 @@ def q171_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "mean_ppm", "lo_ppm", "hi_ppm")
         .orderBy("source")
     )
+
+
+def q183_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version vocabulary drift monitor (r9): the token-level
+    health check a pipeline runs between two corpus snapshots before
+    reusing last snapshot's tokenizer/filters — q137's event-mix drift
+    idiom applied to the vocabulary, with the report bounded to the
+    tokens that MATTER (union of each version's top-40 by frequency).
+
+    Versions are deterministic halves (doc_id % 2); per reported token:
+    exact counts and integer-ppm shares per version, the shift in ppm,
+    the add-1-smoothed log-ratio ln(p0/p1) as ONE ln of an exact int64
+    rational quantized to micro-nats (the q137/q115 idiom — bit-stable
+    cross-engine), and a status: 'new' (absent in v0), 'gone' (absent
+    in v1), else 'stable'. A tokenizer trained on v0 treats 'new'
+    high-rank tokens as byte-fallback sludge; this query is the gate
+    that catches it.
+
+    Scale shape: ONE exploded-token scan -> map-side-combinable
+    (version is an expression, not a shuffle key) per-token counts in
+    a single conditional aggregate; totals and the top-K windows run
+    over the |vocab|-bounded count frame, never corpus rows; the
+    report is <= 80 rows at any corpus size. No join touches raw
+    documents.
+
+    Reference analog: none (beyond-reference mandate; composes q137's
+    drift arithmetic with q105's vocab-bounding discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("v"),
+        F.explode(tokens()).alias("token"),
+    )
+    # The vocab-bounded count frame feeds THREE consumers (totals agg,
+    # two top-K windows); without materialization each re-derives it
+    # from a fresh corpus scan (plan-pinned: one scan). persist() here
+    # is the connected_components/edges convention — the frame is
+    # |vocab| rows of integers, MBs at any SF.
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_v0"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_v1"),
+    ).persist()
+    totals = counts.agg(
+        F.sum("n_v0").alias("t0"),
+        F.sum("n_v1").alias("t1"),
+        F.count(F.lit(1)).alias("k_vocab"),
+    )
+    w0 = Window.orderBy(F.col("n_v0").desc(), "token")
+    w1 = Window.orderBy(F.col("n_v1").desc(), "token")
+    top = (
+        counts.withColumn("r0", F.row_number().over(w0))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter((F.col("r0") <= 40) | (F.col("r1") <= 40))
+    )
+    j = top.crossJoin(F.broadcast(totals))
+    num = (F.col("n_v0") + 1) * (F.col("t1") + F.col("k_vocab"))
+    den = (F.col("n_v1") + 1) * (F.col("t0") + F.col("k_vocab"))
+    lr_micro = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * 1e6
+    ).cast("bigint")
+    return (
+        j.select(
+            "token",
+            "n_v0",
+            "n_v1",
+            F.expr("(n_v0 * 1000000L) div t0").alias("ppm_v0"),
+            F.expr("(n_v1 * 1000000L) div t1").alias("ppm_v1"),
+            (
+                F.expr("(n_v1 * 1000000L) div t1")
+                - F.expr("(n_v0 * 1000000L) div t0")
+            ).alias("shift_ppm"),
+            lr_micro.alias("lr_micro"),
+            F.when(F.col("n_v0") == 0, F.lit("new"))
+            .when(F.col("n_v1") == 0, F.lit("gone"))
+            .otherwise(F.lit("stable"))
+            .alias("status"),
+        )
+        .orderBy("token")
+    )

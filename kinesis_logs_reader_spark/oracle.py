@@ -4533,3 +4533,83 @@ FROM attributed, total t
 GROUP BY channel, t.n_total
 ORDER BY channel
 """
+
+ORACLE["q183_vocab_drift"] = """
+WITH tok AS (
+  SELECT CAST(doc_id % 2 AS INT) AS v, unnest(str_split(text, ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1
+  FROM tok GROUP BY token
+), totals AS (
+  SELECT CAST(SUM(n_v0) AS BIGINT) AS t0,
+         CAST(SUM(n_v1) AS BIGINT) AS t1,
+         COUNT(*) AS k_vocab
+  FROM counts
+), top AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY n_v0 DESC, token) AS r0,
+         ROW_NUMBER() OVER (ORDER BY n_v1 DESC, token) AS r1
+  FROM counts
+)
+SELECT token, n_v0, n_v1,
+       CAST((n_v0 * 1000000) // t0 AS BIGINT) AS ppm_v0,
+       CAST((n_v1 * 1000000) // t1 AS BIGINT) AS ppm_v1,
+       CAST((n_v1 * 1000000) // t1 - (n_v0 * 1000000) // t0 AS BIGINT) AS shift_ppm,
+       CAST(FLOOR(ln(CAST((n_v0 + 1) * (t1 + k_vocab) AS DOUBLE)
+                     / CAST((n_v1 + 1) * (t0 + k_vocab) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS lr_micro,
+       CASE WHEN n_v0 = 0 THEN 'new'
+            WHEN n_v1 = 0 THEN 'gone'
+            ELSE 'stable' END AS status
+FROM top, totals
+WHERE r0 <= 40 OR r1 <= 40
+ORDER BY token
+"""
+
+ORACLE["q184_index_drift"] = """
+WITH flat AS (
+  SELECT vec_id, (vec_id % 4 = 0) AS is_arr, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent AS (
+  SELECT label AS cell, dim,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat WHERE NOT is_arr GROUP BY label, dim
+), dist AS (
+  SELECT f.vec_id, f.is_arr, c.cell,
+         CAST(SUM((f.q - c.mu) * (f.q - c.mu)) AS BIGINT) AS d2
+  FROM flat f JOIN cent c USING (dim)
+  GROUP BY f.vec_id, f.is_arr, c.cell
+), assigned AS (
+  SELECT is_arr, cell, d2 FROM (
+    SELECT is_arr, cell, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) t WHERE rn = 1
+), per_cell AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+         CAST(SUM(CASE WHEN is_arr THEN 1 ELSE 0 END) AS BIGINT) AS n_arrivals,
+         CAST(SUM(CASE WHEN NOT is_arr THEN d2 ELSE 0 END) AS BIGINT) AS s2_ex,
+         CAST(SUM(CASE WHEN is_arr THEN d2 ELSE 0 END) AS BIGINT) AS s2_ar
+  FROM assigned GROUP BY cell
+), totals AS (
+  SELECT CAST(SUM(n_existing) AS BIGINT) AS t_ex,
+         CAST(SUM(n_arrivals) AS BIGINT) AS t_ar
+  FROM per_cell
+)
+SELECT cell, n_existing, n_arrivals,
+       CAST((n_existing * 1000000) // t_ex AS BIGINT) AS load_existing_ppm,
+       CAST((n_arrivals * 1000000) // t_ar AS BIGINT) AS load_arrivals_ppm,
+       CAST(s2_ex // n_existing AS BIGINT) AS mean_d2_existing,
+       CAST(CASE WHEN n_arrivals > 0 THEN s2_ar // n_arrivals END AS BIGINT)
+         AS mean_d2_arrivals,
+       CAST(CASE WHEN n_arrivals > 0 AND s2_ex // n_existing > 0 THEN
+              ((s2_ar // n_arrivals) * 1000000) // (s2_ex // n_existing)
+            END AS BIGINT) AS drift_ppm
+FROM per_cell, totals
+ORDER BY cell
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 188  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 190  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,9 @@ N_QUERIES = 188  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 188  # all r7/r8 additions are fully oracle-backed
+N_ORACLES = 190  # all r7-r9 additions are fully oracle-backed
+#                  r9: +q183 vocabulary drift monitor (version halves),
+#                      +q184 ANN index-drift monitor (frozen-codebook routing)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -434,8 +436,12 @@ DRIVER_WINDOW_R9: list[str] = [
 
 # ACTIVE window for this round's driver correctness gate (first 50).
 # r9: swapped from DRIVER_WINDOW_R8_ACTIVE (r8 ran 50/50 green,
-# CORRECTNESS_r08.json) to the staged R9 tail per VERDICT r8 item 1.
-DRIVER_WINDOW: list[str] = DRIVER_WINDOW_R9[:50]
+# CORRECTNESS_r08.json) to the staged R9 tail per VERDICT r8 item 1,
+# with the round's never-checked additions leading (the r7/r8
+# convention); the two stale keys they displace rotate to r10.
+DRIVER_WINDOW: list[str] = (
+    ["q183_vocab_drift", "q184_index_drift"] + DRIVER_WINDOW_R9
+)[:50]
 
 
 def export_name(key: str) -> str:

@@ -429,3 +429,125 @@ def run_admission_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming ANN-index maintenance (r9, VERDICT r8 item 9) ---------------
+
+IVF_QUANT_GRID = 1024  # floor(v*1024 + 0.5) — the q141 fixed-cell grid
+
+
+def build_ivf_codebook(spark, sf_dir: str, codebook_dir: str) -> None:
+    """Freeze the fixed-cell IVF codebook (the q141 recipe: per-label
+    integer mean of grid-quantized coordinates) to parquet, atomically
+    promoted — the one-time trainer for :func:`run_ann_index_sink`.
+
+    The codebook MUST be a frozen artifact, not a session cache: a
+    streaming index updated across restarts has to route every batch
+    with bit-identical centroids or the same vector lands in different
+    cells on different days. (cell, dim, mu) is |cells| x dim rows —
+    KBs — so every batch broadcasts it.
+    """
+    import os
+    import uuid
+
+    from kinesis_logs_reader_spark.operators.dedup import _atomic_promote
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * IVF_QUANT_GRID + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = (
+        flat.groupBy(F.col("label").alias("cell"), "dim")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            "dim",
+            F.floor(F.col("sum_q").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    tmp = f"{codebook_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    cent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _atomic_promote(tmp, codebook_dir)
+
+
+def apply_ann_index_batch(
+    batch_df: DataFrame, batch_id: int, codebook_dir: str, store_dir: str
+) -> None:
+    """One micro-batch of the streaming ANN-index update: route each
+    incoming (vec_id, embedding) to its argmin cell against the FROZEN
+    broadcast codebook — exact int64 arithmetic, the q141 routing — and
+    append (vec_id, cell, d2) to the cell-assignment store.
+
+    Replay idempotence (the q160/admission discipline): the write lands
+    in a ``batch_id=<id>`` partition with overwrite, so a checkpoint
+    replay overwrites its own rows with identical values instead of
+    duplicating them. Scale shape: per batch the work is one broadcast
+    join against a KB codebook + a batch-bounded aggregate; the
+    admitted index NEVER re-routes — each batch pays O(batch x cells x
+    dim), the incremental contract an index-maintenance job needs at
+    100 TB (a full rebuild pays O(corpus) once; this pays O(day's
+    arrivals) per day).
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    cent = spark.read.parquet(codebook_dir)
+    flat = batch_df.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * IVF_QUANT_GRID + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    dist = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("mu")) * (F.col("q") - F.col("mu"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "d2")
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_ann_index_sink(
+    vec_stream: DataFrame, checkpoint: str, codebook_dir: str, store_dir: str
+):
+    """Continuous ANN-index maintenance (streaming q141/q160 compose):
+    per micro-batch, route arrivals against the frozen codebook and
+    append their cell assignments. foreachBatch because the state is an
+    unbounded external assignment store keyed for probe joins, not a
+    watermark-boundable aggregation; probes read the store exactly like
+    q141 reads its session index."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ann_index_batch(batch_df, batch_id, codebook_dir, store_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

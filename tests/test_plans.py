@@ -740,3 +740,34 @@ def test_q170_sequential_fold_is_group_bounded(spark):
     assert "CartesianProduct" not in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         raise AssertionError(f"unexpected window in packing plan: {spec}")
+
+
+def test_q183_vocab_drift_plan_shape(spark):
+    """q183: the corpus is touched by exactly ONE exploded-token scan
+    whose counts partial-aggregate map-side; the top-K windows and
+    totals run over the vocab-bounded count frame. No cartesian, no
+    corpus-sized window, and the totals join is a broadcast."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q183_vocab_drift(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # every consumer of the vocab-count frame must read the cached
+    # relation, never re-derive it from a fresh corpus scan (the
+    # remaining "Scan parquet" occurrences in the formatted plan are
+    # the cached relation's own printed description, built ONCE)
+    assert plan.count("InMemoryTableScan") >= 2, "counts frame not shared"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q184_index_drift_plan_shape(spark):
+    """q184: centroid side reaches the distance join as a BROADCAST
+    (the codebook is KBs); no cartesian product; the per-cell report
+    aggregates partial-combine map-side."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q184_index_drift(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan

@@ -653,3 +653,70 @@ def test_admission_sink_survives_session_restart(spark, tmp_path):
     sig = spark2.read.parquet(store)
     assert sig.filter(F.col("doc_id") == 11).count() == 5
     assert sig.filter(F.col("doc_id") == 10).count() == 0
+
+
+def test_ann_index_sink_matches_batch_assignment(spark, tmp_path):
+    """Streaming ANN-index maintenance (r9): two embedding waves
+    through the foreachBatch sink must produce EXACTLY the assignments
+    the batch fixed-cell index (q141's _ivf_fixed_index) computes for
+    the same vectors — routing is exact int64, so streaming-vs-batch
+    equality is bitwise, not approximate. A replay of a batch_id is
+    idempotent."""
+    import os
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _ivf_fixed_index,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_ann_index_batch,
+        build_ivf_codebook,
+        run_ann_index_sink,
+    )
+    from tests.conftest import SF_DIR
+
+    codebook = str(tmp_path / "codebook")
+    store = str(tmp_path / "store")
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    build_ivf_codebook(spark, SF_DIR, codebook)
+    cb = spark.read.parquet(codebook)
+    assert cb.columns == ["cell", "dim", "mu"]
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "wave0")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "wave1")
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_ann_index_sink(
+        stream, str(tmp_path / "ckpt"), codebook, store
+    ).awaitTermination(120)
+
+    got = {
+        r["vec_id"]: r["cell"] for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in _ivf_fixed_index(spark, SF_DIR)["assigned"].collect()
+    }
+    assert got == want, "streaming assignments must equal batch assignments"
+
+    # replay idempotence: re-apply a batch id over the same wave
+    before = sorted(
+        map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
+    )
+    wave0 = spark.read.parquet(str(src / "wave0"))
+    apply_ann_index_batch(wave0, 0, codebook, store)
+    after = sorted(
+        map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
+    )
+    assert before == after
