@@ -1532,3 +1532,280 @@ def q184_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drift_ppm"),
     )
     return j.orderBy("cell")
+
+
+# --- q185/q187: product quantization (PQ) — codebooks, ADC scan, ----------
+# --- distortion report; q186: int8 quantization recall audit ---------------
+
+# PQ geometry: M subspaces x SUBDIM dims (M * SUBDIM = embedding dim),
+# K centroids per subspace, N_ITER Lloyd's iterations on the exact
+# integer grid (floor(v*1024+0.5)) — small enough that the DuckDB
+# oracle re-derives all four codebooks from scratch in one statement
+# (oracle._kmeans_cte with per-subspace prefixes), large enough that
+# the ADC ranking is non-trivial.
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITER = 4, 16, 8, 2
+_PQ_NQ, _PQ_TOPK = 4, 10
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train (or load) the M per-subspace codebooks: each is the exact
+    integer-grid Lloyd's run (kmeans_centroids) over the vectors'
+    SUBDIM-wide slice, persisted per (corpus fingerprint, subspace)
+    through get_or_fit_kmeans — a PQ deployment trains codebooks once
+    per corpus version and serves encode/ADC against the stored
+    tables. Returns a list of (K, SUBDIM) int64 matrices."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = []
+    for s in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        books.append(
+            get_or_fit_kmeans(
+                sub, f"pq_sub{s}", n_clusters=_PQ_K, n_iter=_PQ_ITER
+            )
+        )
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """Encode every vector to M codebook ids plus the per-subspace
+    quantization error, in ONE Arrow pass: the MxKxSUBDIM codebook
+    broadcasts (KB-sized) and each batch does M small BLAS matmuls.
+    All operands are integer-valued doubles (|q| <= 2^12, per-subspace
+    d2 <= 2^28), so distances are EXACT and argmin ties break to the
+    smaller code id identically in numpy and SQL (ORDER BY d2, cell).
+
+    Output: (vec_id, codes array<int>, d2s array<long>). At 100 TB
+    this is the map-only compression pass PQ exists for — 64 floats
+    become M bytes — and downstream ADC scans never touch the raw
+    embedding again."""
+    import numpy as np
+
+    b = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(books, dtype=np.float64)
+    )
+
+    def run(batches):
+        c = b.value  # (M, K, SD)
+        m, _, sd = c.shape
+        c_sq = (c * c).sum(axis=2)  # (M, K)
+
+        for pdf in batches:
+            x = np.floor(
+                np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+                + 0.5
+            )
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            d2s = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * sd : (s + 1) * sd]
+                d = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ c[s].T)
+                    + c_sq[s][None, :]
+                )
+                codes[:, s] = d.argmin(axis=1)
+                d2s[:, s] = d[np.arange(n), codes[:, s]].astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes.tolist()),
+                    "d2s": list(d2s.tolist()),
+                }
+            )
+
+    return emb.mapInPandas(
+        run, "vec_id long, codes array<int>, d2s array<long>"
+    )
+
+
+def q185_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): top-10 neighbors per query by summed per-subspace
+    query-to-centroid distances — the standard compressed-domain scan
+    (Jegou et al., PAMI 2011) a 100 TB vector store runs instead of
+    brute force.
+
+    Pipeline: M=4 per-subspace codebooks (integer-grid Lloyd's,
+    persisted artifacts — the q75 convention), one Arrow encode pass
+    (pq_encode), then a driver-computed (N_Q x M x K = 128-row) LUT of
+    exact integer query-subvector-to-centroid distances broadcast
+    against the exploded codes. The scan is scan+broadcast-join+
+    partial-agg: no shuffle carries more than one row per (query,
+    vector), and the raw embedding column is never read after encode.
+    The plan shape is the q184-measured winner (posexplode +
+    broadcast join + agg stays in codegen; per-row lambda folds run
+    interpreted and lose — PERF.md r9).
+
+    Oracle: re-derives all four codebooks from scratch via prefixed
+    _kmeans_cte, re-encodes, and re-ranks — bit-identical because
+    every step is exact integer arithmetic.
+
+    Reference analog: none (beyond-reference mandate; similarity-
+    search family, SURVEY §2.2 I).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, books).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    # ADC lookup table: N_Q bounded by contract (evaluation queries);
+    # the collect is N_Q rows, the LUT N_Q*M*K = 128 rows.
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _PQ_NQ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    lut_rows = []
+    for r in qrows:
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * 1024.0 + 0.5
+        )
+        for s in range(_PQ_M):
+            qs = qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            d2 = ((qs[None, :] - books[s]) ** 2).sum(axis=1).astype(np.int64)
+            for k in range(_PQ_K):
+                lut_rows.append((int(r["vec_id"]), s, k, int(d2[k])))
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, sub int, code int, d2 long"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "rk", "vec_id", "adc_d2")
+        .orderBy("qid", "rk")
+    )
+
+
+def q187_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook quality report: per (subspace, code) member count
+    and integer mean/max quantization error — the when-to-retrain
+    monitor for the q185 compressed index (a code whose mean_d2 is a
+    multiple of its siblings', or whose population collapsed, marks a
+    codebook the corpus has drifted away from; the PQ complement of
+    q184's IVF drift report).
+
+    One encode pass (shared kernel with q185), one |codes|-bounded
+    agg: M*K = 32 output rows regardless of corpus size; partial agg
+    makes the shuffle one row per (sub, code) per task.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    pairs = pq_encode(emb, books).select(
+        F.posexplode(F.arrays_zip("codes", "d2s")).alias("sub", "z")
+    ).select("sub", F.col("z.codes").alias("code"), F.col("z.d2s").alias("d2"))
+    return (
+        pairs.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2").alias("sse"),
+            F.max("d2").alias("max_d2"),
+        )
+        .select(
+            "sub",
+            "code",
+            "n_vecs",
+            F.expr("sse div n_vecs").alias("mean_d2"),
+            "max_d2",
+        )
+        .orderBy("sub", "code")
+    )
+
+
+def q186_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization recall audit: symmetric max-abs
+    scalar quantization (the standard serving compression: 4x smaller,
+    integer dot products), scored as recall@10 of the int8 ranking
+    against the exact 1024-grid reference ranking, per query.
+
+    Both rankings are integer dot products (int8 sums <= 127^2*64,
+    grid sums <= 2^30 — exact in doubles and in SQL), tie-broken by
+    vec_id, so the audit itself has no float-order hazard; the only
+    double arithmetic is the shared quantizer v * (127/max_abs), an
+    identical IEEE expression in both engines. One Arrow pass emits
+    (vec, query, both scores); the ranking shuffle carries one row per
+    (query, vector) into |Q| bounded partitions (the q167 eval-frame
+    contract: queries are an evaluation set, not the corpus).
+
+    Reference analog: none (beyond-reference mandate; the quantization
+    counterpart of q167's nprobe recall sweep).
+    """
+    import numpy as np
+
+    n_q, k = 8, 10
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    max_abs = emb.select(F.explode("embedding").alias("v")).agg(
+        F.max(F.abs(F.col("v").cast("double")))
+    ).first()[0]
+    scale = 127.0 / max_abs
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_q).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q8 = np.floor(qmat * scale + 0.5)
+    qg = np.floor(qmat * 1024.0 + 0.5)
+    b = spark.sparkContext.broadcast((qids, q8, qg, scale))
+
+    def run(batches):
+        ids, a8, ag, sc = b.value
+        nq = len(ids)
+        for pdf in batches:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            s8 = np.floor(x * sc + 0.5) @ a8.T  # (n, nq) exact ints
+            sg = np.floor(x * 1024.0 + 0.5) @ ag.T
+            vid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, nq),
+                    "qid": np.tile(ids, len(vid)),
+                    "s8": s8.reshape(-1).astype(np.int64),
+                    "sref": sg.reshape(-1).astype(np.int64),
+                }
+            )
+
+    dots = emb.mapInPandas(
+        run, "vec_id long, qid long, s8 long, sref long"
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w8 = Window.partitionBy("qid").orderBy(F.col("s8").desc(), "vec_id")
+    wr = Window.partitionBy("qid").orderBy(F.col("sref").desc(), "vec_id")
+    return (
+        dots.withColumn("rk8", F.row_number().over(w8))
+        .withColumn("rkr", F.row_number().over(wr))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rk8") <= k) & (F.col("rkr") <= k), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits_at10")
+        )
+        .select(
+            "qid",
+            "hits_at10",
+            F.expr(f"(hits_at10 * 1000000L) div {k}").alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )

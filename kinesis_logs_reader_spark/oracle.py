@@ -3387,56 +3387,62 @@ ORDER BY node
 # dependence on the persisted parquet index.
 
 
-def _kmeans_cte(n_clusters: int = 16, n_iter: int = 3, dim: int = 64) -> str:
+def _kmeans_cte(
+    n_clusters: int = 16, n_iter: int = 3, dim: int = 64, prefix: str = ""
+) -> str:
     """WITH-clause body running Lloyd's k-means over a CTE named
-    ``corpus(vec_id, embedding)``; exposes ``dist`` (vec x cell int64
-    distances to the FINAL centroids) and ``assigned`` (final cells)."""
+    ``{prefix}corpus(vec_id, embedding)``; exposes ``{prefix}dist``
+    (vec x cell int64 distances to the FINAL centroids),
+    ``{prefix}assigned`` (final cells), and ``{prefix}c{n_iter}``
+    (final centroids). ``prefix`` lets several independent trainings
+    coexist in one statement (q185's per-subspace PQ codebooks)."""
+    p = prefix
     parts = [
-        f"""flat AS (
+        f"""{p}flat AS (
   SELECT vec_id, i AS dim,
          CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
-  FROM corpus, range({dim}) t(i)
+  FROM {p}corpus, range({dim}) t(i)
 )""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
   SELECT r.cell, f.dim, f.q AS mu
   FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-        FROM corpus ORDER BY vec_id LIMIT {n_clusters}) r
-  JOIN flat f USING (vec_id)
+        FROM {p}corpus ORDER BY vec_id LIMIT {n_clusters}) r
+  JOIN {p}flat f USING (vec_id)
 )""",
     ]
     for it in range(1, n_iter + 1):
-        parts.append(f"""d{it} AS (
+        parts.append(f"""{p}d{it} AS (
   SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
-  FROM flat f JOIN c{it - 1} c USING (dim) GROUP BY f.vec_id, c.cell
+  FROM {p}flat f JOIN {p}c{it - 1} c USING (dim) GROUP BY f.vec_id, c.cell
 )""")
-        parts.append(f"""a{it} AS (
+        parts.append(f"""{p}a{it} AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM d{it}) t WHERE rn = 1
+    FROM {p}d{it}) t WHERE rn = 1
 )""")
-        parts.append(f"""m{it} AS (
+        parts.append(f"""{p}m{it} AS (
   SELECT a.cell, f.dim, SUM(f.q) AS s, COUNT(*) AS n
-  FROM a{it} a JOIN flat f USING (vec_id) GROUP BY a.cell, f.dim
+  FROM {p}a{it} a JOIN {p}flat f USING (vec_id) GROUP BY a.cell, f.dim
 )""")
         # sign-safe integer floor-mean: DuckDB // truncates toward zero
         # and % follows the dividend, so subtract the nonneg remainder
         # first — (s - ((s%n)+n)%n) is divisible by n, making // exact
         # floor division for any sign (matches Python's s // n).
-        parts.append(f"""c{it} AS (
+        parts.append(f"""{p}c{it} AS (
   SELECT c.cell, c.dim,
          COALESCE((m.s - ((m.s % m.n) + m.n) % m.n) // m.n, c.mu) AS mu
-  FROM c{it - 1} c LEFT JOIN m{it} m ON m.cell = c.cell AND m.dim = c.dim
+  FROM {p}c{it - 1} c LEFT JOIN {p}m{it} m ON m.cell = c.cell AND m.dim = c.dim
 )""")
-    parts.append(f"""dist AS (
+    parts.append(f"""{p}dist AS (
   SELECT f.vec_id, c.cell, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
-  FROM flat f JOIN c{n_iter} c USING (dim) GROUP BY f.vec_id, c.cell
+  FROM {p}flat f JOIN {p}c{n_iter} c USING (dim) GROUP BY f.vec_id, c.cell
 )""")
-    parts.append("""assigned AS (
+    parts.append(f"""{p}assigned AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM dist) t WHERE rn = 1
+    FROM {p}dist) t WHERE rn = 1
 )""")
     return ",\n".join(parts)
 
@@ -4612,4 +4618,128 @@ SELECT cell, n_existing, n_arrivals,
             END AS BIGINT) AS drift_ppm
 FROM per_cell, totals
 ORDER BY cell
+"""
+
+
+# --- q185/q187: product quantization (per-subspace k-means codebooks, ------
+# --- ADC top-k scan, distortion report); q186: int8 recall audit -----------
+# The four codebooks are re-derived FROM SCRATCH per subspace via the
+# prefixed _kmeans_cte (k=8, 2 iterations, dim=16 over the vectors'
+# sliced sub-ranges) — exact integer arithmetic end to end, so the
+# encode (subNassigned) and the ADC ranking match Spark bit-for-bit.
+
+_PQ_SUBS = ",\n".join(
+    f"""sub{s}corpus AS (
+  SELECT vec_id, embedding[{s * 16 + 1}:{(s + 1) * 16}] AS embedding
+  FROM embeddings
+),
+{_kmeans_cte(8, 2, 16, prefix=f"sub{s}")}"""
+    for s in range(4)
+)
+
+_PQ_CODES = "\nUNION ALL\n".join(
+    f"  SELECT vec_id, {s} AS sub, cell AS code FROM sub{s}assigned"
+    for s in range(4)
+)
+
+_PQ_CENTS = "\nUNION ALL\n".join(
+    f"  SELECT {s} AS sub, cell AS code, dim, mu FROM sub{s}c2"
+    for s in range(4)
+)
+
+ORACLE["q185_pq_adc"] = f"""
+WITH {_PQ_SUBS},
+codes AS (
+{_PQ_CODES}
+),
+cents AS (
+{_PQ_CENTS}
+),
+qflat AS (
+  SELECT e.vec_id AS qid, s.sub, t.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[s.sub * 16 + t.i + 1] AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, range(4) s(sub), range(16) t(i)
+  WHERE e.vec_id < 4
+),
+lut AS (
+  SELECT q.qid, q.sub, c.code,
+         CAST(SUM((q.q - c.mu) * (q.q - c.mu)) AS BIGINT) AS d2
+  FROM qflat q JOIN cents c ON c.sub = q.sub AND c.dim = q.dim
+  GROUP BY q.qid, q.sub, c.code
+),
+adc AS (
+  SELECT l.qid, k.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+  WHERE k.vec_id <> l.qid
+  GROUP BY l.qid, k.vec_id
+)
+SELECT qid, rk, vec_id, adc_d2 FROM (
+  SELECT qid, vec_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id)
+              AS INT) AS rk
+  FROM adc) t
+WHERE rk <= 10
+ORDER BY qid, rk
+"""
+
+ORACLE["q187_pq_distortion"] = f"""
+WITH {_PQ_SUBS},
+member_d2 AS (
+  {" UNION ALL ".join(
+    f'''SELECT {s} AS sub, a.cell AS code, d.d2
+  FROM sub{s}assigned a
+  JOIN sub{s}dist d ON d.vec_id = a.vec_id AND d.cell = a.cell'''
+    for s in range(4)
+  )}
+)
+SELECT sub, code,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM member_d2
+GROUP BY sub, code
+ORDER BY sub, code
+"""
+
+ORACLE["q186_int8_recall"] = """
+WITH mx AS (
+  SELECT MAX(ABS(x)) AS m
+  FROM (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+),
+flat AS (
+  SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings, range(64) t(i)
+),
+qz AS (
+  SELECT vec_id, dim,
+         CAST(FLOOR(v * (127.0 / (SELECT m FROM mx)) + 0.5) AS BIGINT) AS a,
+         CAST(FLOOR(v * 1024 + 0.5) AS BIGINT) AS g
+  FROM flat
+),
+qq AS (
+  SELECT vec_id AS qid, dim, a AS qa, g AS qg FROM qz WHERE vec_id < 8
+),
+dots AS (
+  SELECT qq.qid, z.vec_id,
+         CAST(SUM(z.a * qq.qa) AS BIGINT) AS s8,
+         CAST(SUM(z.g * qq.qg) AS BIGINT) AS sref
+  FROM qz z JOIN qq ON qq.dim = z.dim
+  WHERE z.vec_id <> qq.qid
+  GROUP BY qq.qid, z.vec_id
+),
+rk AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s8 DESC, vec_id) AS rk8,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sref DESC, vec_id) AS rkr
+  FROM dots
+)
+SELECT qid,
+       CAST(COALESCE(SUM(CASE WHEN rk8 <= 10 AND rkr <= 10 THEN 1 END), 0)
+            AS BIGINT) AS hits_at10,
+       CAST((CAST(COALESCE(SUM(CASE WHEN rk8 <= 10 AND rkr <= 10 THEN 1 END), 0)
+                  AS BIGINT) * 1000000) // 10 AS BIGINT) AS recall_ppm
+FROM rk
+GROUP BY qid
+ORDER BY qid
 """

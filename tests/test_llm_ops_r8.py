@@ -640,6 +640,11 @@ def test_broadcast_slice_cap_is_structural(spark, monkeypatch):
     from kinesis_logs_reader_spark.operators import similarity
 
     monkeypatch.setattr(similarity, "MAX_BROADCAST_ROWS", 10)
+    # q168 session-caches its best-2 frame; a warm cache from an earlier
+    # test would skip the capped collect entirely — drop it so this test
+    # exercises the enforcement path regardless of suite order.
+    for df in spark.__dict__.pop("_klrs_mutual_nn_cache", {}).values():
+        df.unpersist()
 
     vecs = similarity.load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", "embedding"

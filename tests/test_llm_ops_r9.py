@@ -108,3 +108,74 @@ def test_q184_routing_matches_frozen_codebook(spark, tmp_path):
     rows = similarity.q184_index_drift(spark, SF_DIR).collect()
     n_labels = emb.select("label").distinct().count()
     assert len(rows) == n_labels
+
+
+# --- q185/q186/q187: quantization family (r9, second batch) ----------------
+
+
+def test_q185_adc_ranks_and_recall_vs_exact(spark):
+    """ADC output: 10 rows per query, ranks are 1..10, adc_d2 is
+    non-decreasing in rank (the ranking's own sort key), and the PQ
+    approximation puts at least 4 of its 10 picks inside the EXACT
+    integer-grid ranking's best decile (~1 expected by chance;
+    measured 5-9 at sf0.01). Strict top-10 overlap is NOT pinned:
+    4 subspaces x 8 codes is a 12-bit code — a coarse quantizer whose
+    job is candidate pruning, not final ranking (the production shape
+    re-ranks ADC survivors exactly, as q141/q167 do per cell)."""
+    import numpy as np
+
+    rows = similarity.q185_pq_adc(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    emb = {
+        r["vec_id"]: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * 1024.0 + 0.5
+        )
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    for qid, rl in by_q.items():
+        rl.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rl] == list(range(1, 11))
+        d2s = [r.adc_d2 for r in rl]
+        assert d2s == sorted(d2s)
+        exact = sorted(
+            (int(((v - emb[qid]) ** 2).sum()), vid)
+            for vid, v in emb.items()
+            if vid != qid
+        )
+        decile_cut = exact[len(exact) // 10][0]
+        n_good = sum(
+            1
+            for r in rl
+            if ((emb[r.vec_id] - emb[qid]) ** 2).sum() <= decile_cut
+        )
+        assert n_good >= 4, f"qid {qid}: only {n_good}/10 in best decile"
+
+
+def test_q187_distortion_covers_corpus_and_ties_to_encode(spark):
+    """Every vector lands in exactly one (sub, code) per subspace:
+    per-sub counts sum to the corpus size; mean <= max; codes within
+    codebook range."""
+    rows = similarity.q187_pq_distortion(spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    per_sub = {}
+    for r in rows:
+        assert 0 <= r.code < 8 and 0 <= r.sub < 4
+        assert 0 <= r.mean_d2 <= r.max_d2
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_vecs
+    assert per_sub == {s: n for s in range(4)}
+
+
+def test_q186_recall_bounds_and_self_consistency(spark):
+    """recall@10 is in [0,1]; int8 at 127 levels over this corpus
+    should agree with the exact ranking on most of the top-10 —
+    pin a >= 0.5 floor per query (regression tripwire: a broken
+    quantizer scores ~k/n)."""
+    rows = similarity.q186_int8_recall(spark, SF_DIR).collect()
+    assert [r.qid for r in rows] == list(range(8))
+    for r in rows:
+        assert 0 <= r.hits_at10 <= 10
+        assert r.recall_ppm == r.hits_at10 * 1_000_000 // 10
+        assert r.hits_at10 >= 5, f"qid {r.qid} recall collapsed: {r.hits_at10}"

@@ -771,3 +771,46 @@ def test_q184_index_drift_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan
+
+
+def test_q185_pq_adc_plan_shape(spark):
+    """q185: the ADC scan is scan + encode (one MapInPandas) +
+    broadcast LUT join + partial agg — no cartesian, no corpus-sized
+    window (the top-k window partitions by qid, an evaluation-bounded
+    set), and exactly ONE Python boundary (the Arrow encode pass)."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q185_pq_adc(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, "LUT must broadcast"
+    # formatted plans print each node twice (tree + details)
+    assert plan.count("MapInPandas") == 2, "one Arrow encode pass only"
+    assert "partial_sum" in plan, "ADC sum must partial-agg map-side"
+
+
+def test_q186_int8_recall_plan_shape(spark):
+    """q186: one Arrow scoring pass; both rank windows share the SAME
+    qid partitioning (one exchange, not two); no cartesian."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q186_int8_recall(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+    assert (
+        plan.count("hashpartitioning(qid") <= 1
+    ), "rank windows must reuse one qid exchange"
+
+
+def test_q187_pq_distortion_plan_shape(spark):
+    """q187: encode pass + one bounded agg; the (sub, code) report
+    partial-aggregates map-side; no joins at all."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q187_pq_distortion(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+    assert "partial_count" in plan or "partial_sum" in plan
