@@ -77,6 +77,15 @@ def main() -> None:
             "spark.shuffle.compress": "false",
             "spark.shuffle.spill.compress": "false",
             "spark.sql.adaptive.enabled": "false",
+            # Headless benchmark: the UI's event-log/status listeners
+            # process every job/stage/SQL-execution event on the driver
+            # and retain state for thousands of bench stages — measured
+            # A/B on a 1-row noop job: mean per-job floor 103 ms (UI on)
+            # vs 44 ms (UI off), best 47.7 vs 36.6 ms (PERF.md r9).
+            # Deployment-mode conf, result-identical; interactive
+            # clusters keep the UI, a headless benchmark has no reader.
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "8",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
