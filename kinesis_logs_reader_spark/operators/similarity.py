@@ -1809,3 +1809,97 @@ def q186_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+def q188_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (r9): ADC shortlist (top-50 per query by
+    the q185 compressed-domain scan) re-ranked EXACTLY on the integer
+    grid — the production serving shape the q185 docstring points at:
+    the coarse 12-bit code prunes 90% of candidates, the exact pass
+    touches only the survivors, and the final top-10 is close to the
+    brute-force answer at a fraction of its cost. At 100 TB the first
+    stage reads M-byte codes (never raw vectors); only |Q| x 50
+    shortlist rows fetch their embeddings back.
+
+    Plan shape: the shortlist is evaluation-bounded (|Q| x 50 rows) so
+    it BROADCASTS into the embeddings scan — the corpus is pruned to
+    survivors BEFORE the posexplode, and the exact distance is a pure
+    JVM partial-agg over (qid, vec_id, dim) rows joined to the
+    broadcast quantized query table. Zero new Python boundaries beyond
+    q185's shared encode pass.
+
+    Oracle: extends the q185 oracle — same four retrained codebooks,
+    ADC CTE, rank <= 50 shortlist, then an exact grid-distance re-rank.
+
+    Reference analog: none (beyond-reference mandate; completes the
+    PQ family q185/q187).
+    """
+    shortlist_k = 50
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    books = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, books).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    import numpy as np
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _PQ_NQ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    lut_rows = []
+    qflat_rows = []
+    for r in qrows:
+        qv = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * 1024.0 + 0.5
+        )
+        for d in range(qv.shape[0]):
+            qflat_rows.append((int(r["vec_id"]), d, int(qv[d])))
+        for s in range(_PQ_M):
+            qs = qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            d2 = ((qs[None, :] - books[s]) ** 2).sum(axis=1).astype(np.int64)
+            for k in range(_PQ_K):
+                lut_rows.append((int(r["vec_id"]), s, k, int(d2[k])))
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, sub int, code int, d2 long"
+    )
+    qflat = spark.createDataFrame(qflat_rows, "qid long, dim int, q long")
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    shortlist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+        .withColumn("srk", F.row_number().over(w))
+        .filter(F.col("srk") <= shortlist_k)
+        .select("qid", "vec_id")
+    )
+    survivors = emb.join(F.broadcast(shortlist), "vec_id").select(
+        "qid",
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "qid",
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1024 + 0.5)
+        .cast("bigint")
+        .alias("g"),
+    )
+    exact = (
+        survivors.join(F.broadcast(qflat), ["qid", "dim"])
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("g") - F.col("q")) * (F.col("g") - F.col("q"))
+            ).alias("d2")
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "rk", "vec_id", "d2")
+        .orderBy("qid", "rk")
+    )

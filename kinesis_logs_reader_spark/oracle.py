@@ -4743,3 +4743,62 @@ FROM rk
 GROUP BY qid
 ORDER BY qid
 """
+
+
+ORACLE["q188_pq_reranked"] = f"""
+WITH {_PQ_SUBS},
+codes AS (
+{_PQ_CODES}
+),
+cents AS (
+{_PQ_CENTS}
+),
+gflat AS (
+  SELECT vec_id, t.i AS dim,
+         CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS g
+  FROM embeddings, range(64) t(i)
+),
+qflat AS (
+  SELECT e.vec_id AS qid, s.sub, t.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[s.sub * 16 + t.i + 1] AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings e, range(4) s(sub), range(16) t(i)
+  WHERE e.vec_id < 4
+),
+lut AS (
+  SELECT q.qid, q.sub, c.code,
+         CAST(SUM((q.q - c.mu) * (q.q - c.mu)) AS BIGINT) AS d2
+  FROM qflat q JOIN cents c ON c.sub = q.sub AND c.dim = q.dim
+  GROUP BY q.qid, q.sub, c.code
+),
+adc AS (
+  SELECT l.qid, k.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+  WHERE k.vec_id <> l.qid
+  GROUP BY l.qid, k.vec_id
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS srk
+    FROM adc) t
+  WHERE srk <= 50
+),
+qgrid AS (
+  SELECT qid, sub * 16 + dim AS dim, q FROM qflat
+),
+exact AS (
+  SELECT s.qid, s.vec_id,
+         CAST(SUM((g.g - q.q) * (g.g - q.q)) AS BIGINT) AS d2
+  FROM shortlist s
+  JOIN gflat g ON g.vec_id = s.vec_id
+  JOIN qgrid q ON q.qid = s.qid AND q.dim = g.dim
+  GROUP BY s.qid, s.vec_id
+)
+SELECT qid, rk, vec_id, d2 FROM (
+  SELECT qid, vec_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS INT) AS rk
+  FROM exact) t
+WHERE rk <= 10
+ORDER BY qid, rk
+"""

@@ -814,3 +814,18 @@ def test_q187_pq_distortion_plan_shape(spark):
     assert "Join" not in plan
     assert plan.count("MapInPandas") == 2  # one node, printed twice
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q188_pq_reranked_plan_shape(spark):
+    """q188: the evaluation-bounded shortlist BROADCASTS into the
+    embeddings scan (corpus pruned to survivors BEFORE the exact-stage
+    posexplode); the quantized query table broadcasts too; exact d2
+    partial-aggregates; one Python boundary (q185's shared encode)."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q188_pq_reranked(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+    assert plan.count("BroadcastExchange") >= 3  # LUT, shortlist, qflat
+    assert "partial_sum" in plan
