@@ -130,15 +130,23 @@ def main() -> None:
     ).save()
     q160_index_sec = round(time.perf_counter() - t0, 3)
 
+    # Interleaved passes, not back-to-back repeats (r9): the VM this
+    # runs on eats multi-minute load bursts (PERF.md r9: one run showed
+    # an alphabetically-contiguous block at 4-11x with the same queries
+    # standalone at normal speed). Back-to-back best-of-3 shares the
+    # burst across all three samples of a query; three full passes
+    # decorrelate them, so min-over-passes samples three different
+    # weather windows per query. Same total work, same warm-cache
+    # semantics (pass 0 carries each query's cold first touch).
     timings: dict[str, float] = {}
-    for name in sorted(queries):
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(N_RUNS):
+    for _ in range(N_RUNS):
+        for name in sorted(queries):
             t0 = time.perf_counter()
-            run(fn)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            run(queries[name])
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     # DuckDB side of the ≤2×-BASELINE gate, measured in the same process
     # so the driver's one recorded line carries the ratio directly
