@@ -2081,3 +2081,148 @@ def q181_eval_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-overlap estimation via KMV (k-minimum-
+    values) sketches, with the exact answer alongside as the error
+    report — the SKETCH path next to q136's exact self-join: at 100 TB
+    you cannot afford an all-pairs digest join between every pair of
+    corpus sources, but each source's 32 smallest 52-bit document-hash
+    values (a few hundred bytes) travel anywhere, merge by min-union,
+    and estimate |A∪B| and J(A,B) within ~1/sqrt(k). This is the
+    Beyer et al. (SIGMOD'07) estimator on the exact integer grid:
+    hashes are the first 13 hex chars of md5(text) (52 bits, so the
+    (k-1)*2^52 numerator fits int64), union_est = (k-1)*2^52 div M_k
+    with M_k the k-th smallest of the merged sketch, and
+    jacc_est = |sketch(A) ∩ sketch(B) ∩ merged-top-k| / k. When the
+    true union is smaller than k the sketch IS the distinct set and
+    the estimate is exact by construction (the report covers both
+    regimes; the planted cross-source duplicates make intersections
+    non-trivial).
+
+    Plan shape: ONE corpus scan -> distinct (source, h) frame
+    [1 exchange], reused three ways (per-source counts; per-source
+    top-k window over |sources| bounded partitions; exact pair
+    intersections via a keyed self-join on h — the q136 shape,
+    included only for the error columns). Sketch-side pair work is
+    |sources|^2 * k rows — KBs at any corpus size.
+
+    Reference analog: none (beyond-reference mandate; the sketch
+    family: q28 HLL, q132 count-min, q133 bloom).
+    """
+    from pyspark.sql.window import Window
+
+    k = 32
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    # the ONE shuffled frame everything reuses — session-persisted so
+    # the three consumers (counts, sketches, exact join) read the cached
+    # relation instead of re-running the distinct (the q136 convention)
+    cache = spark.__dict__.setdefault("_klrs_kmv_sh_cache", {})
+    if sf_dir not in cache:
+        for stale in list(cache):
+            cache.pop(stale).unpersist()
+        cache[sf_dir] = docs.distinct().persist()
+    sh = cache[sf_dir]
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("source", "h")
+    )
+    # exact pairwise intersections (error-report side, q136 shape)
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    pairs = (
+        per_src.alias("pa")
+        .select(
+            F.col("source").alias("source_a"), F.col("n").alias("n_a")
+        )
+        .join(
+            per_src.alias("pb").select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    # merged sketch per pair: k smallest DISTINCT h of sketch(A)∪sketch(B),
+    # tagging whether each h sits in both sides (the KMV Jaccard counter)
+    merged = (
+        sk.alias("sa")
+        .select(F.col("source").alias("source_a"), "h")
+        .join(
+            F.broadcast(
+                pairs.select("source_a", "source_b")
+            ),
+            "source_a",
+        )
+        .select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            sk.alias("sb")
+            .select(F.col("source").alias("source_b"), "h")
+            .join(
+                F.broadcast(pairs.select("source_a", "source_b")),
+                "source_b",
+            )
+            .select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
+    topk = merged.withColumn("rn", F.row_number().over(wm)).filter(
+        F.col("rn") <= k
+    )
+    est = topk.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("h").alias("m_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    two52 = 1 << 52
+    out = (
+        pairs.join(est, ["source_a", "source_b"])
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("inter_exact"), F.lit(0)).alias("inter_exact"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter_exact"), F.lit(0))).alias("union_exact"),
+            F.when(F.col("m") < k, F.col("m"))
+            .otherwise(
+                F.expr(f"({k - 1}L * {two52}L) div m_k")
+            )
+            .cast("bigint")
+            .alias("union_est"),
+            F.expr(f"(n_both * 1000000L) div {k}").alias("jacc_est_ppm"),
+        )
+        .withColumn(
+            "jacc_exact_ppm",
+            F.expr(
+                "(inter_exact * 1000000L) div (n_a + n_b - inter_exact)"
+            ),
+        )
+        .withColumn(
+            "union_err_ppm",
+            F.expr(
+                "(abs(union_est - union_exact) * 1000000L) div union_exact"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return out

@@ -4802,3 +4802,67 @@ SELECT qid, rk, vec_id, d2 FROM (
 WHERE rk <= 10
 ORDER BY qid, rk
 """
+
+
+ORACLE["q189_kmv_overlap"] = """
+WITH sh AS (
+  SELECT DISTINCT source, CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS h
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh) t
+  WHERE rn <= 32
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_exact
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT pa.source AS source_a, pa.n AS n_a, pb.source AS source_b, pb.n AS n_b
+  FROM per_src pa JOIN per_src pb ON pa.source < pb.source
+),
+merged AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM sk s JOIN pairs p ON p.source_a = s.source
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM sk s JOIN pairs p ON p.source_b = s.source) u
+  GROUP BY source_a, source_b, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT source_a, source_b, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged) t
+  WHERE rn <= 32
+),
+est AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS m_k,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM topk GROUP BY source_a, source_b
+)
+SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       COALESCE(i.inter_exact, 0) AS inter_exact,
+       p.n_a + p.n_b - COALESCE(i.inter_exact, 0) AS union_exact,
+       CAST(CASE WHEN e.m < 32 THEN e.m
+                 ELSE (31 * 4503599627370496) // e.m_k END AS BIGINT)
+         AS union_est,
+       CAST((e.n_both * 1000000) // 32 AS BIGINT) AS jacc_est_ppm,
+       CAST((COALESCE(i.inter_exact, 0) * 1000000)
+            // (p.n_a + p.n_b - COALESCE(i.inter_exact, 0)) AS BIGINT)
+         AS jacc_exact_ppm,
+       CAST((ABS(union_est - union_exact) * 1000000) // union_exact AS BIGINT)
+         AS union_err_ppm
+FROM pairs p
+JOIN est e USING (source_a, source_b)
+LEFT JOIN inter i USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 194  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 195  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,14 +46,15 @@ N_QUERIES = 194  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 194  # all r7-r9 additions are fully oracle-backed
+N_ORACLES = 195  # all r7-r9 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
 #                           integer-Lloyd's codebooks, oracle retrains all 4),
 #                      +q186 int8 quantization recall@10 audit,
 #                      +q187 PQ codebook distortion report,
-#                      +q188 two-stage PQ retrieval (ADC shortlist -> exact re-rank)
+#                      +q188 two-stage PQ retrieval (ADC shortlist -> exact re-rank),
+#                      +q189 KMV-sketch cross-source overlap (est vs exact)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -452,6 +453,7 @@ DRIVER_WINDOW: list[str] = (
         "q186_int8_recall",
         "q187_pq_distortion",
         "q188_pq_reranked",
+        "q189_kmv_overlap",
     ]
     + DRIVER_WINDOW_R9
 )[:50]

@@ -216,3 +216,39 @@ def test_q188_rerank_is_exact_and_lifts_recall(spark):
         assert hits >= 3, f"qid {qid}: recall@10 {hits}"
         total += hits
     assert total >= 20, f"two-stage recall collapsed: {total}/40"
+
+
+def test_q189_kmv_exactness_and_estimator_contract(spark):
+    """KMV overlap report invariants: (a) when the true union is
+    smaller than k=32 the sketch IS the distinct set and union_est
+    must EQUAL union_exact; (b) estimator-branch error stays inside
+    the k=32 envelope (observed max 38-66% across SFs; pinned at
+    90%); (c) n_a/n_b tie out with per-source distinct counts;
+    (d) jaccard columns are consistent ppm arithmetic."""
+    from kinesis_logs_reader_spark.operators.dedup import q189_kmv_overlap
+
+    rows = q189_kmv_overlap(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_src = docs.select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    truth = {
+        r["source"]: r["n"]
+        for r in docs.select("source", F.md5("text").alias("m"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_a == truth[r.source_a] and r.n_b == truth[r.source_b]
+        assert r.union_exact == r.n_a + r.n_b - r.inter_exact
+        if r.union_exact < 32:
+            assert r.union_est == r.union_exact
+        else:
+            assert r.union_err_ppm <= 900_000, r
+        assert 0 <= r.jacc_est_ppm <= 1_000_000
+        assert (
+            r.jacc_exact_ppm
+            == r.inter_exact * 1_000_000 // r.union_exact
+        )

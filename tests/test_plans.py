@@ -829,3 +829,17 @@ def test_q188_pq_reranked_plan_shape(spark):
     assert plan.count("MapInPandas") == 2  # one node, printed twice
     assert plan.count("BroadcastExchange") >= 3  # LUT, shortlist, qflat
     assert "partial_sum" in plan
+
+
+def test_q189_kmv_overlap_plan_shape(spark):
+    """q189: ONE persisted distinct frame feeds counts, sketches and
+    the exact join (InMemoryTableScan reuse, the q136 convention); the
+    only self-join is keyed on h; sketch-pair joins broadcast; no
+    cartesian."""
+    from kinesis_logs_reader_spark.operators.dedup import q189_kmv_overlap
+
+    df = q189_kmv_overlap(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "distinct frame must be shared"
+    assert "BroadcastExchange" in plan
