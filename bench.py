@@ -25,7 +25,12 @@ from kinesis_logs_reader_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+# 4 interleaved passes (r9): on a host with minute-scale load bursts
+# (PERF.md r9 bench-day table: same code, same data, 96-158 s across
+# five runs), min-over-N passes is the only defense — each extra pass
+# samples every query in one more weather window for ~2 min of wall
+# clock. Quiet-day cost is nil (the min saturates by pass 2).
+N_RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 
 # Benchmark runs in SCALE MODE by default (VERDICT r3 item 9): queries
 # with a pure-presentation final ORDER BY ship per-partition SORT BY
