@@ -445,6 +445,20 @@ DRIVER_WINDOW_R9: list[str] = [
 # CORRECTNESS_r08.json) to the staged R9 tail per VERDICT r8 item 1,
 # with the round's never-checked additions leading (the r7/r8
 # convention); the two stale keys they displace rotate to r10.
+# Staged r10 rotation: the seven r9 additions displace these seven
+# R9-tail keys past the [:50] cut — they lead the next round's window
+# (q98/q100/q102/q111-q114), followed by whatever r4-era keys remain
+# oldest by then. No key's driver evidence ages past ~4 rounds.
+DRIVER_WINDOW_R10_STAGED: list[str] = [
+    "q98_bm25",
+    "q100_scd2",
+    "q102_adaptive_length_filter",
+    "q111_embedding_quantize",
+    "q112_chunk_dedup",
+    "q113_blocklist_filter",
+    "q114_mixture_weights",
+]
+
 DRIVER_WINDOW: list[str] = (
     [
         "q183_vocab_drift",
