@@ -551,3 +551,115 @@ def run_ann_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- r9: streaming PQ-encode maintenance (the q185 family's sink) -----------
+
+
+def build_pq_codebooks_frozen(spark, sf_dir: str, books_dir: str) -> None:
+    """Freeze the q185 per-subspace PQ codebooks to ONE parquet table
+    (sub, code, dim, mu) with GLOBAL dim ids, atomically promoted —
+    the one-time trainer for :func:`run_pq_encode_sink`. Training
+    reuses the exact integer-grid Lloyd's runs (and their persisted
+    per-corpus-fingerprint indexes) from operators.similarity; the
+    frozen copy exists so every future batch — across restarts and
+    machines — encodes against bit-identical centroids, the same
+    frozen-artifact contract as build_ivf_codebook."""
+    import os
+    import uuid
+
+    from kinesis_logs_reader_spark.operators.dedup import _atomic_promote
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _PQ_SUBDIM,
+        _pq_codebooks,
+    )
+
+    books = _pq_codebooks(spark, sf_dir)
+    rows = [
+        (s, code, s * _PQ_SUBDIM + d, int(books[s][code][d]))
+        for s in range(len(books))
+        for code in range(books[s].shape[0])
+        for d in range(books[s].shape[1])
+    ]
+    df = spark.createDataFrame(
+        rows, "sub int, code int, dim int, mu long"
+    )
+    tmp = f"{books_dir}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _atomic_promote(tmp, books_dir)
+
+
+def apply_pq_encode_batch(
+    batch_df: DataFrame, batch_id: int, books_dir: str, store_dir: str
+) -> None:
+    """One micro-batch of streaming PQ compression: encode each
+    incoming (vec_id, embedding) to its per-subspace argmin code
+    against the FROZEN broadcast codebooks and append (vec_id, sub,
+    code, d2) to the code store — the compressed representation q185's
+    ADC scan serves from.
+
+    All-JVM plan (the q184-measured shape): posexplode -> broadcast
+    join on dim (each row meets only its own subspace's K centroids)
+    -> partial-agg distances -> per-(vec, sub) argmin window. Exact
+    int64 arithmetic, so streaming codes are bitwise equal to the
+    batch pq_encode Arrow pass (pinned in tests). Replay idempotence:
+    batch_id-partitioned overwrite, the q160 discipline. Per batch the
+    work is O(batch x K x dim) with only (vec, sub, code) rows
+    shuffling — the store grows by M small ints per vector, which is
+    the point of PQ at 100 TB.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    books = spark.read.parquet(books_dir)
+    flat = batch_df.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v").cast("double") * IVF_QUANT_GRID + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    dist = (
+        flat.join(F.broadcast(books), "dim")
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("mu")) * (F.col("q") - F.col("mu"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    encoded = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "d2")
+    )
+    encoded.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_pq_encode_sink(
+    vec_stream: DataFrame, checkpoint: str, books_dir: str, store_dir: str
+):
+    """Continuous PQ compression (streaming q185/q187 compose): per
+    micro-batch, encode arrivals against the frozen codebooks and
+    append their codes. foreachBatch for the same reason as
+    run_ann_index_sink: the state is an unbounded external code store
+    that ADC probes join against, not a watermark-boundable
+    aggregation. The q187 distortion report runs unchanged over the
+    store to decide when the frozen books need retraining."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_pq_encode_batch(batch_df, batch_id, books_dir, store_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -720,3 +720,70 @@ def test_ann_index_sink_matches_batch_assignment(spark, tmp_path):
         map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
     )
     assert before == after
+
+
+def test_pq_encode_sink_matches_batch_encode(spark, tmp_path):
+    """Streaming PQ compression (r9): two embedding waves through the
+    foreachBatch sink must produce EXACTLY the codes the batch Arrow
+    pass (similarity.pq_encode) computes — both argmins run on the
+    same integer grid against the same frozen centroids, so equality
+    is bitwise. Replaying a batch_id is idempotent."""
+    import os
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _pq_codebooks,
+        pq_encode,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_pq_encode_batch,
+        build_pq_codebooks_frozen,
+        run_pq_encode_sink,
+    )
+    from tests.conftest import SF_DIR
+
+    books_dir = str(tmp_path / "books")
+    store = str(tmp_path / "store")
+    src = tmp_path / "src"
+    os.makedirs(src)
+
+    build_pq_codebooks_frozen(spark, SF_DIR, books_dir)
+    bk = spark.read.parquet(books_dir)
+    assert set(bk.columns) == {"sub", "code", "dim", "mu"}
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "wave0")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "wave1")
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_pq_encode_sink(
+        stream, str(tmp_path / "ckpt"), books_dir, store
+    ).awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["sub"]): (r["code"], r["d2"])
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {}
+    for r in pq_encode(emb, _pq_codebooks(spark, SF_DIR)).collect():
+        for s, (c, d2) in enumerate(zip(r["codes"], r["d2s"])):
+            want[(r["vec_id"], s)] = (c, d2)
+    assert got == want, "streaming codes must equal batch Arrow encode"
+
+    # replay idempotence: re-apply batch 0 over the same wave
+    before = sorted(
+        map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
+    )
+    wave0 = spark.read.parquet(str(src / "wave0"))
+    apply_pq_encode_batch(wave0, 0, books_dir, store)
+    after = sorted(
+        map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
+    )
+    assert before == after
