@@ -109,11 +109,29 @@ def main() -> None:
     # when it touches one row. Measured directly so the one-line JSON
     # carries the total-vs-compute decomposition instead of re-telling
     # the floor story in prose: value ≈ floor_ms * n_queries + compute.
-    floor_best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(1).write.format("noop").mode("overwrite").save()
-        floor_best = min(floor_best, time.perf_counter() - t0)
+    # Quiet-window gate (r9): the host eats minute-scale load bursts
+    # that swing the strict ratio 1.8-3.3 on identical code (PERF.md r9
+    # bench-day table). Before timing anything, probe the 1-row-job
+    # floor; if the MEAN is burst-inflated, wait and re-probe (bounded)
+    # so the run starts in comparable weather. BENCH_QUIET_WAIT=0
+    # disables; the JSON records how long the gate waited.
+    def probe_floor(n: int = 10) -> tuple[float, float]:
+        best, tot = float("inf"), 0.0
+        for _ in range(n):
+            t0 = time.perf_counter()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            tot += dt
+        return best, tot / n
+
+    max_wait = float(os.environ.get("BENCH_QUIET_WAIT", "480"))
+    waited = 0.0
+    floor_best, floor_mean = probe_floor()
+    while floor_mean > 0.072 and waited < max_wait:
+        time.sleep(45)
+        waited += 45
+        floor_best, floor_mean = probe_floor()
     floor_ms = round(floor_best * 1000, 1)
 
     # q160's corpus signature index is BY CONTRACT a persisted, reused
@@ -278,6 +296,11 @@ def main() -> None:
                 # ratio is floor-dominated at sf0.1 — this records the
                 # decomposition in the driver's artifact itself
                 "floor_ms_per_query": floor_ms,
+                # quiet-window gate telemetry: mean 1-row-job floor at
+                # start (the burst detector) and seconds spent waiting
+                # for the host to calm down before timing began
+                "floor_mean_ms": round(floor_mean * 1000, 1),
+                "quiet_wait_s": round(waited, 1),
                 # fixed-SQL DuckDB canary total: drift detector across
                 # rounds (same three queries every round)
                 "duckdb_canary_sec": round(sum(canary.values()), 3),
