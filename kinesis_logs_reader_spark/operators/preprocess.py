@@ -242,6 +242,49 @@ def normalize_text(col, unicode_safe: bool = False) -> F.Column:
     return F.array_join(F.filter(F.split(c, " "), lambda x: x != ""), " ")
 
 
+def cached_canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE corpus-wide canonical-digest frame shared by every consumer
+    of the normalize → md5 kernel (VERDICT r9 item 8: q78/q90/q118
+    each recomputed it; the q46 pair-frame session-cache convention
+    applies directly).
+
+    Columns: (doc_id, lang, text_len, nt, n_stop, h) — the union of
+    what the three consumers read: q78 needs h; q118 needs doc_id,
+    text_len, h; q90's curate needs doc_id, lang, h plus the quality
+    ingredients nt (token count) and n_stop (stopword count), both
+    exact ints so the derived quality double is bit-identical to the
+    from-raw-text form. Session-persisted per sf_dir (stale corpora
+    unpersist); in a 100 TB deployment this IS the materialized
+    canonical-digest store a dedup pipeline maintains anyway (the q160
+    index convention), ~50 bytes/row vs re-running translate+md5 over
+    the full text per query.
+
+    Per-query planted variants (q78/q118's uppercased doubled-space
+    re-emissions) are NOT in this frame — they are fixed 15-row slices,
+    so each query normalizes its own plants raw; only the corpus-sized
+    side is shared.
+    """
+    from kinesis_logs_reader_spark.functions.text import (
+        n_tokens,
+        stopword_count,
+    )
+
+    cache = spark.__dict__.setdefault("_klrs_canon_digest_cache", {})
+    if sf_dir not in cache:
+        for stale in list(cache):
+            cache.pop(stale).unpersist()
+        docs = load_table(spark, sf_dir, "documents")
+        cache[sf_dir] = docs.select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("text_len"),
+            n_tokens().alias("nt"),
+            stopword_count().alias("n_stop"),
+            F.md5(normalize_text(F.col("text"))).alias("h"),
+        ).persist()
+    return cache[sf_dir]
+
+
 def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize-then-dedup: docs whose *canonical* text collides.
 
@@ -250,17 +293,27 @@ def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs with id < 15 re-emitted uppercased with doubled spaces) so
     the collision structure is guaranteed and engine-independent; the
     group-by key is the md5 of the canonical form, so the shuffle
-    carries 16-byte digests.
+    carries 16-byte digests. The corpus-sized digest side comes from
+    the shared cached_canonical_digests frame (r10); the 15 planted
+    rows normalize raw, so the kernel is still exercised end-to-end on
+    the planted path and the oracle recomputes everything from text.
     """
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    dig = cached_canonical_digests(spark, sf_dir).select(
+        F.col("h").alias("_h")
+    )
     planted = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 15)
-        .select(F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"))
+        .select(
+            F.md5(
+                normalize_text(
+                    F.regexp_replace(F.upper(F.col("text")), " ", "  ")
+                )
+            ).alias("_h")
+        )
     )
     return (
-        docs.unionByName(planted)
-        .select(F.md5(normalize_text(F.col("text"))).alias("_h"))
+        dig.unionByName(planted)
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .groupBy("n_copies")

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1582,12 +1584,29 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     Output: (vec_id, codes array<int>, d2s array<long>). At 100 TB
     this is the map-only compression pass PQ exists for — 64 floats
     become M bytes — and downstream ADC scans never touch the raw
-    embedding again."""
+    embedding again.
+
+    The codebook broadcast is memoized per codebook CONTENT (md5 of
+    the raw bytes) on the session, the _klrs_* cache convention:
+    q185/q187/q188 each call pq_encode and interleaved bench passes
+    multiply the count, so a fresh broadcast per call would slowly
+    accumulate driver-held state over a long session (ADVICE r9
+    item 2). Stale entries (new codebooks ⇒ new corpus) are destroyed
+    when a new key appears."""
     import numpy as np
 
-    b = emb.sparkSession.sparkContext.broadcast(
-        np.asarray(books, dtype=np.float64)
-    )
+    arr = np.asarray(books, dtype=np.float64)
+    key = hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest()
+    spark = emb.sparkSession
+    cache = spark.__dict__.setdefault("_klrs_pq_bcast_cache", {})
+    if key not in cache:
+        for stale in list(cache):
+            try:
+                cache.pop(stale).destroy()
+            except Exception:
+                pass
+        cache[key] = spark.sparkContext.broadcast(arr)
+    b = cache[key]
 
     def run(batches):
         c = b.value  # (M, K, SD)
@@ -1756,6 +1775,16 @@ def q186_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_abs = emb.select(F.explode("embedding").alias("v")).agg(
         F.max(F.abs(F.col("v").cast("double")))
     ).first()[0]
+    # loud-fail guard (ADVICE r9 item 4): an empty embeddings table
+    # yields max_abs=None and an all-zero corpus yields 0 — either way
+    # the int8 quantizer is undefined, so name the cause instead of
+    # surfacing a TypeError/ZeroDivisionError from the division below.
+    if max_abs is None or max_abs == 0:
+        raise ValueError(
+            "q186_int8_recall: embeddings table is empty or all-zero "
+            f"(max_abs={max_abs}); the 127/max_abs int8 quantizer is "
+            "undefined on this corpus"
+        )
     scale = 127.0 / max_abs
     qrows = sorted(
         emb.filter(F.col("vec_id") < n_q).collect(),

@@ -146,6 +146,44 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45b_fingerprint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q45's production twin (the q110b/q152b convention, VERDICT r9
+    item 5): the same fingerprint kernel, but the output is the
+    per-source digest SUMMARY a 100 TB run would actually ship —
+    |sources| rows instead of one row per document, no global ORDER BY
+    over the corpus. The r9 decomposition attributed ~60% of q45's
+    bench row to the declared ORDER BY + full 500-row-per-sf output;
+    this row isolates the kernel: tokenize -> shingle -> per-shingle
+    md5 -> array_min, then one partial-aggregable shuffle.
+
+    distinct-counts of both fingerprints force every digest to be
+    computed (nothing prunable), and n_dup_exact = n_docs -
+    n_exact_fp is the per-source exact-duplicate mass — the number a
+    dedup pipeline reads off this report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", "text", tokens().alias("_toks"))
+    fp = tok.select(
+        "source",
+        F.md5("text").alias("exact_fp"),
+        F.array_min(
+            F.transform(
+                shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
+            )
+        ).alias("shingle_fp"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("exact_fp").alias("n_exact_fp"),
+            F.countDistinct("shingle_fp").alias("n_shingle_fp"),
+        )
+        .withColumn("n_dup_exact", F.col("n_docs") - F.col("n_exact_fp"))
+        .orderBy("source")
+    )
+
+
 def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via corpus-derived token profiles.
 

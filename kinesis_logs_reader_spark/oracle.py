@@ -540,6 +540,24 @@ FROM documents
 ORDER BY doc_id
 """
 
+ORACLE["q45b_fingerprint_agg"] = f"""
+WITH fp AS (
+  SELECT source,
+         md5(text) AS exact_fp,
+         list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')
+           AS shingle_fp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT exact_fp) AS BIGINT) AS n_exact_fp,
+       CAST(COUNT(DISTINCT shingle_fp) AS BIGINT) AS n_shingle_fp,
+       CAST(COUNT(*) - COUNT(DISTINCT exact_fp) AS BIGINT) AS n_dup_exact
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
 # MinHash affine family (see functions/text.py): base = 61-bit md5 prefix
 # mod P; h_j = (A_j*base + B_j) mod P, all exact int64 in both engines.
 _MH = "list_transform(bases, x -> (x * {a} + {b}) % 2147483647)"
@@ -4855,7 +4873,7 @@ SELECT p.source_a, p.source_b, p.n_a, p.n_b,
        CAST(CASE WHEN e.m < 32 THEN e.m
                  ELSE (31 * 4503599627370496) // e.m_k END AS BIGINT)
          AS union_est,
-       CAST((e.n_both * 1000000) // 32 AS BIGINT) AS jacc_est_ppm,
+       CAST((e.n_both * 1000000) // e.m AS BIGINT) AS jacc_est_ppm,
        CAST((COALESCE(i.inter_exact, 0) * 1000000)
             // (p.n_a + p.n_b - COALESCE(i.inter_exact, 0)) AS BIGINT)
          AS jacc_exact_ppm,

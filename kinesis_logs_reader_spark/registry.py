@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 195  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 196  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 195  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 195  # all r7-r9 additions are fully oracle-backed
+N_ORACLES = 196  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -440,26 +440,11 @@ DRIVER_WINDOW_R9: list[str] = [
     k for k in DRIVER_WINDOW_R8 if k not in DRIVER_WINDOW_R8_ACTIVE[:50]
 ]
 
-# ACTIVE window for this round's driver correctness gate (first 50).
-# r9: swapped from DRIVER_WINDOW_R8_ACTIVE (r8 ran 50/50 green,
-# CORRECTNESS_r08.json) to the staged R9 tail per VERDICT r8 item 1,
-# with the round's never-checked additions leading (the r7/r8
-# convention); the two stale keys they displace rotate to r10.
-# Staged r10 rotation: the seven r9 additions displace these seven
-# R9-tail keys past the [:50] cut — they lead the next round's window
-# (q98/q100/q102/q111-q114), followed by whatever r4-era keys remain
-# oldest by then. No key's driver evidence ages past ~4 rounds.
-DRIVER_WINDOW_R10_STAGED: list[str] = [
-    "q98_bm25",
-    "q100_scd2",
-    "q102_adaptive_length_filter",
-    "q111_embedding_quantize",
-    "q112_chunk_dedup",
-    "q113_blocklist_filter",
-    "q114_mixture_weights",
-]
-
-DRIVER_WINDOW: list[str] = (
+# Round-9 ACTIVE window (historical): the seven r9 additions led,
+# followed by the staged R9 tail; ran 50/50 green (CORRECTNESS_r09).
+# The seven R9-tail keys displaced past the [:50] cut
+# (q98/q100/q102/q111-q114) are folded into the R10 window below.
+DRIVER_WINDOW_R9_ACTIVE: list[str] = (
     [
         "q183_vocab_drift",
         "q184_index_drift",
@@ -471,6 +456,98 @@ DRIVER_WINDOW: list[str] = (
     ]
     + DRIVER_WINDOW_R9
 )[:50]
+
+# ACTIVE window for this round's driver correctness gate (first 50).
+# r10 rotation (VERDICT r9 items 1 and 3). Priority order — the r4
+# lesson codified: CHANGED KERNELS JUMP THE QUEUE, age only ranks the
+# unchanged.
+#   (0) new-this-round keys (never driver-checked);
+#   (1) keys whose CODE changed after their newest driver row — the
+#       three r9 rewrites (q12 rank-window, q118 max_by+translate,
+#       q148 digit-skeleton translate) plus everything r10 touched
+#       (q189 jacc/m fix, q118/q148 again, q78/q90 digest-cache
+#       construction, q05 SHUFFLE_HASH joins);
+#   (2) the seven R9-tail keys displaced past last round's [:50] cut;
+#   (3) the 13 r4-era keys (oldest unchanged evidence on the board);
+#   (4) oldest r5-era keys fill to 50.
+# Displaced to r11: the 13 remaining r5-era keys (q37/q37b/q38/q39/
+# q41/q47/q48/q86/q88/q93/q94/q96/q99) — staged below.
+DRIVER_WINDOW: list[str] = [
+    # (0) r10 additions
+    "q45b_fingerprint_agg",
+    "q190_opq_rotation",
+    "q191_eval_split_regen",
+    # (1) changed kernels whose driver rows predate the change
+    "q12_join_self",
+    "q118_canonical_select",
+    "q148_template_mining",
+    "q189_kmv_overlap",
+    "q78_normalize_dedup",
+    "q90_curation_pipeline",
+    "q05_join_inner",
+    # (2) displaced by the r9 [:50] cut
+    "q98_bm25",
+    "q100_scd2",
+    "q102_adaptive_length_filter",
+    "q111_embedding_quantize",
+    "q112_chunk_dedup",
+    "q113_blocklist_filter",
+    "q114_mixture_weights",
+    # (3) r4-era evidence (q98 above is also r4-era)
+    "q103_approx_percentile",
+    "q31_tumbling_window",
+    "q32_sliding_window",
+    "q33_session_window",
+    "q40_dedup_exact",
+    "q42_quality_score",
+    "q43_cosine_topk",
+    "q44_ngram_jaccard",
+    "q45_fingerprint",
+    "q49_multimodal_binary",
+    "q50_cosine_dup_pairs",
+    "q51_lang_id",
+    # (4) oldest r5-era evidence
+    "q110_rrf_hybrid",
+    "q116_containment_dup",
+    "q117_zipf_fit",
+    "q120_bpe_pair_counts",
+    "q121_lang_confusion",
+    "q124_reconstruct_chunks",
+    "q125_dsir_sampling",
+    "q126_length_buckets",
+    "q127_centroid_classify",
+    "q130_span_decontamination",
+    "q132_countmin_sketch",
+    "q133_bloom_decontamination",
+    "q134_ngram_novelty",
+    "q135_jl_projection",
+    "q136_source_overlap",
+    "q137_distribution_drift",
+    "q138_heaps_law",
+    "q139_pmi_collocations",
+    "q140_weighted_sample",
+    "q35_median_segment",
+    "q35b_median_native",
+][:50]
+
+# Staged r11 rotation: the r5-era tail displaced by this round's
+# window, plus whatever r10 changes by then. Per the rotation policy
+# (~4-round evidence cap) these become the oldest keys after r10.
+DRIVER_WINDOW_R11_STAGED: list[str] = [
+    "q37_zscore",
+    "q37b_zscore_window",
+    "q38_price_histogram",
+    "q39_mode_per_group",
+    "q41_token_stats",
+    "q47_simhash",
+    "q48_ann_ivf",
+    "q86_unpivot",
+    "q88_date_spine",
+    "q93_domain_mix",
+    "q94_pack_sequences",
+    "q96_stratified_sample",
+    "q99_centroid_outliers",
+]
 
 
 def export_name(key: str) -> str:

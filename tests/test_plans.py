@@ -843,3 +843,42 @@ def test_q189_kmv_overlap_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan, "distinct frame must be shared"
     assert "BroadcastExchange" in plan
+
+
+def test_q05_join_inner_uses_shuffled_hash(spark):
+    """r10 weak-row audit (VERDICT r9 item 4): both equi-joins carry a
+    SHUFFLE_HASH hint — SMJ's sort of both shuffled sides measured 18%
+    slower at sf~1 for a one-shot join feeding a hash aggregate. Pin
+    the physical strategy so a silent fallback to SMJ (or a fact-side
+    broadcast) is caught."""
+    df = relational.q05_join_inner(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan, "orders/cust are fact-sized"
+
+
+def test_q45b_fingerprint_agg_plan_shape(spark):
+    """q45b (q45's production twin): the fingerprint kernel + ONE
+    partial-aggregable shuffle on source; no join, no corpus-wide
+    global sort (the tiny final ORDER BY over |sources| rows rides the
+    single aggregate exchange)."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q45b_fingerprint_agg(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Join" not in plan
+    assert "partial_count" in plan, "distinct counts must partial-agg"
+
+
+def test_canonical_digest_frame_shared_across_consumers(spark):
+    """VERDICT r9 item 8: q78/q90/q118 must all read the ONE persisted
+    canonical-digest frame (InMemoryTableScan) instead of re-running
+    translate+md5 over the corpus text per query."""
+    from kinesis_logs_reader_spark.operators.dedup import q118_canonical_select
+    from kinesis_logs_reader_spark.operators.pipeline import q90_curation_pipeline
+    from kinesis_logs_reader_spark.operators.preprocess import q78_normalize_dedup
+
+    for fn in (q78_normalize_dedup, q90_curation_pipeline, q118_canonical_select):
+        plan = explain.formatted_plan(fn(spark, SF_DIR))
+        assert "InMemoryTableScan" in plan, fn.__name__
