@@ -1996,3 +1996,83 @@ def q179_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q191_eval_split_regen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware eval-split REGENERATION (q164 × q181 closed
+    into a loop, VERDICT r9 item 9): when the placement audit (q181)
+    finds stratified eval picks (q178) whose near-dup cluster lands in
+    'train'/'val' under the cluster-safe split (q164), the next step a
+    real pipeline takes is not a report — it re-draws the manifest.
+    Per (length-bucket × difficulty-decile) cell, re-rank only the
+    ELIGIBLE documents (cluster-safe split == 'test') by the same
+    deterministic min-md5 pick key and take the cell's quota (2).
+    Because eligible ⊆ all and the pick key is unchanged, an original
+    pick that was already safe keeps its slot (status 'kept'); unsafe
+    picks are replaced by the next eligible docs ('replacement'); a
+    cell with n_eligible < 2 cannot be filled and surfaces as such —
+    the three outcomes a manifest regenerator must distinguish.
+
+    Scale shape: the difficulty grid rides q115's corpus scoring pass;
+    the split column is the q164 kernel (edge-bounded cluster frame
+    joined in, then a pure hash expression); re-ranking is per-cell
+    windows over cell-bounded partitions; the kept/replacement join is
+    manifest-sized (≤ 2 rows per cell) on both sides. Nothing
+    corpus-sized shuffles beyond the scoring pass itself.
+
+    Oracle: composes the shared _CLUSTER_SPLIT_CTES with q178's
+    scoring CTEs and re-derives the eligible re-pick in SQL.
+
+    Reference analog: none (beyond-reference mandate; split hygiene,
+    SURVEY §2.2 I).
+    """
+    from kinesis_logs_reader_spark.operators.dedup import (
+        cluster_safe_assignment,
+    )
+    from kinesis_logs_reader_spark.operators.textstats import q115_unigram_lm
+
+    scored = q115_unigram_lm(spark, sf_dir).select(
+        "doc_id", "n_tok", "avg_logprob"
+    )
+    bucketed = scored.withColumn("len_bucket", F.expr("n_tok div 64"))
+    w_rank = Window.partitionBy("len_bucket").orderBy("avg_logprob", "doc_id")
+    w_cnt = Window.partitionBy("len_bucket")
+    with_dec = (
+        bucketed.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("difficulty_decile", F.expr("((rn - 1) * 10) div cnt"))
+        .select("doc_id", "len_bucket", "difficulty_decile")
+    )
+    # original manifest: q178's pick rule over every doc in the cell
+    w_pick = Window.partitionBy("len_bucket", "difficulty_decile").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    orig = (
+        with_dec.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") <= 2)
+        .select("doc_id", F.lit(1).alias("was_orig"))
+    )
+    assign = cluster_safe_assignment(spark, sf_dir).select("doc_id", "split")
+    eligible = with_dec.join(assign, "doc_id").filter(
+        F.col("split") == "test"
+    )
+    w_cell = Window.partitionBy("len_bucket", "difficulty_decile")
+    regen = (
+        eligible.withColumn("pick", F.row_number().over(w_pick))
+        .withColumn("n_eligible", F.count(F.lit(1)).over(w_cell))
+        .filter(F.col("pick") <= 2)
+    )
+    return (
+        regen.join(orig, "doc_id", "left")
+        .select(
+            "len_bucket",
+            "difficulty_decile",
+            F.col("pick").alias("rank"),
+            "doc_id",
+            F.when(F.col("was_orig") == 1, F.lit("kept"))
+            .otherwise(F.lit("replacement"))
+            .alias("status"),
+            "n_eligible",
+        )
+        .orderBy("len_bucket", "difficulty_decile", "rank")
+    )

@@ -1932,3 +1932,113 @@ def q188_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rk", "vec_id", "d2")
         .orderBy("qid", "rk")
     )
+
+
+def _opq_permutation(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Balanced-variance dimension allocation — the deterministic
+    OPQ-style pre-rotation (Ge et al., CVPR'13 §4's dimension-
+    allocation insight, without the iterative SVD): rank dimensions by
+    exact integer variance numerator vn = n*Σq² − (Σq)² on the 1024
+    grid, then deal them round-robin into the M subspaces (rank r →
+    subspace r % M, slot r div M), so every codebook trains on an
+    equal share of the corpus variance instead of whatever the raw
+    dimension order happens to put in its contiguous slice.
+
+    Returns the permutation as a list of original dim indices in
+    (subspace, slot) order. The collect is DIM-bounded (64 rows) by
+    contract. int64 bound: |q| ≤ 2^12 ⇒ n*Σq² < 2^63 for any training
+    sample up to ~2^26 vectors — and rotation/codebook training is
+    sample-based at 100 TB anyway (the q75 convention: train once on a
+    bounded sample, persist, serve assignment-only).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    grid = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 1024 + F.lit(0.5)).cast("bigint"),
+    )
+    varn = (
+        emb.select(F.posexplode(grid).alias("dim", "q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("q") * F.col("q")).alias("sq"),
+            F.sum("q").alias("s"),
+        )
+        .select(
+            "dim",
+            (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).alias("vn"),
+        )
+    )
+    ranked = sorted(varn.collect(), key=lambda r: (-r["vn"], r["dim"]))
+    by_sub: list[list[int]] = [[] for _ in range(_PQ_M)]
+    for r, row in enumerate(ranked):
+        by_sub[r % _PQ_M].append(row["dim"])
+    return [d for sub in by_sub for d in sub]
+
+
+def q190_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with an OPQ-style balanced-variance dimension permutation
+    (closing the quantization family, VERDICT r9 item 9): permute
+    dimensions so each of the M=4 subspaces holds an equal share of
+    the corpus variance, retrain the per-subspace codebooks on the
+    permuted vectors, and emit the same (sub, code, n_vecs, mean_d2,
+    max_d2) distortion report as q187 — directly comparable, so the
+    report pair IS the rotate-or-not evidence a 100 TB vector store
+    weighs before re-encoding.
+
+    Plan shape: one DIM-bounded variance pass (64-row collect by
+    contract), the permutation applied as a JVM array projection
+    riding the encode scan (no extra pass), then q187's encode +
+    |codes|-bounded partial agg. Codebooks persist under opq_sub{s}
+    keys (the q75/q185 artifact convention).
+
+    Oracle: re-derives the variance ranking, the round-robin
+    allocation, the permuted vectors (list(v ORDER BY slot)), and all
+    four codebooks from scratch via prefixed _kmeans_cte — exact
+    integer arithmetic end to end, bit-identical.
+
+    Reference analog: none (beyond-reference mandate; similarity-
+    search family, SURVEY §2.2 I).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    perm = _opq_permutation(spark, sf_dir)
+    emb_perm = emb.select(
+        "vec_id",
+        F.array(*[F.col("embedding").getItem(d) for d in perm]).alias(
+            "embedding"
+        ),
+    )
+    books = []
+    for s in range(_PQ_M):
+        sub = emb_perm.select(
+            "vec_id",
+            F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "embedding"
+            ),
+        )
+        books.append(
+            get_or_fit_kmeans(
+                sub, f"opq_sub{s}", n_clusters=_PQ_K, n_iter=_PQ_ITER
+            )
+        )
+    pairs = pq_encode(emb_perm, books).select(
+        F.posexplode(F.arrays_zip("codes", "d2s")).alias("sub", "z")
+    ).select("sub", F.col("z.codes").alias("code"), F.col("z.d2s").alias("d2"))
+    return (
+        pairs.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2").alias("sse"),
+            F.max("d2").alias("max_d2"),
+        )
+        .select(
+            "sub",
+            "code",
+            "n_vecs",
+            F.expr("sse div n_vecs").alias("mean_d2"),
+            "max_d2",
+        )
+        .orderBy("sub", "code")
+    )

@@ -4884,3 +4884,115 @@ JOIN est e USING (source_a, source_b)
 LEFT JOIN inter i USING (source_a, source_b)
 ORDER BY source_a, source_b
 """
+
+# --- q190: OPQ-style balanced-variance rotation before PQ -------------------
+# Re-derives from scratch: per-dim integer variance numerator on the
+# 1024 grid, round-robin allocation of variance-ranked dims to the 4
+# subspaces, permuted vectors via list(v ORDER BY slot), then 4 fresh
+# prefixed _kmeans_cte trainings on the permuted sub-ranges — the same
+# distortion report shape as q187, bit-identical to Spark.
+
+_OPQ_ALLOC = """gridall AS (
+  SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS v,
+         CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), varn AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) * CAST(SUM(q * q) AS BIGINT)
+           - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT) AS vn
+  FROM gridall GROUP BY dim
+), asg AS (
+  SELECT dim,
+         CAST((ROW_NUMBER() OVER (ORDER BY vn DESC, dim) - 1) % 4 AS INT) AS sub,
+         CAST((ROW_NUMBER() OVER (ORDER BY vn DESC, dim) - 1) // 4 AS INT) AS slot
+  FROM varn
+)"""
+
+_OPQ_SUBS = ",\n".join(
+    f"""opq{s}corpus AS (
+  SELECT g.vec_id, list(g.v ORDER BY a.slot) AS embedding
+  FROM gridall g JOIN asg a USING (dim)
+  WHERE a.sub = {s}
+  GROUP BY g.vec_id
+),
+{_kmeans_cte(8, 2, 16, prefix=f"opq{s}")}"""
+    for s in range(4)
+)
+
+ORACLE["q190_opq_rotation"] = f"""
+WITH {_OPQ_ALLOC},
+{_OPQ_SUBS},
+member_d2 AS (
+  {" UNION ALL ".join(
+    f'''SELECT {s} AS sub, a.cell AS code, d.d2
+  FROM opq{s}assigned a
+  JOIN opq{s}dist d ON d.vec_id = a.vec_id AND d.cell = a.cell'''
+    for s in range(4)
+  )}
+)
+SELECT sub, code,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(SUM(d2) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM member_d2
+GROUP BY sub, code
+ORDER BY sub, code
+"""
+
+# --- q191: contamination-aware eval-split regeneration (q164 x q181 loop) ---
+ORACLE["q191_eval_split_regen"] = f"""
+WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
+tok2 AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+), counts2 AS (
+  SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
+), total2 AS (
+  SELECT SUM(c) AS tot FROM counts2
+), lp2 AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
+  FROM counts2, total2
+), agg2 AS (
+  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
+  FROM tok2 JOIN lp2 USING (t)
+  GROUP BY doc_id
+), scored2 AS (
+  SELECT doc_id, n_tok // 64 AS len_bucket,
+         CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
+              AS DOUBLE) AS avg_logprob
+  FROM agg2
+), with_dec2 AS (
+  SELECT doc_id, len_bucket,
+         ((ROW_NUMBER() OVER (PARTITION BY len_bucket
+                              ORDER BY avg_logprob, doc_id) - 1) * 10)
+           // (COUNT(*) OVER (PARTITION BY len_bucket)) AS difficulty_decile
+  FROM scored2
+), orig AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY len_bucket, difficulty_decile
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS pick
+    FROM with_dec2) t
+  WHERE pick <= 2
+), elig AS (
+  SELECT w.doc_id, w.len_bucket, w.difficulty_decile,
+         ROW_NUMBER() OVER (PARTITION BY w.len_bucket, w.difficulty_decile
+                            ORDER BY md5(CAST(w.doc_id AS VARCHAR)), w.doc_id)
+           AS pick,
+         COUNT(*) OVER (PARTITION BY w.len_bucket, w.difficulty_decile)
+           AS n_eligible
+  FROM with_dec2 w JOIN assigned a USING (doc_id)
+  WHERE a.split = 'test'
+)
+SELECT CAST(e.len_bucket AS BIGINT) AS len_bucket,
+       CAST(e.difficulty_decile AS BIGINT) AS difficulty_decile,
+       CAST(e.pick AS INT) AS rank,
+       e.doc_id,
+       CASE WHEN o.doc_id IS NOT NULL THEN 'kept' ELSE 'replacement' END
+         AS status,
+       CAST(e.n_eligible AS BIGINT) AS n_eligible
+FROM elig e LEFT JOIN orig o ON o.doc_id = e.doc_id
+WHERE e.pick <= 2
+ORDER BY 1, 2, 3
+"""

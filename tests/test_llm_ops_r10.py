@@ -151,3 +151,112 @@ def test_q186_raises_cleanly_on_all_zero_corpus(spark, tmp_path):
     ).write.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="empty or all-zero"):
         similarity.q186_int8_recall(spark, sf_dir)
+
+
+# --- q190: OPQ-style balanced-variance rotation -------------------------
+
+
+def test_q190_report_shape_and_conservation(spark):
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        q190_opq_rotation,
+    )
+
+    rows = q190_opq_rotation(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert {r.sub for r in rows} == set(range(_PQ_M))
+    for r in rows:
+        assert 0 <= r.code < _PQ_K
+        assert r.n_vecs > 0 and r.mean_d2 >= 0 and r.max_d2 >= r.mean_d2
+    per_sub = {}
+    for r in rows:
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_vecs
+    assert all(v == n_corpus for v in per_sub.values()), per_sub
+
+
+def test_q190_permutation_balances_subspace_variance(spark):
+    """The point of the rotation: the per-subspace variance spread
+    under the round-robin allocation must not exceed the contiguous
+    slicing q185 uses (it is roughly 2-3x tighter on the fixtures)."""
+    from kinesis_logs_reader_spark.operators.similarity import (
+        _PQ_M,
+        _PQ_SUBDIM,
+        _opq_permutation,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding")
+    grid = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 1024 + F.lit(0.5)).cast("bigint"),
+    )
+    vn = {
+        r["dim"]: r["vn"]
+        for r in emb.select(F.posexplode(grid).alias("dim", "q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("q") * F.col("q")).alias("sq"),
+            F.sum("q").alias("s"),
+        )
+        .select(
+            "dim", (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).alias("vn")
+        )
+        .collect()
+    }
+    perm = _opq_permutation(spark, SF_DIR)
+    assert sorted(perm) == list(range(len(vn))), "must be a permutation"
+    rot = [
+        sum(vn[d] for d in perm[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM])
+        for s in range(_PQ_M)
+    ]
+    plain = [
+        sum(vn[d] for d in range(s * _PQ_SUBDIM, (s + 1) * _PQ_SUBDIM))
+        for s in range(_PQ_M)
+    ]
+    assert max(rot) - min(rot) <= max(plain) - min(plain)
+
+
+# --- q191: eval-split regeneration --------------------------------------
+
+
+def test_q191_regenerated_manifest_is_leakage_safe(spark):
+    """Every regenerated pick must sit in 'test' under the cluster-safe
+    assignment — the property whose violation triggered regeneration."""
+    from kinesis_logs_reader_spark.operators.curation import (
+        q191_eval_split_regen,
+    )
+    from kinesis_logs_reader_spark.operators.dedup import (
+        cluster_safe_assignment,
+    )
+
+    regen = q191_eval_split_regen(spark, SF_DIR)
+    assign = cluster_safe_assignment(spark, SF_DIR).select("doc_id", "split")
+    bad = regen.join(assign, "doc_id").filter(F.col("split") != "test")
+    assert bad.isEmpty()
+
+
+def test_q191_status_vs_original_manifest(spark):
+    """'kept' rows are exactly the regenerated picks present in q178's
+    original manifest; 'replacement' rows are new; both statuses occur
+    on the fixture corpus; per-cell quota is min(2, n_eligible)."""
+    from collections import Counter
+
+    from kinesis_logs_reader_spark.operators.curation import (
+        q178_stratified_eval_sample,
+        q191_eval_split_regen,
+    )
+
+    rows = q191_eval_split_regen(spark, SF_DIR).collect()
+    orig = {
+        r.doc_id for r in q178_stratified_eval_sample(spark, SF_DIR).collect()
+    }
+    statuses = Counter(r.status for r in rows)
+    assert statuses["kept"] > 0 and statuses["replacement"] > 0, statuses
+    cells = {}
+    for r in rows:
+        assert (r.status == "kept") == (r.doc_id in orig), r
+        assert 1 <= r.rank <= 2 and r.n_eligible >= 1
+        cells.setdefault((r.len_bucket, r.difficulty_decile), []).append(r)
+    for cell, members in cells.items():
+        assert len(members) == min(2, members[0].n_eligible), (cell, members)

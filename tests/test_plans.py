@@ -882,3 +882,37 @@ def test_canonical_digest_frame_shared_across_consumers(spark):
     for fn in (q78_normalize_dedup, q90_curation_pipeline, q118_canonical_select):
         plan = explain.formatted_plan(fn(spark, SF_DIR))
         assert "InMemoryTableScan" in plan, fn.__name__
+
+
+def test_q190_opq_rotation_plan_shape(spark):
+    """q190: the permutation is a JVM array projection riding the
+    encode scan (ONE Arrow boundary, q187's shape); the distortion
+    report partial-aggregates; no join, no cartesian."""
+    from kinesis_logs_reader_spark.operators.similarity import q190_opq_rotation
+
+    df = q190_opq_rotation(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q191_eval_split_regen_plan_shape(spark):
+    """q191: every window spec partitions by a real key (len_bucket /
+    cell / cluster label) — no unpartitioned corpus window; the only
+    SinglePartition exchanges carry q115's 1-row normalizing total.
+    No cartesian."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.curation import q191_eval_split_regen
+
+    df = q191_eval_split_regen(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-cell rank windows"
+    for s in specs:
+        assert "len_bucket" in s or "node" in s or "cluster" in s, (
+            f"unpartitioned window spec: {s}"
+        )
