@@ -1591,8 +1591,8 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     q185/q187/q188 each call pq_encode and interleaved bench passes
     multiply the count, so a fresh broadcast per call would slowly
     accumulate driver-held state over a long session (ADVICE r9
-    item 2). Stale entries (new codebooks ⇒ new corpus) are destroyed
-    when a new key appears."""
+    item 2). Eviction is unpersist-only beyond a small cap — see the
+    inline note."""
     import numpy as np
 
     arr = np.asarray(books, dtype=np.float64)
@@ -1600,11 +1600,15 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     spark = emb.sparkSession
     cache = spark.__dict__.setdefault("_klrs_pq_bcast_cache", {})
     if key not in cache:
-        for stale in list(cache):
-            try:
-                cache.pop(stale).destroy()
-            except Exception:
-                pass
+        # Never destroy(): DIFFERENT codebook sets legitimately coexist
+        # in one session (pq_sub* and opq_sub* — q185/q187/q188 vs
+        # q190), and a memoized DataFrame built against an earlier set
+        # would hit use-after-destroy on execution. Each entry is
+        # KB-sized; beyond a small cap, evict oldest with unpersist()
+        # — executors drop their copies, but the broadcast stays valid
+        # and lazily re-ships if an old plan runs again.
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache))).unpersist()
         cache[key] = spark.sparkContext.broadcast(arr)
     b = cache[key]
 
