@@ -485,6 +485,7 @@ DRIVER_WINDOW: list[str] = [
     "q78_normalize_dedup",
     "q90_curation_pipeline",
     "q05_join_inner",
+    "q07_join_left_outer",  # r10 agg-then-join rewrite (soak 26x audit)
     # (2) displaced by the r9 [:50] cut
     "q98_bm25",
     "q100_scd2",
@@ -534,6 +535,7 @@ DRIVER_WINDOW: list[str] = [
 # window, plus whatever r10 changes by then. Per the rotation policy
 # (~4-round evidence cap) these become the oldest keys after r10.
 DRIVER_WINDOW_R11_STAGED: list[str] = [
+    "q35b_median_native",  # displaced by q07's r10 rewrite jumping the queue
     "q37_zscore",
     "q37b_zscore_window",
     "q38_price_histogram",

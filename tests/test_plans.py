@@ -916,3 +916,15 @@ def test_q191_eval_split_regen_plan_shape(spark):
         assert "len_bucket" in s or "node" in s or "cluster" in s, (
             f"unpartitioned window spec: {s}"
         )
+
+
+def test_q07_aggregates_before_join(spark):
+    """r10 weak-row audit: the per-customer order rollup must aggregate
+    BEFORE the left join (map-side combine collapses ~10 orders/customer
+    ahead of any exchange; measured −64% at sf~1). The old plan grouped
+    the joined frame by c_custkey — pin that no aggregate keys on the
+    customer side remain."""
+    df = relational.q07_join_left_outer(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "partial_count" in plan, "order rollup must partial-agg"
+    assert "Keys: [c_custkey" not in plan, "aggregation must run pre-join"
