@@ -2239,3 +2239,62 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
     return out
+
+
+def q151b_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q151's production twin (the q110b/q152b convention): forecast
+    the LSH candidate-pair volume from band-bucket sizes WITHOUT
+    materializing a single pair — per band, Σ C(n,2) over its digest
+    buckets plus occupancy stats. At 100 TB this is the monitor you
+    run BEFORE committing to the pair self-join: a band whose
+    pairs_forecast explodes (one boilerplate digest with 10^6 members
+    ⇒ 5·10^11 pairs) says "route this bucket to q74's components /
+    cap it", and the answer costs one digest-keyed aggregate instead
+    of the quadratic join q151 diagnoses after the fact.
+
+    Same corpus and band recipe as q46 (_planted_docs, 8-way MinHash,
+    4 bands of 2, banded_digest's NULL contract — short docs' NULL
+    digests drop identically in both engines). Plan: signature stages
+    ride the scan per-row; ONE (band, digest)-keyed partial-agg
+    exchange; the per-band rollup is 4 rows.
+
+    Reference analog: none (beyond-reference mandate; dedup family,
+    SURVEY §2.2 I — the scale complement of q151's degree histogram).
+    """
+    from kinesis_logs_reader_spark.functions.text import (
+        band_hashes,
+        minhash_signature,
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    docs = _planted_docs(spark, sf_dir)
+    tok = docs.select("doc_id", token_base_hashes().alias("tb"))
+    based = tok.select(
+        "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
+    )
+    sig = based.select(
+        "doc_id", *minhash_signature(F.col("bases"), num_hashes=8)
+    )
+    banded = sig.select(
+        "doc_id", *band_hashes(num_hashes=8, rows_per_band=2)
+    )
+    bands_long = banded.select(
+        F.expr(
+            "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+            " AS (band_idx, digest)"
+        )
+    ).filter(F.col("digest").isNotNull())
+    buckets = bands_long.groupBy("band_idx", "digest").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).alias("pairs_forecast"),
+        )
+        .orderBy("band_idx")
+    )

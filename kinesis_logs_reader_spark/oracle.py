@@ -4996,3 +4996,28 @@ FROM elig e LEFT JOIN orig o ON o.doc_id = e.doc_id
 WHERE e.pick <= 2
 ORDER BY 1, 2, 3
 """
+
+
+# --- q151b: LSH candidate-pair volume forecast from bucket sizes ------------
+# Reuses q46's signature/band CTE chain verbatim (same corpus, same
+# band recipe, same NULL-digest drop), replacing the pair self-join
+# with a bucket-size rollup: per band, sum C(n,2) — the pre-join
+# affordability monitor.
+_BANDS_PREFIX = ORACLE["q46_minhash_lsh"].rsplit("SELECT DISTINCT", 1)[0]
+
+ORACLE["q151b_candidate_volume"] = f"""
+{_BANDS_PREFIX}, buckets AS (
+  SELECT band_idx, digest, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands
+  WHERE digest IS NOT NULL
+  GROUP BY band_idx, digest
+)
+SELECT band_idx,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs_forecast
+FROM buckets
+GROUP BY band_idx
+ORDER BY band_idx
+"""

@@ -260,3 +260,33 @@ def test_q191_status_vs_original_manifest(spark):
         cells.setdefault((r.len_bucket, r.difficulty_decile), []).append(r)
     for cell, members in cells.items():
         assert len(members) == min(2, members[0].n_eligible), (cell, members)
+
+
+# --- q151b: candidate-volume forecast ------------------------------------
+
+
+def test_q151b_forecast_dominates_realized_pairs(spark):
+    """Sum of per-band C(n,2) forecasts must upper-bound the realized
+    distinct candidate-pair count (every q46 pair collides in >= 1
+    band; pairs colliding in several bands are counted once per band
+    by the forecast). Occupancy columns must tie out."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _planted_docs,
+        q151b_candidate_volume,
+    )
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _cached_minhash_pairs,
+    )
+
+    rows = q151b_candidate_volume(spark, SF_DIR).collect()
+    assert {r.band_idx for r in rows} == {0, 1, 2, 3}
+    n_corpus = _planted_docs(spark, SF_DIR).count()
+    for r in rows:
+        assert r.n_docs <= n_corpus
+        assert r.n_buckets <= r.n_docs
+        assert r.max_bucket >= 1
+        assert r.pairs_forecast >= 0
+    realized = _cached_minhash_pairs(spark, SF_DIR).count()
+    assert sum(r.pairs_forecast for r in rows) >= realized
+    # planted exact copies guarantee at least one colliding bucket
+    assert any(r.pairs_forecast > 0 for r in rows)

@@ -928,3 +928,16 @@ def test_q07_aggregates_before_join(spark):
     plan = explain.formatted_plan(df)
     assert "partial_count" in plan, "order rollup must partial-agg"
     assert "Keys: [c_custkey" not in plan, "aggregation must run pre-join"
+
+
+def test_q151b_candidate_volume_no_pair_join(spark):
+    """q151b's whole point: the volume forecast comes from bucket-size
+    aggregates — the plan may not contain ANY join (q151/q46 pay the
+    pair self-join; this is the pre-join affordability monitor)."""
+    from kinesis_logs_reader_spark.operators.dedup import q151b_candidate_volume
+
+    df = q151b_candidate_volume(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
