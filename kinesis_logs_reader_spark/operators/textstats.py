@@ -239,13 +239,32 @@ def q61_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kinesis_logs_reader_spark.functions.text import MINHASH_P, token_base_hashes
 
+    import string
+
     docs = load_table(spark, sf_dir, "documents")
+    # r10: count lexer tokens WITHOUT the alternation regex. Collapse
+    # the alphabet first via translate (letters→'a', digits→'0', every
+    # other printable ASCII→'s'), collapse 'a'/'0' RUNS with two
+    # literal-class regexes on the 4-symbol string, drop spaces; the
+    # remaining length IS the token count. Semantically identical to
+    # regexp_count("[a-z]+|[0-9]+|[^a-z0-9 ]") for ANY input — letter/
+    # digit runs collapse to one in both forms, every other codepoint
+    # (incl. uppercase and non-ASCII, which translate leaves unmapped
+    # and the regex matches singly) counts one in both forms. sf~1
+    # interleaved A/B: 1.41/1.46 s (alternation regex) → 1.17/1.27 s
+    # (−15%); values identical on all 50k rows.
+    _src = string.ascii_lowercase + string.digits
+    _dst = "a" * 26 + "0" * 10
+    _other = "".join(
+        chr(i) for i in range(32, 127) if chr(i) not in _src + " "
+    )
+    collapsed = F.translate(
+        F.translate(F.col("text"), _src, _dst), _other, "s" * len(_other)
+    )
+    runs = F.regexp_replace(F.regexp_replace(collapsed, "a+", "a"), "0+", "0")
     staged = docs.select(
         "doc_id",
-        # regexp_count, not size(regexp_extract_all): counting matches
-        # without materializing the match array is ~8% cheaper on this
-        # scan and allocation-free per row
-        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        F.length(F.regexp_replace(runs, " ", ""))
         .cast("int")
         .alias("bpe_tokens"),
         token_base_hashes().alias("tb"),

@@ -487,6 +487,7 @@ DRIVER_WINDOW: list[str] = [
     "q90_curation_pipeline",
     "q05_join_inner",
     "q07_join_left_outer",  # r10 agg-then-join rewrite (soak 26x audit)
+    "q61_token_regex",  # r10 translate lexer-count rewrite (weak-row 5.9x)
     # (2) displaced by the r9 [:50] cut
     "q98_bm25",
     "q100_scd2",
@@ -536,7 +537,8 @@ DRIVER_WINDOW: list[str] = [
 # window, plus whatever r10 changes by then. Per the rotation policy
 # (~4-round evidence cap) these become the oldest keys after r10.
 DRIVER_WINDOW_R11_STAGED: list[str] = [
-    # displaced by q07's rewrite and q151b jumping the r10 queue
+    # displaced by q07/q61 rewrites and q151b jumping the r10 queue
+    "q140_weighted_sample",
     "q35_median_segment",
     "q35b_median_native",
     "q37_zscore",
