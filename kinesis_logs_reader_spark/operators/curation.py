@@ -2092,3 +2092,88 @@ def q191_eval_split_regen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket", "difficulty_decile", "rank")
     )
+
+
+def q193_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mixture-sampling plan: turn q114's temperature weights
+    into an integer per-source QUOTA summing exactly to the sample
+    budget (largest-remainder / Hamilton apportionment — floor(B*w)
+    plus +1 to the largest remainders), then DRAW the quota
+    deterministically (per-source min-md5 rank, the q96/q178 RNG-free
+    pick) and prove the drawn set with a position-weighted checksum
+    (the q161 idiom). This is the step between "here are the weights"
+    (q114) and "here is tonight's training sample" — naive
+    independent rounding of B*w_i over- or under-shoots the budget;
+    Hamilton rounding is exact by construction. Quotas exceeding a
+    tail source's population are capped and surfaced as ``shortfall``
+    (single-pass contract: no iterative reallocation; the shortfall
+    column is the signal to re-run with adjusted weights).
+
+    Scale shape: one per-source partial aggregate; all apportionment
+    arithmetic runs on the |sources|-bounded frame (its rank window is
+    a bounded-frame SinglePartition — the q110b K-row-list precedent);
+    the draw is a per-source rank window riding the corpus scan with
+    the |sources|-row quota table broadcast back. Exactness: weights
+    stay int64-quantized (floor(n^0.7 * 1e6 + 0.5)); quota arithmetic
+    is pure integer div/mod; the checksum is sum(rank * doc_id) int64.
+
+    Reference analog: none (beyond-reference mandate; training-data
+    pipeline family — composes q114 × q96).
+    """
+    budget = 300
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    keyed = counts.withColumn(
+        "k",
+        F.floor(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e6 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    tot = keyed.agg(F.sum("k").alias("tot"))
+    alloc = keyed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({budget}L * k) div tot").alias("base"),
+        F.expr(f"({budget}L * k) % tot").alias("rem"),
+    )
+    base_sum = alloc.agg(F.sum("base").alias("base_sum"))
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    quota = (
+        alloc.crossJoin(F.broadcast(base_sum))
+        .withColumn("rr", F.row_number().over(w_rem))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + (F.col("rr") <= F.lit(budget) - F.col("base_sum")).cast("long"),
+        )
+        .select("source", "n_docs", "quota")
+    )
+    w_draw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    drawn = (
+        docs.withColumn("rnk", F.row_number().over(w_draw))
+        .join(F.broadcast(quota.select("source", "quota")), "source")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum(F.col("rnk") * F.col("doc_id")).alias("draw_checksum"),
+        )
+    )
+    return (
+        quota.join(drawn, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).alias("n_drawn"),
+            (F.col("quota") - F.coalesce(F.col("n_drawn"), F.lit(0))).alias(
+                "shortfall"
+            ),
+            F.coalesce(F.col("draw_checksum"), F.lit(0)).alias(
+                "draw_checksum"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -5047,3 +5047,50 @@ FROM ordered
 GROUP BY 1
 ORDER BY 1
 """
+
+# --- q193: exact mixture-sampling plan (Hamilton apportionment + draw) ------
+ORACLE["q193_mixture_plan"] = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), keyed AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(POW(CAST(n_docs AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT)
+           AS k
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS tot FROM keyed
+), alloc AS (
+  SELECT source, n_docs,
+         CAST((300 * k) // tot AS BIGINT) AS base,
+         CAST((300 * k) % tot AS BIGINT) AS rem
+  FROM keyed, tot
+), base_sum AS (
+  SELECT CAST(SUM(base) AS BIGINT) AS base_sum FROM alloc
+), quota AS (
+  SELECT source, n_docs,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                          <= 300 - base_sum THEN 1 ELSE 0 END AS quota
+  FROM alloc, base_sum
+), ranked AS (
+  SELECT d.source, d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rnk
+  FROM documents d
+), drawn AS (
+  SELECT r.source,
+         CAST(COUNT(*) AS BIGINT) AS n_drawn,
+         CAST(SUM(r.rnk * r.doc_id) AS BIGINT) AS draw_checksum
+  FROM ranked r JOIN quota q ON q.source = r.source
+  WHERE r.rnk <= q.quota
+  GROUP BY r.source
+)
+SELECT q.source, q.n_docs,
+       CAST(q.quota AS BIGINT) AS quota,
+       CAST(COALESCE(d.n_drawn, 0) AS BIGINT) AS n_drawn,
+       CAST(q.quota - COALESCE(d.n_drawn, 0) AS BIGINT) AS shortfall,
+       CAST(COALESCE(d.draw_checksum, 0) AS BIGINT) AS draw_checksum
+FROM quota q LEFT JOIN drawn d ON d.source = q.source
+ORDER BY q.source
+"""

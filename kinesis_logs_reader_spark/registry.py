@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 200  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 201  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 200  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 200  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 201  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -479,6 +479,7 @@ DRIVER_WINDOW: list[str] = [
     "q191_eval_split_regen",
     "q151b_candidate_volume",
     "q192_shard_plan",
+    "q193_mixture_plan",
     # (1) changed kernels whose driver rows predate the change
     "q12_join_self",
     "q118_canonical_select",
@@ -539,8 +540,9 @@ DRIVER_WINDOW: list[str] = [
 # window, plus whatever r10 changes by then. Per the rotation policy
 # (~4-round evidence cap) these become the oldest keys after r10.
 DRIVER_WINDOW_R11_STAGED: list[str] = [
-    # displaced by the q07/q61/q97 rewrites and q151b/q192 jumping the
-    # r10 queue
+    # displaced by the q07/q61/q97 rewrites and q151b/q192/q193 jumping
+    # the r10 queue
+    "q137_distribution_drift",
     "q138_heaps_law",
     "q139_pmi_collocations",
     "q140_weighted_sample",

@@ -338,3 +338,39 @@ def test_q192_deterministic_across_partitionings(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.__dict__.pop("_klrs_q192_cache", None)
     assert a == b
+
+
+# --- q193: exact mixture-sampling plan -----------------------------------
+
+
+def test_q193_quotas_sum_to_budget_and_draw_is_valid(spark):
+    """Hamilton apportionment exactness: quotas sum to exactly the
+    budget; n_drawn == min(quota, n_docs); shortfall only where quota
+    exceeds the source population; the drawn checksum is reproducible
+    (two calls agree)."""
+    from kinesis_logs_reader_spark.operators.curation import q193_mixture_plan
+
+    rows = q193_mixture_plan(spark, SF_DIR).collect()
+    assert sum(r.quota for r in rows) == 300
+    for r in rows:
+        assert r.n_drawn == min(r.quota, r.n_docs), r
+        assert r.shortfall == r.quota - r.n_drawn, r
+        assert r.shortfall >= 0
+        assert (r.draw_checksum > 0) == (r.n_drawn > 0)
+    again = q193_mixture_plan(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_q193_upsamples_tail_relative_to_proportional(spark):
+    """The temperature rule's point: vs proportional allocation, no
+    tail source (below-average size) gets LESS than its proportional
+    share rounded down, and the largest source gets no more than
+    proportional."""
+    from kinesis_logs_reader_spark.operators.curation import q193_mixture_plan
+
+    rows = q193_mixture_plan(spark, SF_DIR).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    biggest = max(rows, key=lambda r: r.n_docs)
+    assert biggest.quota <= 300 * biggest.n_docs / total_docs + 1
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.quota >= 300 * smallest.n_docs // total_docs
