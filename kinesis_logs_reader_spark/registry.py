@@ -491,6 +491,7 @@ DRIVER_WINDOW: list[str] = [
     "q07_join_left_outer",  # r10 agg-then-join rewrite (soak 26x audit)
     "q61_token_regex",  # r10 translate lexer-count rewrite (weak-row 5.9x)
     "q97_quality_audit",  # r10 anti-join key-projection + SHJ (-35% sf~1)
+    "q139_pmi_collocations",  # r10 map-only pair-total rewrite (-43% sf~1)
     # (2) displaced by the r9 [:50] cut
     "q98_bm25",
     "q100_scd2",
@@ -540,11 +541,12 @@ DRIVER_WINDOW: list[str] = [
 # window, plus whatever r10 changes by then. Per the rotation policy
 # (~4-round evidence cap) these become the oldest keys after r10.
 DRIVER_WINDOW_R11_STAGED: list[str] = [
-    # displaced by the q07/q61/q97 rewrites and q151b/q192/q193 jumping
-    # the r10 queue
+    # displaced by the q07/q61/q97/q139 rewrites and q151b/q192/q193
+    # jumping the r10 queue (q139 itself re-entered the window when its
+    # kernel changed late in r10)
+    "q136_source_overlap",
     "q137_distribution_drift",
     "q138_heaps_law",
-    "q139_pmi_collocations",
     "q140_weighted_sample",
     "q35_median_segment",
     "q35b_median_native",
