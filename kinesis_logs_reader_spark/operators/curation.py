@@ -1913,9 +1913,11 @@ def q178_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per sampled doc with its cell coordinates and
     cell population — the manifest a harness materializes.
     """
-    from kinesis_logs_reader_spark.operators.textstats import q115_unigram_lm
+    from kinesis_logs_reader_spark.operators.textstats import (
+        cached_unigram_scored,
+    )
 
-    scored = q115_unigram_lm(spark, sf_dir).select(
+    scored = cached_unigram_scored(spark, sf_dir).select(
         "doc_id", "n_tok", "avg_logprob"
     )
     bucketed = scored.withColumn(
@@ -2049,9 +2051,11 @@ def q191_eval_split_regen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_logs_reader_spark.operators.dedup import (
         cluster_safe_assignment,
     )
-    from kinesis_logs_reader_spark.operators.textstats import q115_unigram_lm
+    from kinesis_logs_reader_spark.operators.textstats import (
+        cached_unigram_scored,
+    )
 
-    scored = q115_unigram_lm(spark, sf_dir).select(
+    scored = cached_unigram_scored(spark, sf_dir).select(
         "doc_id", "n_tok", "avg_logprob"
     )
     bucketed = scored.withColumn("len_bucket", F.expr("n_tok div 64"))

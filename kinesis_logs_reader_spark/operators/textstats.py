@@ -325,38 +325,60 @@ def q115_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic double op; it is quantized to int64 micro-nats
     (floor(ln * 1e6)) BEFORE the per-doc sum so accumulation is exact
     integer math — the mean is one final double division, rounded.
+
+    r10: the scored frame itself is session-persisted
+    (cached_unigram_scored) — FIVE queries consume it (q115, q152,
+    q152b, q178, q191 → q181) and each was re-running both passes;
+    the canonical-digest-frame convention applies directly.
     """
-    tok = cached_doc_tokens(spark, sf_dir).select("doc_id", "t")
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("tot"))
-    lp = counts.crossJoin(F.broadcast(total)).select(
-        "t",
-        F.floor(
-            F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
-            * 1e6
-        ).cast("bigint").alias("lp_q"),
-    )
-    return (
-        tok.join(F.broadcast(lp), "t")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("lp_q").alias("sum_lp_q"),
+    return cached_unigram_scored(spark, sf_dir).orderBy("doc_id")
+
+
+def cached_unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE session-persisted per-document unigram-LM score frame
+    (doc_id, n_tok, sum_lp_q, avg_logprob, keep) per sf_dir — q115's
+    exact body, shared by every difficulty/perplexity consumer (q152,
+    q152b, q178, q181-via-q178, q191). At 100 TB this is the scored
+    intermediate a curation pipeline materializes once per corpus
+    version; the oracles all recompute it from raw text."""
+    cache = spark.__dict__.setdefault("_klrs_unigram_scored_cache", {})
+    if sf_dir not in cache:
+        for stale in list(cache):
+            cache.pop(stale).unpersist()
+        tok = cached_doc_tokens(spark, sf_dir).select("doc_id", "t")
+        counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        total = counts.agg(F.sum("c").alias("tot"))
+        lp = counts.crossJoin(F.broadcast(total)).select(
+            "t",
+            F.floor(
+                F.log(
+                    F.col("c").cast("double") / F.col("tot").cast("double")
+                )
+                * 1e6
+            ).cast("bigint").alias("lp_q"),
         )
-        .select(
-            "doc_id",
-            "n_tok",
-            "sum_lp_q",
-            F.round(
-                F.col("sum_lp_q").cast("double")
-                / 1e6
-                / F.col("n_tok").cast("double"),
-                4,
-            ).cast("double").alias("avg_logprob"),
+        scored = (
+            tok.join(F.broadcast(lp), "t")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tok"),
+                F.sum("lp_q").alias("sum_lp_q"),
+            )
+            .select(
+                "doc_id",
+                "n_tok",
+                "sum_lp_q",
+                F.round(
+                    F.col("sum_lp_q").cast("double")
+                    / 1e6
+                    / F.col("n_tok").cast("double"),
+                    4,
+                ).cast("double").alias("avg_logprob"),
+            )
+            .withColumn("keep", F.col("avg_logprob") > -3.4)
         )
-        .withColumn("keep", F.col("avg_logprob") > -3.4)
-        .orderBy("doc_id")
-    )
+        cache[sf_dir] = scored.persist()
+    return cache[sf_dir]
 
 
 def q121_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,7 +880,7 @@ def q152_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same statement runs on range-partitioned quantile cuts
     (q52's sort-based percentile discipline).
     """
-    scored = q115_unigram_lm(spark, sf_dir).select(
+    scored = cached_unigram_scored(spark, sf_dir).select(
         "doc_id", "n_tok", "avg_logprob", "keep"
     )
     w = Window.orderBy("avg_logprob", "doc_id")
@@ -900,7 +922,7 @@ def q152b_perplexity_buckets_scalable(
     sorted on one task and nothing but the partition-count vector
     reaches the driver.
     """
-    scored = q115_unigram_lm(spark, sf_dir).select(
+    scored = cached_unigram_scored(spark, sf_dir).select(
         "doc_id", "n_tok", "avg_logprob", "keep"
     )
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)

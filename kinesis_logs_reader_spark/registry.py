@@ -492,6 +492,13 @@ DRIVER_WINDOW: list[str] = [
     "q61_token_regex",  # r10 translate lexer-count rewrite (weak-row 5.9x)
     "q97_quality_audit",  # r10 anti-join key-projection + SHJ (-35% sf~1)
     "q139_pmi_collocations",  # r10 map-only pair-total rewrite (-43% sf~1)
+    # r10 shared cached_unigram_scored rewire (construction changed in
+    # all five; q191 is already above in section 0's composition chain)
+    "q115_unigram_lm",
+    "q152_perplexity_buckets",
+    "q152b_perplexity_buckets_scalable",
+    "q178_stratified_eval_sample",
+    "q181_eval_sample_audit",
     # (2) displaced by the r9 [:50] cut
     "q98_bm25",
     "q100_scd2",
@@ -541,9 +548,14 @@ DRIVER_WINDOW: list[str] = [
 # window, plus whatever r10 changes by then. Per the rotation policy
 # (~4-round evidence cap) these become the oldest keys after r10.
 DRIVER_WINDOW_R11_STAGED: list[str] = [
-    # displaced by the q07/q61/q97/q139 rewrites and q151b/q192/q193
-    # jumping the r10 queue (q139 itself re-entered the window when its
-    # kernel changed late in r10)
+    # displaced by the q07/q61/q97/q139 rewrites, the q115-family
+    # cache rewire, and q151b/q192/q193 jumping the r10 queue (q139
+    # itself re-entered the window when its kernel changed late in r10)
+    "q130_span_decontamination",
+    "q132_countmin_sketch",
+    "q133_bloom_decontamination",
+    "q134_ngram_novelty",
+    "q135_jl_projection",
     "q136_source_overlap",
     "q137_distribution_drift",
     "q138_heaps_law",

@@ -374,3 +374,41 @@ def test_q193_upsamples_tail_relative_to_proportional(spark):
     assert biggest.quota <= 300 * biggest.n_docs / total_docs + 1
     smallest = min(rows, key=lambda r: r.n_docs)
     assert smallest.quota >= 300 * smallest.n_docs // total_docs
+
+
+# --- shared unigram-scored frame -----------------------------------------
+
+
+def test_cached_unigram_scored_reused_and_exact(spark):
+    """The five consumers (q115/q152/q152b/q178/q191→q181) must share
+    ONE persisted scored frame, and its values must equal the from-
+    scratch two-pass computation."""
+    from kinesis_logs_reader_spark.functions.text import tokens
+    from kinesis_logs_reader_spark.operators.textstats import (
+        cached_unigram_scored,
+    )
+
+    a = cached_unigram_scored(spark, SF_DIR)
+    assert a is cached_unigram_scored(spark, SF_DIR)
+    assert a.storageLevel.useMemory
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+            * 1e6
+        ).cast("bigint").alias("lp_q"),
+    )
+    truth = (
+        tok.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("lp_q").alias("sum_lp_q"),
+        )
+    )
+    got = a.select("doc_id", "n_tok", "sum_lp_q")
+    assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
