@@ -663,3 +663,101 @@ def run_pq_encode_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_shard_plan_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    budget: int = 2048,
+) -> None:
+    """One micro-batch of continuous shard planning (streaming q192):
+    assign every arriving document a global token offset and shard id,
+    continuing EXACTLY where the plan left off — the writer-side
+    maintenance job of a continuously-ingesting 100 TB corpus, the
+    q160/q185-sink discipline applied to the shard planner.
+
+    Offset high-water mark WITHOUT a mutable counter: each batch also
+    writes a one-row per-batch token total under ``totals/``; the
+    current batch's base offset is the sum of totals with batch_id <
+    this one — recomputed from immutable partitions, so a REPLAYED
+    batch derives the identical base and overwrites its own partition
+    byte-for-byte (idempotence, pinned). Reading the totals store is
+    one row per prior batch, never per document.
+
+    Ordering contract: documents shard in ARRIVAL order (batch by
+    batch; md5-key order within a batch — q192's key). When the whole
+    corpus arrives as one batch this equals batch q192's assignment
+    exactly (pinned); across batches the plan is the arrival-order
+    plan, which is what an ingest pipeline means by sharding. The
+    within-batch prefix sum is one window over the micro-batch
+    (bounded by trigger size; a deployment with huge batches swaps in
+    q192's range-partitioned two-phase idiom unchanged).
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    totals_dir = os.path.join(store_dir, "totals")
+    hwm = 0
+    try:
+        prev = spark.read.parquet(totals_dir).filter(
+            F.col("batch_id") < batch_id
+        )
+        row = prev.agg(F.sum("n_tokens").alias("t")).first()
+        hwm = int(row["t"]) if row and row["t"] is not None else 0
+    except Exception:
+        hwm = 0  # no totals yet: this is the first batch
+    staged = batch_df.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    assigned = (
+        staged.withColumn("_cum_incl", F.sum("nt").over(w))
+        .select(
+            "doc_id",
+            "nt",
+            (F.lit(hwm) + F.col("_cum_incl") - F.col("nt")).alias(
+                "cum_before"
+            ),
+        )
+        .withColumn(
+            "shard_id", F.expr(f"cum_before div {budget}").cast("bigint")
+        )
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"docs/batch_id={batch_id}")
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).alias("n_tokens"),
+    ).first()
+    spark.createDataFrame(
+        [(int(tot["n_docs"]), int(tot["n_tokens"]))],
+        "n_docs long, n_tokens long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(totals_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_shard_plan_sink(
+    doc_stream: DataFrame, checkpoint: str, store_dir: str, budget: int = 2048
+):
+    """Continuous shard planning (streaming q192): per micro-batch,
+    extend the token-offset shard plan over the arriving documents.
+    foreachBatch because the state is an unbounded external assignment
+    store (plus the immutable per-batch totals ledger that replaces a
+    mutable offset counter), not a watermark-boundable aggregation."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_shard_plan_batch(batch_df, batch_id, store_dir, budget)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

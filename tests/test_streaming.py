@@ -787,3 +787,92 @@ def test_pq_encode_sink_matches_batch_encode(spark, tmp_path):
         map(tuple, spark.read.parquet(store + "/batch_id=0").collect())
     )
     assert before == after
+
+
+def test_shard_plan_sink_matches_batch_and_is_monotone(spark, tmp_path):
+    """Streaming shard planner (r10): (1) the whole corpus in ONE wave
+    must reproduce batch q192's per-shard manifest exactly; (2) two
+    waves must extend offsets monotonically — wave 2 starts exactly at
+    wave 1's token total (the immutable-totals high-water mark); (3)
+    replaying a batch_id is byte-idempotent."""
+    import os
+
+    from kinesis_logs_reader_spark.operators.preprocess import q192_shard_plan
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_shard_plan_batch,
+        run_shard_plan_sink,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # (1) single wave == batch q192
+    src1 = tmp_path / "src1"
+    os.makedirs(src1)
+    docs.coalesce(1).write.parquet(str(src1 / "wave0"))
+    store1 = str(tmp_path / "store1")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src1 / "*")
+    )
+    run_shard_plan_sink(
+        stream, str(tmp_path / "ckpt1"), store1
+    ).awaitTermination(120)
+    got = (
+        spark.read.parquet(os.path.join(store1, "docs"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.min("cum_before").alias("start_offset"),
+            F.max(F.col("cum_before") + F.col("nt")).alias("end_offset"),
+        )
+    )
+    want = q192_shard_plan(spark, SF_DIR)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+    # (2) two waves: offsets continue exactly at the prior total
+    src2 = tmp_path / "src2"
+    os.makedirs(src2)
+    w0 = docs.filter(F.col("doc_id") % 2 == 0)
+    w1 = docs.filter(F.col("doc_id") % 2 == 1)
+    w0.coalesce(1).write.parquet(str(src2 / "wave0"))
+    store2 = str(tmp_path / "store2")
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src2 / "*"))
+    )
+    run_shard_plan_sink(s, str(tmp_path / "ckpt2"), store2).awaitTermination(120)
+    w1.coalesce(1).write.parquet(str(src2 / "wave1"))
+    s2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src2 / "*"))
+    )
+    run_shard_plan_sink(s2, str(tmp_path / "ckpt2"), store2).awaitTermination(120)
+    dstore = spark.read.parquet(os.path.join(store2, "docs"))
+    t0 = dstore.filter(F.col("batch_id") == 0)
+    t1 = dstore.filter(F.col("batch_id") == 1)
+    end0 = t0.agg(F.max(F.col("cum_before") + F.col("nt"))).first()[0]
+    start1 = t1.agg(F.min("cum_before")).first()[0]
+    assert start1 == end0, "wave 2 must start at wave 1's token total"
+    total_all = docs.select(
+        F.sum(F.greatest(F.size(F.split("text", " ")), F.lit(0)))
+    ).first()[0]
+    got_total = dstore.agg(F.sum("nt")).first()[0]
+    assert got_total == total_all
+
+    # (3) replay idempotence: re-apply batch 1 over the same wave
+    before = sorted(tuple(r) for r in t1.drop("batch_id").collect())
+    apply_shard_plan_batch(w1, 1, store2)
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store2, "docs"))
+        .filter(F.col("batch_id") == 1)
+        .drop("batch_id")
+        .collect()
+    )
+    assert after == before
