@@ -412,3 +412,43 @@ def test_cached_unigram_scored_reused_and_exact(spark):
     )
     got = a.select("doc_id", "n_tok", "sum_lp_q")
     assert got.exceptAll(truth).isEmpty() and truth.exceptAll(got).isEmpty()
+
+
+# --- q61 lexer-count equivalence fuzz --------------------------------------
+
+
+def test_q61_translate_count_equals_alternation_regex(spark):
+    """The r10 q61 rewrite claims the translate+run-collapse token
+    count is equivalent to regexp_count("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    for ANY input — measure it on a nasty corpus (uppercase, mixed
+    runs, punctuation, tabs/newlines, multi-byte unicode, emoji,
+    leading/trailing/multiple spaces), not just the fixture alphabet."""
+    import string
+
+    nasty = [
+        "", " ", "   ", "a", "A", "aA1!b", "abc123 def",
+        "ABC abc AbC", "a  b   c", " lead", "trail ", "a\tb\nc",
+        "é ü ß", "中文 文本", "🦆🦆 x", "0 00 a0a 0a0",
+        "!!!", "a!b?c.d", "x" * 200, ("ab1 " * 60).strip(),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(nasty)], "doc_id long, text string"
+    )
+    _src = string.ascii_lowercase + string.digits
+    _dst = "a" * 26 + "0" * 10
+    _other = "".join(
+        chr(i) for i in range(32, 127) if chr(i) not in _src + " "
+    )
+    collapsed = F.translate(
+        F.translate(F.col("text"), _src, _dst), _other, "s" * len(_other)
+    )
+    runs = F.regexp_replace(F.regexp_replace(collapsed, "a+", "a"), "0+", "0")
+    got = df.select(
+        "doc_id",
+        F.length(F.regexp_replace(runs, " ", "")).cast("int").alias("n"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("int")
+        .alias("want"),
+    ).collect()
+    for r in got:
+        assert r.n == r.want, (nasty[r.doc_id], r.n, r.want)
