@@ -160,20 +160,31 @@ def main() -> None:
 
     # Plan-construction memoization (r10, VERDICT r9 item 2): build each
     # query's DataFrame ONCE per session, then time only execution.
-    # PERF.md r9 measured 24.3 s/pass of pure py4j plan CONSTRUCTION
-    # (driver-side DataFrame assembly, no cluster work) — a cost any
-    # real deployment pays once per session, not once per execution,
-    # while DuckDB's equivalent (SQL parse) is microseconds per run.
-    # Result-identical: a noop write re-executes the full physical plan
-    # every pass — nothing is cached but the logical plan object.
-    # Construction cost is NOT hidden: it is timed here and recorded as
-    # plan_construct_sec in the JSON (it also carries any one-time
-    # driver-side artifact work a query does at build time, e.g. the
-    # PQ-family LUT collects — the artifact-reuse convention).
+    # PERF.md r9 measured 24.3 s/pass of py4j plan CONSTRUCTION
+    # (driver-side DataFrame assembly) — a cost any real deployment
+    # pays once per session, not once per execution, while DuckDB's
+    # equivalent (SQL parse) is microseconds per run. Result-identical:
+    # a noop write re-executes the full physical plan every pass —
+    # nothing is cached but the logical plan object.
+    # Construction cost is NOT hidden — it is timed and recorded as
+    # plan_construct_sec — and it is NOT all parse-analogous py4j work:
+    # a few queries run real Spark jobs at build time (the PQ/OPQ LUT
+    # collects, q192's per-range totals — the artifact-reuse
+    # convention), so their per-pass ratios exclude that one-time
+    # artifact cost while DuckDB re-pays it every pass (ADVICE r10).
+    # Which queries those are is MEASURED, not asserted: each build
+    # runs under its own job group and any query whose group executed
+    # cluster jobs is listed in build_executes_jobs in the JSON.
     built = {}  # name -> built DataFrame (logical plan object)
+    tracker = spark.sparkContext.statusTracker()
+    build_executes_jobs = []
     t0 = time.perf_counter()
     for name in sorted(queries):
+        spark.sparkContext.setJobGroup(f"build:{name}", f"plan build {name}")
         built[name] = queries[name](spark, SF_DIR)
+        if tracker.getJobIdsForGroup(f"build:{name}"):
+            build_executes_jobs.append(name)
+    spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
     plan_construct_sec = round(time.perf_counter() - t0, 3)
 
     # Interleaved passes, not back-to-back repeats (r9): the VM this
@@ -322,6 +333,10 @@ def main() -> None:
                 # one-time logical-plan construction for the whole set
                 # (paid once per session in deployment; r10, see above)
                 "plan_construct_sec": plan_construct_sec,
+                # queries whose BUILD ran cluster jobs (one-time
+                # artifact work hoisted out of the timed loop — their
+                # per-pass ratios exclude it; measured via job groups)
+                "build_executes_jobs": build_executes_jobs,
                 # quiet-window gate telemetry: mean 1-row-job floor at
                 # start (the burst detector) and seconds spent waiting
                 # for the host to calm down before timing began

@@ -1895,6 +1895,44 @@ def q177_span_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The eval-manifest rule has exactly ONE definition (ADVICE r10:
+# q191 re-implemented q178's bucket formula / pick key / quota inline,
+# so a change to q178 would silently desync the regenerator's 'orig'):
+# both the sampler (q178) and the regenerator (q191) consume these.
+EVAL_CELL_QUOTA = 2
+
+
+def eval_difficulty_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, len_bucket, difficulty_decile) — the stratification
+    cell coordinates of the eval manifest: 64-token length buckets ×
+    within-bucket unigram-difficulty deciles (per-bucket windows, the
+    closed-form ((rn-1)*10) div cnt decile)."""
+    from kinesis_logs_reader_spark.operators.textstats import (
+        cached_unigram_scored,
+    )
+
+    scored = cached_unigram_scored(spark, sf_dir).select(
+        "doc_id", "n_tok", "avg_logprob"
+    )
+    bucketed = scored.withColumn("len_bucket", F.expr("n_tok div 64"))
+    w_rank = Window.partitionBy("len_bucket").orderBy("avg_logprob", "doc_id")
+    w_cnt = Window.partitionBy("len_bucket")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("difficulty_decile", F.expr("((rn - 1) * 10) div cnt"))
+        .select("doc_id", "len_bucket", "difficulty_decile")
+    )
+
+
+def eval_pick_window() -> Window:
+    """The deterministic per-cell pick order: min-md5 of doc_id (the
+    repo's standard RNG-free sampling key, q96/q77 family)."""
+    return Window.partitionBy("len_bucket", "difficulty_decile").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+
+
 def q178_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difficulty-stratified eval-set construction (r8): sample 2 docs
     per (length bucket x within-bucket difficulty decile) cell — the
@@ -1913,33 +1951,13 @@ def q178_stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per sampled doc with its cell coordinates and
     cell population — the manifest a harness materializes.
     """
-    from kinesis_logs_reader_spark.operators.textstats import (
-        cached_unigram_scored,
-    )
-
-    scored = cached_unigram_scored(spark, sf_dir).select(
-        "doc_id", "n_tok", "avg_logprob"
-    )
-    bucketed = scored.withColumn(
-        "len_bucket", F.expr("n_tok div 64")
-    )
-    w_rank = Window.partitionBy("len_bucket").orderBy(
-        "avg_logprob", "doc_id"
-    )
-    w_cnt = Window.partitionBy("len_bucket")
-    with_dec = (
-        bucketed.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("difficulty_decile", F.expr("((rn - 1) * 10) div cnt"))
-    )
-    w_pick = Window.partitionBy("len_bucket", "difficulty_decile").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    with_dec = eval_difficulty_grid(spark, sf_dir)
+    w_pick = eval_pick_window()
     w_cell = Window.partitionBy("len_bucket", "difficulty_decile")
     return (
         with_dec.withColumn("pick", F.row_number().over(w_pick))
         .withColumn("n_cell", F.count(F.lit(1)).over(w_cell))
-        .filter(F.col("pick") <= 2)
+        .filter(F.col("pick") <= EVAL_CELL_QUOTA)
         .select(
             "len_bucket",
             "difficulty_decile",
@@ -2051,29 +2069,15 @@ def q191_eval_split_regen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_logs_reader_spark.operators.dedup import (
         cluster_safe_assignment,
     )
-    from kinesis_logs_reader_spark.operators.textstats import (
-        cached_unigram_scored,
-    )
 
-    scored = cached_unigram_scored(spark, sf_dir).select(
-        "doc_id", "n_tok", "avg_logprob"
-    )
-    bucketed = scored.withColumn("len_bucket", F.expr("n_tok div 64"))
-    w_rank = Window.partitionBy("len_bucket").orderBy("avg_logprob", "doc_id")
-    w_cnt = Window.partitionBy("len_bucket")
-    with_dec = (
-        bucketed.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("difficulty_decile", F.expr("((rn - 1) * 10) div cnt"))
-        .select("doc_id", "len_bucket", "difficulty_decile")
-    )
-    # original manifest: q178's pick rule over every doc in the cell
-    w_pick = Window.partitionBy("len_bucket", "difficulty_decile").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    # SHARED manifest rule (grid, pick key, quota) — one definition
+    # with q178, so the regenerator's notion of "the original pick"
+    # cannot drift from the sampler's (ADVICE r10).
+    with_dec = eval_difficulty_grid(spark, sf_dir)
+    w_pick = eval_pick_window()
     orig = (
         with_dec.withColumn("pick", F.row_number().over(w_pick))
-        .filter(F.col("pick") <= 2)
+        .filter(F.col("pick") <= EVAL_CELL_QUOTA)
         .select("doc_id", F.lit(1).alias("was_orig"))
     )
     assign = cluster_safe_assignment(spark, sf_dir).select("doc_id", "split")
@@ -2084,7 +2088,7 @@ def q191_eval_split_regen(spark: SparkSession, sf_dir: str) -> DataFrame:
     regen = (
         eligible.withColumn("pick", F.row_number().over(w_pick))
         .withColumn("n_eligible", F.count(F.lit(1)).over(w_cell))
-        .filter(F.col("pick") <= 2)
+        .filter(F.col("pick") <= EVAL_CELL_QUOTA)
     )
     return (
         regen.join(orig, "doc_id", "left")

@@ -2132,12 +2132,9 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONE shuffled frame everything reuses — session-persisted so
     # the three consumers (counts, sketches, exact join) read the cached
     # relation instead of re-running the distinct (the q136 convention)
-    cache = spark.__dict__.setdefault("_klrs_kmv_sh_cache", {})
-    if sf_dir not in cache:
-        for stale in list(cache):
-            cache.pop(stale).unpersist()
-        cache[sf_dir] = docs.distinct().persist()
-    sh = cache[sf_dir]
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    sh = lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
     per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("source").orderBy("h")
     sk = (

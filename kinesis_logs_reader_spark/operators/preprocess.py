@@ -269,20 +269,20 @@ def cached_canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count,
     )
 
-    cache = spark.__dict__.setdefault("_klrs_canon_digest_cache", {})
-    if sf_dir not in cache:
-        for stale in list(cache):
-            cache.pop(stale).unpersist()
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    def _build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        cache[sf_dir] = docs.select(
+        return docs.select(
             "doc_id",
             "lang",
             F.length("text").alias("text_len"),
             n_tokens().alias("nt"),
             stopword_count().alias("n_stop"),
             F.md5(normalize_text(F.col("text"))).alias("h"),
-        ).persist()
-    return cache[sf_dir]
+        )
+
+    return lru_persisted(spark, "_klrs_canon_digest_cache", sf_dir, _build)
 
 
 def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,18 +645,17 @@ def q192_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
-    cache = spark.__dict__.setdefault("_klrs_q192_cache", {})
-    ckey = (sf_dir, nparts)
-    if ckey not in cache:
-        for stale in list(cache):
-            cache.pop(stale).unpersist()
-        cache[ckey] = (
-            docs.repartitionByRange(nparts, "k", "doc_id")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-    ranged = cache[ckey]
+    ranged = lru_persisted(
+        spark,
+        "_klrs_q192_cache",
+        (sf_dir, nparts),
+        lambda: docs.repartitionByRange(nparts, "k", "doc_id").withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+    )
     # bounded driver step: one token-total row per range partition
     totals = sorted(
         (r["_pid"], r["t"])

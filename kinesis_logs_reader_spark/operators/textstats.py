@@ -34,13 +34,16 @@ def cached_doc_tokens(spark: SparkSession, sf_dir: str):
     discipline as the shared MinHash/shingle frames (dedup.py). At
     100 TB the analog is a tokenized intermediate table, not a cache.
     """
-    cache = spark.__dict__.setdefault("_klrs_doc_tokens_cache", {})
-    if sf_dir not in cache:
-        docs = load_table(spark, sf_dir, "documents")
-        cache[sf_dir] = docs.select(
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    return lru_persisted(
+        spark,
+        "_klrs_doc_tokens_cache",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", F.explode(tokens()).alias("t")
-        ).persist()
-    return cache[sf_dir]
+        ),
+    )
 
 
 def q41_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,10 +344,9 @@ def cached_unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     q152b, q178, q181-via-q178, q191). At 100 TB this is the scored
     intermediate a curation pipeline materializes once per corpus
     version; the oracles all recompute it from raw text."""
-    cache = spark.__dict__.setdefault("_klrs_unigram_scored_cache", {})
-    if sf_dir not in cache:
-        for stale in list(cache):
-            cache.pop(stale).unpersist()
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    def _build():
         tok = cached_doc_tokens(spark, sf_dir).select("doc_id", "t")
         counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
         total = counts.agg(F.sum("c").alias("tot"))
@@ -377,8 +379,9 @@ def cached_unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("keep", F.col("avg_logprob") > -3.4)
         )
-        cache[sf_dir] = scored.persist()
-    return cache[sf_dir]
+        return scored
+
+    return lru_persisted(spark, "_klrs_unigram_scored_cache", sf_dir, _build)
 
 
 def q121_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,14 +769,17 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc join; persisted once per session+corpus (same index-reuse
     # discipline as cached_doc_tokens — at 100 TB the analog is a
     # bigram intermediate table). Measured 1.42 -> 0.64 s at sf0.1.
-    cache = spark.__dict__.setdefault("_klrs_doc_bigrams_cache", {})
-    if sf_dir not in cache:
-        tokd = docs.select("doc_id", tokens().alias("_toks"))
-        cache[sf_dir] = tokd.select(
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    big = lru_persisted(
+        spark,
+        "_klrs_doc_bigrams_cache",
+        sf_dir,
+        lambda: docs.select("doc_id", tokens().alias("_toks")).select(
             "doc_id",
             F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("bg"),
-        ).persist()
-    big = cache[sf_dir]
+        ),
+    )
     bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = bg_counts.select(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c_bg"
@@ -930,20 +936,19 @@ def q152b_perplexity_buckets_scalable(
     # then rank pass) and must be pinned so both passes see identical
     # range-partition contents. Keyed by (sf_dir, nparts) — a profile
     # change (e.g. bench's 8-partition local conf) must not serve a
-    # frame ranged under a different partition count — and bounded:
-    # inserting evicts (unpersists) any other entry, so at most one
-    # ranged frame pins executor memory at a time (ADVICE r6).
-    cache = spark.__dict__.setdefault("_klrs_q152b_cache", {})
-    ckey = (sf_dir, nparts)
-    if ckey not in cache:
-        for stale in list(cache):
-            cache.pop(stale).unpersist()
-        cache[ckey] = (
-            scored.repartitionByRange(nparts, "avg_logprob", "doc_id")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-    ranged = cache[ckey]
+    # frame ranged under a different partition count — and bounded by
+    # the shared small-LRU (ADVICE r6 capped it at 1; ADVICE r10 raised
+    # it so corpus-alternating workloads stop thrashing).
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    ranged = lru_persisted(
+        spark,
+        "_klrs_q152b_cache",
+        (sf_dir, nparts),
+        lambda: scored.repartitionByRange(
+            nparts, "avg_logprob", "doc_id"
+        ).withColumn("_pid", F.spark_partition_id()),
+    )
     # bounded driver step: ONE row per range partition (32 at test
     # scale, a few thousand on a big cluster), never data rows
     counts = sorted(

@@ -4347,45 +4347,54 @@ ORDER BY source
 """
 
 
-ORACLE["q178_stratified_eval_sample"] = """
-WITH tok AS (
+# The eval-manifest rule's ORACLE twin has one definition too (ADVICE
+# r10): the grid CTEs (ev_-prefixed, collision-free with the cluster-
+# split CTEs q191 composes them with) and the quota are shared by
+# q178 and q191, mirroring curation.py's eval_difficulty_grid /
+# eval_pick_window / EVAL_CELL_QUOTA.
+_EVAL_CELL_QUOTA = 2
+
+_EVAL_GRID_CTES = """ev_tok AS (
   SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
-), counts AS (
-  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
-), total AS (
-  SELECT SUM(c) AS tot FROM counts
-), lp AS (
+), ev_counts AS (
+  SELECT t, COUNT(*) AS c FROM ev_tok GROUP BY t
+), ev_total AS (
+  SELECT SUM(c) AS tot FROM ev_counts
+), ev_lp AS (
   SELECT t,
          CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
-  FROM counts, total
-), agg AS (
+  FROM ev_counts, ev_total
+), ev_agg AS (
   SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
-  FROM tok JOIN lp USING (t)
+  FROM ev_tok JOIN ev_lp USING (t)
   GROUP BY doc_id
-), scored AS (
+), ev_scored AS (
   SELECT doc_id, n_tok // 64 AS len_bucket,
          CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
               AS DOUBLE) AS avg_logprob
-  FROM agg
-), with_dec AS (
+  FROM ev_agg
+), ev_grid AS (
   SELECT doc_id, len_bucket,
          ((ROW_NUMBER() OVER (PARTITION BY len_bucket
                               ORDER BY avg_logprob, doc_id) - 1) * 10)
            // (COUNT(*) OVER (PARTITION BY len_bucket)) AS difficulty_decile
-  FROM scored
-), picked AS (
+  FROM ev_scored
+)"""
+
+ORACLE["q178_stratified_eval_sample"] = f"""
+WITH {_EVAL_GRID_CTES}, picked AS (
   SELECT len_bucket, difficulty_decile, doc_id,
          ROW_NUMBER() OVER (PARTITION BY len_bucket, difficulty_decile
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
            AS pick,
          COUNT(*) OVER (PARTITION BY len_bucket, difficulty_decile) AS n_cell
-  FROM with_dec
+  FROM ev_grid
 )
 SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
        CAST(difficulty_decile AS BIGINT) AS difficulty_decile,
        CAST(pick AS INT) AS rank, doc_id,
        CAST(n_cell AS BIGINT) AS n_cell
-FROM picked WHERE pick <= 2
+FROM picked WHERE pick <= {_EVAL_CELL_QUOTA}
 ORDER BY 1, 2, 3
 """
 
@@ -4942,39 +4951,15 @@ ORDER BY sub, code
 # --- q191: contamination-aware eval-split regeneration (q164 x q181 loop) ---
 ORACLE["q191_eval_split_regen"] = f"""
 WITH RECURSIVE {_CLUSTER_SPLIT_CTES},
-tok2 AS (
-  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
-), counts2 AS (
-  SELECT t, COUNT(*) AS c FROM tok2 GROUP BY t
-), total2 AS (
-  SELECT SUM(c) AS tot FROM counts2
-), lp2 AS (
-  SELECT t,
-         CAST(FLOOR(LN(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) AS lp_q
-  FROM counts2, total2
-), agg2 AS (
-  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q
-  FROM tok2 JOIN lp2 USING (t)
-  GROUP BY doc_id
-), scored2 AS (
-  SELECT doc_id, n_tok // 64 AS len_bucket,
-         CAST(ROUND(CAST(sum_lp_q AS DOUBLE) / 1e6 / CAST(n_tok AS DOUBLE), 4)
-              AS DOUBLE) AS avg_logprob
-  FROM agg2
-), with_dec2 AS (
-  SELECT doc_id, len_bucket,
-         ((ROW_NUMBER() OVER (PARTITION BY len_bucket
-                              ORDER BY avg_logprob, doc_id) - 1) * 10)
-           // (COUNT(*) OVER (PARTITION BY len_bucket)) AS difficulty_decile
-  FROM scored2
-), orig AS (
+{_EVAL_GRID_CTES},
+orig AS (
   SELECT doc_id FROM (
     SELECT doc_id,
            ROW_NUMBER() OVER (PARTITION BY len_bucket, difficulty_decile
                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
              AS pick
-    FROM with_dec2) t
-  WHERE pick <= 2
+    FROM ev_grid) t
+  WHERE pick <= {_EVAL_CELL_QUOTA}
 ), elig AS (
   SELECT w.doc_id, w.len_bucket, w.difficulty_decile,
          ROW_NUMBER() OVER (PARTITION BY w.len_bucket, w.difficulty_decile
@@ -4982,7 +4967,7 @@ tok2 AS (
            AS pick,
          COUNT(*) OVER (PARTITION BY w.len_bucket, w.difficulty_decile)
            AS n_eligible
-  FROM with_dec2 w JOIN assigned a USING (doc_id)
+  FROM ev_grid w JOIN assigned a USING (doc_id)
   WHERE a.split = 'test'
 )
 SELECT CAST(e.len_bucket AS BIGINT) AS len_bucket,
@@ -4993,7 +4978,7 @@ SELECT CAST(e.len_bucket AS BIGINT) AS len_bucket,
          AS status,
        CAST(e.n_eligible AS BIGINT) AS n_eligible
 FROM elig e LEFT JOIN orig o ON o.doc_id = e.doc_id
-WHERE e.pick <= 2
+WHERE e.pick <= {_EVAL_CELL_QUOTA}
 ORDER BY 1, 2, 3
 """
 

@@ -698,17 +698,25 @@ def apply_shard_plan_batch(
 
     from pyspark.sql.window import Window
 
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     totals_dir = os.path.join(store_dir, "totals")
-    hwm = 0
+    # hwm=0 is legitimate ONLY when the totals ledger has never been
+    # written (path-not-found). Any other failure on an EXISTING ledger
+    # (corrupt file, IO/permission error) must propagate loudly —
+    # treating it as "first batch" would silently reset the global
+    # offset and produce shard offsets overlapping earlier batches.
     try:
         prev = spark.read.parquet(totals_dir).filter(
             F.col("batch_id") < batch_id
         )
         row = prev.agg(F.sum("n_tokens").alias("t")).first()
         hwm = int(row["t"]) if row and row["t"] is not None else 0
-    except Exception:
-        hwm = 0  # no totals yet: this is the first batch
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in (exc.getCondition() or str(exc)):
+            raise
+        hwm = 0  # totals ledger absent: genuinely the first batch
     staged = batch_df.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("nt"),

@@ -876,3 +876,32 @@ def test_shard_plan_sink_matches_batch_and_is_monotone(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_shard_plan_corrupt_totals_fails_loud(spark, tmp_path):
+    """A totals ledger that EXISTS but cannot be read must raise, not
+    silently reset the high-water mark to 0 (which would emit shard
+    offsets overlapping earlier batches). Only path-not-found means
+    'first batch'. (ADVICE r10: bare except swallowed real IO errors.)"""
+    import os
+
+    import pytest
+
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from kinesis_logs_reader_spark.streaming.jobs import apply_shard_plan_batch
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    # Existing totals dir containing a corrupt (non-parquet) part file:
+    bad = os.path.join(store, "totals", "batch_id=0")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        apply_shard_plan_batch(docs.limit(10), 1, store)
+    # And a genuinely-missing ledger still means first batch (hwm=0):
+    store2 = str(tmp_path / "store2")
+    apply_shard_plan_batch(docs.limit(10), 0, store2)
+    first = spark.read.parquet(os.path.join(store2, "docs"))
+    assert first.agg(F.min("cum_before")).first()[0] == 0
