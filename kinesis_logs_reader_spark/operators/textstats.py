@@ -16,8 +16,6 @@ from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.functions.text import (
     n_tokens,
-    shingles,
-    shingles_from_tokens,
     stopword_count,
     tokens,
 )
@@ -118,35 +116,64 @@ def q42_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_batches(batches):
+    """Arrow-batched fingerprint kernel shared by q45/q45b: per doc,
+    exact_fp = md5(utf8 text) and shingle_fp = min md5 over 3-token
+    shingles (None when < 3 tokens, matching array_min over an empty
+    array). Passes through every non-text input column, so the q45
+    (doc_id) and q45b (source) shapes share one generator. Plain
+    hashlib per shingle — ~1 µs each — beats the JVM form because the
+    per-shingle path there (transform lambda building concat_ws slices
+    + md5, then array_min) runs as interpreted Catalyst expressions
+    outside codegen; measured r11 (soak profile, sf~1): q45 2.84 s ->
+    0.84 s, q45b 1.64 s -> 0.64 s, within noise at sf0.1 where the
+    scheduler floor dominates. Emits hex strings only — no float ever
+    crosses the Arrow boundary."""
+    import hashlib
+
+    md5 = hashlib.md5
+    for pdf in batches:
+        ex, sh = [], []
+        for s in pdf["text"]:
+            ex.append(md5(s.encode("utf-8")).hexdigest())
+            toks = s.split(" ")
+            if len(toks) < 3:
+                sh.append(None)
+                continue
+            best = None
+            for i in range(len(toks) - 2):
+                h = md5(
+                    (" ".join(toks[i : i + 3])).encode("utf-8")
+                ).hexdigest()
+                if best is None or h < best:
+                    best = h
+            sh.append(best)
+        out = pdf.drop(columns=["text"]).copy()
+        out["exact_fp"] = ex
+        out["shingle_fp"] = sh
+        yield out
+
+
 def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact md5 + min-shingle-hash (winnowing
-    lite). Both are per-row expressions; the min-shingle fingerprint is
-    robust to rotation of surrounding text, the md5 to nothing.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize the token array before shingling: the inline form
-    # re-splits the text per shingle element (O(n^2) chars; 3.5x here).
-    tok = docs.select("doc_id", "text", tokens().alias("_toks"))
-    # r9 partial-agg audit (VERDICT r8 item 8), measured-negative: a
-    # least()-fold over shingle indices (avoiding the per-shingle hash
-    # array) ties the array_min form within noise once run order is
-    # controlled (sf~1 head-to-head: 1.77-1.84 s array_min vs
-    # 1.85-1.97 s fold — the first A/B's 1.13 s was JVM warm-up order,
-    # not the fold). ~60% of the row is the declared ORDER BY +
-    # full-output write (0.57 s sort-free floor); per-shingle md5 is
-    # the rest. Keeping the simpler array_min form; see PERF.md.
-    return (
-        tok.select(
-            "doc_id",
-            F.md5("text").alias("exact_fp"),
-            F.array_min(
-                F.transform(
-                    shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
-                )
-            ).alias("shingle_fp"),
-        )
-        .orderBy("doc_id")
+    lite). The min-shingle fingerprint is robust to rotation of
+    surrounding text, the md5 to nothing.
+
+    Kernel history (PERF.md): r1 inline shingles re-split the text per
+    shingle element (O(n^2) chars, 3.5x); r2-r10 materialized the token
+    array and took array_min over a per-shingle md5 transform — but
+    higher-order Catalyst lambdas run INTERPRETED, and the r10 q45b
+    twin proved the kernel (not the presentation ORDER BY) was the
+    residual (soak growth 2.43 on the agg-only shape). r11: one
+    mapInPandas Arrow pass (_fingerprint_batches) — 3.4x at sf~1,
+    value-identical (oracle unchanged, DuckDB recomputes the shingle
+    min in SQL)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.mapInPandas(
+        _fingerprint_batches,
+        "doc_id long, exact_fp string, shingle_fp string",
     )
+    return fp.orderBy("doc_id")
 
 
 def q45b_fingerprint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,17 +190,15 @@ def q45b_fingerprint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed (nothing prunable), and n_dup_exact = n_docs -
     n_exact_fp is the per-source exact-duplicate mass — the number a
     dedup pipeline reads off this report.
+
+    r11: the kernel is the shared _fingerprint_batches Arrow pass (see
+    q45 — the twin's residual growth 2.43 was the interpreted
+    per-shingle fold; 2.6x at sf~1 under the soak profile).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", "text", tokens().alias("_toks"))
-    fp = tok.select(
-        "source",
-        F.md5("text").alias("exact_fp"),
-        F.array_min(
-            F.transform(
-                shingles_from_tokens(F.col("_toks")), lambda s: F.md5(s)
-            )
-        ).alias("shingle_fp"),
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    fp = docs.mapInPandas(
+        _fingerprint_batches,
+        "source string, exact_fp string, shingle_fp string",
     )
     return (
         fp.groupBy("source")
@@ -574,70 +599,92 @@ def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scraped page of repeated boilerplate produces score high here
     while passing whole-doc and chunk dedup.
 
-    ONE per-row array fold (F.aggregate with a struct accumulator +
-    finish lambda) — map-only, zero shuffle, linear in tokens. The
-    first formulation (posexplode + lag-window islands) shuffled the
-    whole (doc, pos, token) stream through two windows and grew 8x on
-    a 10x corpus at the sf~1 probe; the fold rides the scan. The
-    DuckDB oracle keeps the classical islands SQL — same values, two
-    independently-derived formulations hash-identical.
+    ONE vectorized-numpy run-length-encode per Arrow batch
+    (mapInPandas) — map-only, zero shuffle, linear in tokens: the
+    whole batch's token stream is RLE'd in four numpy primitives
+    (flat != shifted breaks, diff of break indices, maximum.at /
+    add.at per-doc reductions), no per-row Python, no per-token
+    interpretation. Three kernels measured: posexplode + lag-window
+    islands grew 8x on 10x data (two corpus-sized window shuffles —
+    the r5 finding); the r5-r10 F.aggregate struct fold rode the scan
+    but runs INTERPRETED (higher-order Catalyst lambdas evaluate per
+    token outside codegen) — 1.64 s at sf~1 under the soak profile;
+    this Arrow pass 0.51 s there (3.2x) and within noise of the fold
+    at sf0.1 under the bench profile (0.49 vs 0.46 s) where the
+    scheduler floor dominates (r11 A/B; PERF.md). Confirms the repo's
+    q184/q185 rule: one MapInPandas Arrow pass beats per-element
+    interpreted lambdas. Python returns ONLY exact int64 stats; the
+    run_frac double is computed JVM-side (F.round) so the float
+    contract is identical to the fold's. The DuckDB oracle keeps the
+    classical islands SQL — same values, two independently-derived
+    formulations hash-identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    acc0 = F.struct(
-        F.lit("\u0000<init>").alias("prev"),
-        F.lit(0).cast("bigint").alias("cur"),
-        F.lit(0).cast("bigint").alias("mx"),
-        F.lit(0).cast("bigint").alias("nr3"),
-        F.lit(0).cast("bigint").alias("tir"),
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = (
+        "doc_id long, n_tokens long, max_run long, "
+        "n_runs_ge3 long, tokens_in_runs long"
     )
 
-    def step(acc, t):
-        same = t == acc["prev"]
-        cur2 = F.when(same, acc["cur"] + 1).otherwise(F.lit(1).cast("bigint"))
-        closing = ~same & (acc["cur"] >= 3)
-        return F.struct(
-            t.alias("prev"),
-            cur2.alias("cur"),
-            F.greatest(acc["mx"], cur2).alias("mx"),
-            (acc["nr3"] + closing.cast("bigint")).alias("nr3"),
-            (
-                acc["tir"]
-                + F.when(closing, acc["cur"]).otherwise(F.lit(0).cast("bigint"))
-            ).alias("tir"),
-        )
+    def rle_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # str.split(" ") == F.split(text, " ") (limit -1): single-
+            # space literal split; consecutive/trailing spaces yield
+            # empty-string tokens in both.
+            toklists = [s.split(" ") for s in pdf["text"]]
+            lens = np.fromiter(
+                (len(t) for t in toklists), dtype=np.int64, count=n
+            )
+            total = int(lens.sum())
+            flat = np.fromiter(
+                itertools.chain.from_iterable(toklists),
+                dtype=object,
+                count=total,
+            )
+            dvec = np.repeat(np.arange(n, dtype=np.int64), lens)
+            brk = np.empty(total, dtype=bool)
+            brk[0] = True
+            if total > 1:
+                brk[1:] = (flat[1:] != flat[:-1]) | (dvec[1:] != dvec[:-1])
+            starts = np.flatnonzero(brk)
+            run_len = np.diff(np.append(starts, total))
+            run_doc = dvec[starts]
+            mx = np.zeros(n, dtype=np.int64)
+            np.maximum.at(mx, run_doc, run_len)
+            nr3 = np.zeros(n, dtype=np.int64)
+            tir = np.zeros(n, dtype=np.int64)
+            ge3 = run_len >= 3
+            np.add.at(nr3, run_doc[ge3], 1)
+            np.add.at(tir, run_doc[ge3], run_len[ge3])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": lens,
+                    "max_run": mx,
+                    "n_runs_ge3": nr3,
+                    "tokens_in_runs": tir,
+                }
+            )
 
-    def finish(acc):
-        last_ge3 = acc["cur"] >= 3
-        return F.struct(
-            acc["mx"].alias("max_run"),
-            (acc["nr3"] + last_ge3.cast("bigint")).alias("n_runs_ge3"),
-            (
-                acc["tir"]
-                + F.when(last_ge3, acc["cur"]).otherwise(
-                    F.lit(0).cast("bigint")
-                )
-            ).alias("tokens_in_runs"),
-        )
-
-    staged = docs.select(
+    staged = docs.mapInPandas(rle_batches, out_schema)
+    return staged.select(
         "doc_id",
-        F.size(tokens()).cast("bigint").alias("n_tokens"),
-        F.aggregate(tokens(), acc0, step, finish).alias("r"),
-    )
-    return (
-        staged.select(
-            "doc_id",
-            "n_tokens",
-            F.col("r.max_run").alias("max_run"),
-            F.col("r.n_runs_ge3").alias("n_runs_ge3"),
-            F.round(
-                F.col("r.tokens_in_runs").cast("double")
-                / F.col("n_tokens").cast("double"),
-                4,
-            ).cast("double").alias("run_frac"),
-        )
-        .orderBy("doc_id")
-    )
+        "n_tokens",
+        "max_run",
+        "n_runs_ge3",
+        F.round(
+            F.col("tokens_in_runs").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).cast("double").alias("run_frac"),
+    ).orderBy("doc_id")
 
 
 def q144_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

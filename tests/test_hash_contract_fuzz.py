@@ -440,3 +440,75 @@ def test_bow_signature_agrees(spark, nasty_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_q143_rle_kernel_agrees_on_nasty_corpus(spark, nasty_path, tmp_path):
+    """r11: q143's vectorized-numpy RLE (mapInPandas) against an
+    independent pure-Python itertools.groupby formulation on the nasty
+    corpus — pins the str.split(' ') == F.split(text,' ') tokenization
+    contract (empty tokens from consecutive/leading/trailing spaces,
+    tabs/newlines NOT split, unicode) and the run-stat arithmetic."""
+    import itertools
+    import math
+    import shutil
+
+    from kinesis_logs_reader_spark.operators.textstats import (
+        q143_repetition_runs,
+    )
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(nasty_path, sf_dir / "documents.parquet")
+
+    expected = {}
+    for doc_id, text in enumerate(NASTY):
+        toks = text.split(" ")
+        runs = [len(list(g)) for _, g in itertools.groupby(toks)]
+        mx = max(runs)
+        nr3 = sum(1 for r in runs if r >= 3)
+        tir = sum(r for r in runs if r >= 3)
+        frac = math.floor(tir / len(toks) * 1e4 + 0.5) / 1e4  # HALF_UP
+        expected[doc_id] = (len(toks), mx, nr3, frac)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.max_run, r.n_runs_ge3, r.run_frac)
+        for r in q143_repetition_runs(spark, str(sf_dir)).collect()
+    }
+    assert got == expected
+
+
+def test_q45_fingerprint_kernel_agrees_on_nasty_corpus(spark, nasty_path, tmp_path):
+    """r11: q45's Python hashlib fingerprint kernel against DuckDB's
+    independent SQL formulation (md5 over explicit 3-token shingles,
+    list min) on the nasty corpus — pins UTF-8 md5 equality, the
+    <3-token NULL contract, and hex-string min ordering."""
+    import shutil
+
+    from kinesis_logs_reader_spark.operators.textstats import q45_fingerprint
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(nasty_path, sf_dir / "documents.parquet")
+
+    got = {
+        r.doc_id: (r.exact_fp, r.shingle_fp)
+        for r in q45_fingerprint(spark, str(sf_dir)).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, md5(text) AS exact_fp,
+                     str_split(text, ' ') AS t FROM read_parquet('{nasty_path}')
+            )
+            SELECT doc_id, exact_fp,
+                   list_min(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   )) AS shingle_fp
+            FROM toks
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -869,6 +869,20 @@ def test_q45b_fingerprint_agg_plan_shape(spark):
     plan = explain.formatted_plan(df)
     assert "Join" not in plan
     assert "partial_count" in plan, "distinct counts must partial-agg"
+    # r11: the fingerprint kernel is ONE Arrow pass riding the scan
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+
+
+def test_q45_fingerprint_plan_shape(spark):
+    """q45 (r11 Arrow kernel): one MapInPandas pass, no join, no
+    aggregate; the only exchange is the declared ORDER BY."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q45_fingerprint(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("MapInPandas") == 2
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
 
 
 def test_canonical_digest_frame_shared_across_consumers(spark):
@@ -971,3 +985,17 @@ def test_q192_no_global_corpus_window(spark):
     assert specs, "expected the per-range prefix-sum window"
     for s in specs:
         assert "_pid" in s, f"unpartitioned window spec: {s}"
+
+
+def test_q143_arrow_rle_plan_shape(spark):
+    """q143 (r11 Arrow RLE rewrite): ONE MapInPandas pass riding the
+    scan — no join, no aggregate shuffle, no corpus-sized window; the
+    only exchange is the declared presentation ORDER BY."""
+    from kinesis_logs_reader_spark.operators import textstats
+
+    df = textstats.q143_repetition_runs(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("MapInPandas") == 2  # one node, printed twice
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "windowspecdefinition" not in plan
