@@ -899,45 +899,44 @@ def q125_dsir_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top scorers — the importance-sampling step that tilts a crawl
     toward a target domain. Target here: the lang='en' slice.
 
-    Both models are add-1-smoothed unigram tables built in one
-    aggregate each (vocab-bounded), broadcast back over one corpus
-    token pass. Exactness: each token's log-ratio is computed from
-    exact integer counts and quantized to int64 micro-nats BEFORE the
-    per-doc sum, so accumulation is exact integer math in both engines.
+    Both models come out of ONE vocab-bounded conditional aggregate
+    over the shared token frame (r11: the r5-r10 form aggregated the
+    token stream twice — all-corpus and target slice — then joined the
+    two vocab tables; ct as sum(lang='en') folds the target model into
+    the general pass, deleting one token-stream shuffle and the vocab
+    join — measured −15% at sf0.1 / −6% at sf~1, values identical;
+    PERF.md r11), broadcast back over one corpus token pass.
+    Exactness: each token's log-ratio is computed from exact integer
+    counts and quantized to int64 micro-nats BEFORE the per-doc sum,
+    so accumulation is exact integer math in both engines.
     """
     from kinesis_logs_reader_spark.operators.textstats import cached_doc_tokens
 
     tok = cached_doc_tokens(spark, sf_dir)
-    c_all = tok.groupBy("t").agg(F.count(F.lit(1)).alias("ca"))
-    c_tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    counts = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("ca"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("ct"),
     )
-    totals = c_all.agg(
-        F.sum("ca").alias("ta"), F.count(F.lit(1)).alias("v")
+    totals = counts.agg(
+        F.sum("ca").alias("ta"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ct").alias("tt"),
     )
-    t_tgt = c_tgt.agg(F.sum("ct").alias("tt"))
-    lr = (
-        c_all.join(c_tgt, "t", "left")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(t_tgt))
-        .select(
-            "t",
-            F.floor(
-                (
-                    F.log(
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        / (F.col("tt") + F.col("v")).cast("double")
-                    )
-                    - F.log(
-                        (F.col("ca") + 1).cast("double")
-                        / (F.col("ta") + F.col("v")).cast("double")
-                    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.floor(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("tt") + F.col("v")).cast("double")
                 )
-                * 1e6
-            ).cast("bigint").alias("lr_q"),
-        )
+                - F.log(
+                    (F.col("ca") + 1).cast("double")
+                    / (F.col("ta") + F.col("v")).cast("double")
+                )
+            )
+            * 1e6
+        ).cast("bigint").alias("lr_q"),
     )
     scored = (
         tok.join(F.broadcast(lr), "t")
@@ -1021,12 +1020,21 @@ def q133_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally zero — Bloom filters have no false negatives — so the
     column doubles as a cross-engine proof of the construction.
 
-    Scale shape: eval side is the small relation (the bit set is at
-    most m DISTINCT ints, broadcast); the train side rides one scan,
-    map-only until the per-source rollup. False-positive rate rises
-    with eval-set saturation of the 8192 bits (1 - e^{-kn/m})^k — at
-    sf0.01's ~14 eval docs it is ~0; the audit columns make the
-    trade-off measurable rather than assumed.
+    Scale shape (r11 rewrite): the filter is MATERIALIZED as its
+    production form — m/64 = 128 int64 words collected driver-side
+    (bounded by construction: the distinct bit-position set is <= m =
+    8192 ints, the same contract class as the q152b per-partition
+    vector) and shipped as a 128-element literal array, so the train-
+    side probe is three O(1) getbit tests riding the scan, MAP-ONLY
+    until the per-source rollup. The r5-r10 form joined an exploded
+    (doc_id, pos) stream against the bit set and grouped by doc_id —
+    a train-sized shuffle plus a train-sized join-back that the
+    docstring's own 100 TB pattern ("tiny immutable filter broadcast
+    to every executor") says shouldn't exist; measured −13% at sf~1
+    (0.99 -> 0.85 s) and two exchanges fewer (PERF.md r11). False-
+    positive rate rises with eval-set saturation of the 8192 bits
+    (1 - e^{-kn/m})^k — at sf0.01's ~14 eval docs it is ~0; the audit
+    columns make the trade-off measurable rather than assumed.
     """
     m_bits, k_hashes = 8192, 3
     docs = load_table(spark, sf_dir, "documents")
@@ -1035,39 +1043,50 @@ def q133_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = digested.filter(F.col("doc_id") % 37 != 0)
 
     def positions(col):
-        return F.array(
-            *[
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(k)), col)), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % m_bits
-                for k in range(k_hashes)
-            ]
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(k)), col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+            for k in range(k_hashes)
+        ]
+
+    # bounded driver step: <= m = 8192 distinct ints by construction
+    pos_rows = (
+        eval_side.select(
+            F.explode(F.array(*positions(F.col("d")))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 for the Spark literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    wcol = F.lit(words)
+
+    def bit_test(pos):
+        return (
+            F.getbit(
+                F.element_at(wcol, (pos / F.lit(64)).cast("int") + 1),
+                (pos % 64).cast("int"),
+            )
+            == 1
         )
 
-    bits = eval_side.select(
-        F.explode(positions(F.col("d"))).alias("pos")
-    ).distinct()
-    probe = train.select(
-        "doc_id", F.explode(positions(F.col("d"))).alias("pos")
-    )
-    hits = (
-        probe.join(F.broadcast(bits), "pos")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-    )
+    tests = [bit_test(p) for p in positions(F.col("d"))]
+    bloom_hit = tests[0] & tests[1] & tests[2]
     exact_set = eval_side.select("d").distinct().withColumn(
         "is_exact", F.lit(True)
     )
     per_doc = (
-        train.join(hits, "doc_id", "left")
-        .withColumn(
-            "bloom_hit", F.coalesce(F.col("k_hits"), F.lit(0)) == k_hashes
-        )
+        train.withColumn("bloom_hit", bloom_hit)
         .join(F.broadcast(exact_set), "d", "left")
         .withColumn("exact_hit", F.coalesce(F.col("is_exact"), F.lit(False)))
     )

@@ -356,13 +356,20 @@ def test_countmin_grid_and_probe_broadcast(spark):
 
 
 def test_bloom_bit_set_broadcasts(spark):
-    """q133's bit set (<= 8192 distinct ints) and exact digest set must
-    both broadcast; the train-side scan is never shuffled by text."""
+    """q133 (r11 bitmask rewrite): the filter is a 128-word literal —
+    the train-side probe is three getbit tests riding the scan, so the
+    ONLY join is the broadcast exact-digest audit and the only hash
+    exchange is the per-source rollup; no doc_id-keyed shuffle, no
+    join-back, no pos-explode."""
     from kinesis_logs_reader_spark.operators import curation
 
     df = curation.q133_bloom_decontamination(spark, SF_DIR)
     plan = explain.formatted_plan(df)
-    assert plan.count("BroadcastExchange") >= 2
+    # one BroadcastExchange node (exact-digest audit), printed twice
+    assert plan.count("BroadcastExchange") == 2
+    assert "getbit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # source rollup
+    assert "SortMergeJoin" not in plan
 
 
 def test_novelty_single_digest_shuffle(spark):
