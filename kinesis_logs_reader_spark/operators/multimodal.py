@@ -294,3 +294,196 @@ def q175_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+    ]
+)
+
+
+def dhash_batch(codec: str = "fake"):
+    """mapInPandas stage factory: (doc_id, payload) -> 64-bit dHash as
+    4x16-bit bands (b0..b3) — the perceptual image digest.
+
+    dHash (difference hash): resize to a 9x8 grayscale grid, then bit
+    k = 8r+c is set iff pixel[r][c] > pixel[r][c+1] — 64 horizontal-
+    gradient bits, robust to uniform brightness/scale changes. The
+    'fake' codec samples payload bytes ((i*n) div 72, the _fake_resize
+    rule) so the digest is integer arithmetic end-to-end and DuckDB-
+    re-derivable; 'real' decodes through Pillow (convert('L'),
+    resize((9,8))) behind the same batch shape and raises loudly when
+    absent. Bands never assemble into one int64 (bit 63 would need
+    unsigned semantics; DuckDB errors on signed overflow) — Hamming
+    distance is the SUM of per-band bit_count(xor), identical either
+    way.
+    """
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if codec == "real" or (codec == "auto" and HAVE_PIL):
+            if _PILImage is None:
+                raise NotImplementedError(
+                    "Pillow not installed; install it for codec='real' "
+                    "or use the deterministic fake grid (codec='fake')"
+                )
+
+            def grid(raw: bytes) -> list[int]:
+                img = _PILImage.open(io.BytesIO(raw))
+                return list(img.convert("L").resize((9, 8)).tobytes())
+
+        elif codec in ("fake", "auto"):
+
+            def grid(raw: bytes) -> list[int]:
+                n = max(len(raw), 1)
+                return [
+                    (raw[(i * n) // 72] if raw else 0) for i in range(72)
+                ]
+
+        else:
+            raise ValueError(
+                f"codec must be 'fake' | 'real' | 'auto', got {codec!r}"
+            )
+
+        weights = (1 << (np.arange(64, dtype=np.int64) % 16)).reshape(4, 16)
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            px = np.array(
+                [grid(bytes(p)) for p in pdf["payload"]], dtype=np.int16
+            ).reshape(n_rows, 8, 9)
+            bits = (px[:, :, :8] > px[:, :, 1:]).reshape(n_rows, 4, 16)
+            bands = (bits * weights).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    return _stage
+
+
+def perceptual_hashes(
+    df: DataFrame, payload_col: str = "payload", codec: str = "fake"
+) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, b0..b3): the dHash stage."""
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    return src.mapInPandas(dhash_batch(codec), PHASH_SCHEMA)
+
+
+def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (r11: the multimodal
+    family's similarity story — q49 does metadata, q175 exact frame
+    digests; this catches images that are ALIKE, not identical —
+    re-encoded thumbnails, brightness-shifted copies — the image-side
+    analog of q47's SimHash text near-dup).
+
+    Near-dups are planted in-query (docs with id < 24 re-emitted at
+    id+6_000_000 with the FIRST byte replaced by 'Z'): the fake grid
+    samples (i*n) div 72, so a same-length one-byte change perturbs at
+    most the pixels that sample offset 0 — Hamming distance <= a few
+    bits, guaranteed recoverable (a <= 1-bit difference leaves >= 3 of
+    the 4 bands identical, so LSH banding MUST surface the pair).
+
+    Spark shape: digests come out of the Arrow dhash stage (one
+    mapInPandas pass, binary in / 4 small ints out — at 100 TB pixels
+    never shuffle, only 8-byte signatures, the q175 digest
+    discipline); candidates are the q46 banded self-join (4 bands x
+    16 bits, pairs only within equal (band, value) buckets — never
+    all-pairs); verification joins the two signature rows and keeps
+    Hamming <= 6 via SUM(bit_count(xor(band))), exact int arithmetic
+    in both engines. Oracle re-derives the byte-sampled grid as
+    VARCHAR ord(substr()) (ASCII corpus: octet == char, the q175
+    invariant) and the full band/LSH/Hamming pipeline in SQL.
+
+    Reference analog: none (beyond-reference mandate; multimodal
+    family, SURVEY §2.2 I5).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select(
+            (F.col("doc_id") + 6_000_000).alias("doc_id"),
+            F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    # The signature frame is read three times (band explode + both
+    # verification sides); session-persist it so the Arrow stage runs
+    # ONCE per corpus — 5 small ints per doc, the q46 pair-frame
+    # convention (at 100 TB this is the phash side table a pipeline
+    # materializes anyway).
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    sig = lru_persisted(
+        spark,
+        "_klrs_phash_sig_cache",
+        sf_dir,
+        lambda: perceptual_hashes(docs.unionByName(planted)),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(f"b{i}").alias("bv")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("ida"), F.col("r.doc_id").alias("idb")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("ida"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("idb"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.join(sig_a, "ida")
+        .join(sig_b, "idb")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select(
+            "ida",
+            "idb",
+            "hamming",
+            (F.col("idb") - F.col("ida") == 6_000_000).alias("is_planted"),
+        )
+        .orderBy("ida", "idb")
+    )

@@ -5079,3 +5079,65 @@ SELECT q.source, q.n_docs,
 FROM quota q LEFT JOIN drawn d ON d.source = q.source
 ORDER BY q.source
 """
+
+
+# --- q194: perceptual-hash (dHash) image near-dup pairs ---------------------
+# Re-derives the fake-codec 9x8 byte-sampled grid as VARCHAR
+# ord(substr()) (ASCII corpus: octet == char, the q175 invariant), the
+# 64 horizontal-gradient bits as 4x16-bit integer bands, the LSH band
+# self-join, and the per-band bit_count(xor) Hamming verification —
+# all integer arithmetic, bit-identical to the Arrow dhash stage.
+def _phash_band_sql(j: int) -> str:
+    terms = []
+    for kl in range(16):
+        k = 16 * j + kl
+        r, c = divmod(k, 8)
+        terms.append(
+            f"(CASE WHEN p[{9 * r + c + 1}] > p[{9 * r + c + 2}]"
+            f" THEN {1 << kl} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+ORACLE["q194_phash_neardup"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000 AS doc_id, 'Z' || substr(text, 2) AS text
+  FROM documents WHERE doc_id < 24
+), px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 71),
+           i -> CASE WHEN length(text) = 0 THEN 0
+                     ELSE ord(substr(text, (i * length(text)) // 72 + 1, 1))
+                END) AS p
+  FROM base
+), sig AS (
+  SELECT doc_id,
+         CAST({_phash_band_sql(0)} AS INTEGER) AS b0,
+         CAST({_phash_band_sql(1)} AS INTEGER) AS b1,
+         CAST({_phash_band_sql(2)} AS INTEGER) AS b2,
+         CAST({_phash_band_sql(3)} AS INTEGER) AS b3
+  FROM px
+), bands AS (
+  SELECT doc_id, 0 AS bi, b0 AS bv FROM sig
+  UNION ALL SELECT doc_id, 1 AS bi, b1 AS bv FROM sig
+  UNION ALL SELECT doc_id, 2 AS bi, b2 AS bv FROM sig
+  UNION ALL SELECT doc_id, 3 AS bi, b3 AS bv FROM sig
+), cand AS (
+  SELECT DISTINCT l.doc_id AS ida, r.doc_id AS idb
+  FROM bands l
+  JOIN bands r ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT c.ida, c.idb,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         AS INTEGER) AS hamming,
+       (c.idb - c.ida = 6000000) AS is_planted
+FROM cand c
+JOIN sig a ON a.doc_id = c.ida
+JOIN sig b ON b.doc_id = c.idb
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+ORDER BY 1, 2
+"""

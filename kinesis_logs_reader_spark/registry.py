@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 201  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 202  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 201  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 201  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 202  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -55,6 +55,7 @@ N_ORACLES = 201  # all r7-r10 additions are fully oracle-backed
 #                      +q187 PQ codebook distortion report,
 #                      +q188 two-stage PQ retrieval (ADC shortlist -> exact re-rank),
 #                      +q189 KMV-sketch cross-source overlap (est vs exact)
+#                  r11: +q194 perceptual-hash (dHash) image near-dup pairs
 
 _OPERATOR_MODULES = (
     "analytics",

@@ -1006,3 +1006,19 @@ def test_q143_arrow_rle_plan_shape(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_q194_phash_banded_no_cartesian(spark):
+    """q194: candidates come from the banded equi-join (never
+    all-pairs), the signature frame is the ONE persisted Arrow stage
+    (pixels never shuffle — only 4 small ints per doc), and
+    verification is exact int bit arithmetic."""
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q194_phash_neardup,
+    )
+
+    df = q194_phash_neardup(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted signature frame
+    assert "bit_count" in plan
