@@ -458,22 +458,12 @@ DRIVER_WINDOW_R9_ACTIVE: list[str] = (
     + DRIVER_WINDOW_R9
 )[:50]
 
-# ACTIVE window for this round's driver correctness gate (first 50).
-# r10 rotation (VERDICT r9 items 1 and 3). Priority order — the r4
-# lesson codified: CHANGED KERNELS JUMP THE QUEUE, age only ranks the
-# unchanged.
-#   (0) new-this-round keys (never driver-checked);
-#   (1) keys whose CODE changed after their newest driver row — the
-#       three r9 rewrites (q12 rank-window, q118 max_by+translate,
-#       q148 digit-skeleton translate) plus everything r10 touched
-#       (q189 jacc/m fix, q118/q148 again, q78/q90 digest-cache
-#       construction, q05 SHUFFLE_HASH joins);
-#   (2) the seven R9-tail keys displaced past last round's [:50] cut;
-#   (3) the 13 r4-era keys (oldest unchanged evidence on the board);
-#   (4) oldest r5-era keys fill to 50.
-# Displaced to r11: the 13 remaining r5-era keys (q37/q37b/q38/q39/
-# q41/q47/q48/q86/q88/q93/q94/q96/q99) — staged below.
-DRIVER_WINDOW: list[str] = [
+# Round-10 ACTIVE window (historical): ran 50/50 green
+# (CORRECTNESS_r10.json). Kept verbatim — including the original
+# over-length tail trimmed by the [:50] slice — as the audit record of
+# what actually ran; the r11 window below is exact-length with a
+# uniqueness assert (ADVICE r10).
+DRIVER_WINDOW_R10_ACTIVE: list[str] = [
     # (0) r10 additions
     "q45b_fingerprint_agg",
     "q190_opq_rotation",
@@ -545,16 +535,39 @@ DRIVER_WINDOW: list[str] = [
     "q35b_median_native",
 ][:50]
 
-# Staged r11 rotation: the r5-era tail displaced by this round's
-# window, plus whatever r10 changes by then. Per the rotation policy
-# (~4-round evidence cap) these become the oldest keys after r10.
-DRIVER_WINDOW_R11_STAGED: list[str] = [
-    # displaced by the q07/q61/q97/q139 rewrites, the q115-family
-    # cache rewire, and q151b/q192/q193 jumping the r10 queue (q139
-    # itself re-entered the window when its kernel changed late in r10)
+# ACTIVE window for this round's driver correctness gate (first 50).
+# r11 rotation (VERDICT r10 item 1). Amended freshness policy, now
+# codified in COVERAGE.md: CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS
+# RE-CERTIFIED WITHIN <=6 ROUNDS (the arithmetic a 201-key surface, a
+# 50-slot window, and ~15 changed/new keys per round actually permit —
+# the old ~4-round aspiration was infeasible, VERDICT r10).
+#   (0) new-this-round keys (never driver-checked): q194;
+#   (1) keys whose KERNEL changed after their newest driver row — the
+#       r11 Arrow fold rewrites (q143 RLE, q45/q45b rolling
+#       fingerprints), the q133 literal-bitmask bloom probe, the q125
+#       one-aggregate DSIR fold, and the q178/q191 shared
+#       eval-manifest rule extraction. (The lru_persisted cache
+#       refactors in q78/q90/q118/q189/q192 change eviction only, not
+#       construction or results — they do not jump the queue.)
+#   (2) the 23 remaining r5-era keys (q133 already above) — after
+#       this window ZERO keys have evidence older than r6;
+#   (3) the 19 oldest r6-era keys, low query numbers first (the
+#       longest-lived relational core).
+# Exactly 50 entries — asserted below, no silent [:50] trim.
+DRIVER_WINDOW: list[str] = [
+    # (0) r11 additions
+    "q194_phash_neardup",
+    # (1) changed kernels whose driver rows predate the change
+    "q143_repetition_runs",
+    "q45_fingerprint",
+    "q45b_fingerprint_agg",
+    "q133_bloom_decontamination",
+    "q125_dsir_sampling",
+    "q178_stratified_eval_sample",
+    "q191_eval_split_regen",
+    # (2) r5-era evidence (5 rounds stale — the whole tier cycles out)
     "q130_span_decontamination",
     "q132_countmin_sketch",
-    "q133_bloom_decontamination",
     "q134_ngram_novelty",
     "q135_jl_projection",
     "q136_source_overlap",
@@ -576,6 +589,54 @@ DRIVER_WINDOW_R11_STAGED: list[str] = [
     "q94_pack_sequences",
     "q96_stratified_sample",
     "q99_centroid_outliers",
+    # (3) oldest r6-era keys
+    "q01_project_arith",
+    "q10_join_range",
+    "q13_tpch_q1",
+    "q15_rollup",
+    "q18_window_rank",
+    "q20_window_running_sum",
+    "q22_topk",
+    "q24_intersect_except",
+    "q26a_string_funcs",
+    "q26b_datetime_funcs",
+    "q26c_math_funcs",
+    "q26d_array_funcs",
+    "q26e_json_funcs",
+    "q27_join_full_outer",
+    "q29_embedding_norm",
+    "q34_join_right",
+    "q36_supplier_nation",
+    "q52_percentiles",
+    "q53_pivot",
+]
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
+    "DRIVER_WINDOW must hold exactly 50 unique keys "
+    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
+)
+
+# Staged r12 rotation: the 18 r6-era keys this window could not fit.
+# At r12 they are exactly 6 rounds stale — the policy ceiling — so
+# they MUST lead the r12 window (after any changed/new keys).
+DRIVER_WINDOW_R12_STAGED: list[str] = [
+    "q54_posexplode",
+    "q55_scalar_subquery",
+    "q57_string_extra",
+    "q58_map_funcs",
+    "q59_exists_subquery",
+    "q141_ivf_fixed_probe",
+    "q142_interval_join",
+    "q144_token_entropy",
+    "q145_oov_rate",
+    "q146_jaccard_threshold_sweep",
+    "q147_bigram_lm",
+    "q149_source_signature",
+    "q150_charset_profile",
+    "q153_dedup_survivorship",
+    "q154_boundary_overlap",
+    "q156_training_order",
+    "q157_epoch_plan",
+    "q158_fuzzy_variants",
 ]
 
 
