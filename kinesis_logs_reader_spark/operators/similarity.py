@@ -1867,6 +1867,15 @@ def q188_pq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; completes the
     PQ family q185/q187).
     """
+    return _pq_rerank_top10(spark, sf_dir).orderBy("qid", "rk")
+
+
+def _pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q188's two-stage retrieval body, unordered: (qid, rk, vec_id,
+    d2) with rk <= 10 per query. Shared by q188 (which just orders it)
+    and q195 (which reranks it with the lexical interaction scorer) so
+    the serving shape has ONE definition — the q178/q191 shared-rule
+    convention applied to the retrieval ladder."""
     shortlist_k = 50
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -2045,4 +2054,131 @@ def q190_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_d2",
         )
         .orderBy("sub", "code")
+    )
+
+
+def q195_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-shaped reranking of q188's shortlist (r11,
+    VERDICT r10 item 8): the final stage of the retrieval ladder
+    q185 (compressed ADC scan) -> q188 (exact-vector re-rank of the
+    survivors) -> q195 (JOINT query x candidate content scoring of the
+    top-10). A production reranker runs a cross-encoder model over the
+    (query text, candidate text) PAIR; the deterministic, oracle-
+    expressible stand-in here is a late-interaction lexical scorer:
+
+        ce_u(q, c) = sum over shared distinct 3-token shingles s of
+                     idf_u(s) * min(tf_q(s), 3) * min(tf_c(s), 3)
+
+    — idf-weighted (rare shingles dominate, the q165 scorer), tf-
+    SATURATED both sides (BM25's diminishing-returns shape, exact in
+    int64: idf_u < 2^40, saturated tfs <= 9), computed on the (q, c)
+    pair jointly rather than from any single-document embedding. The
+    swap-in point for a real model is exactly this pair-scoring stage
+    (the multimodal.py fake-codec convention). Output: per query the
+    top-5 of the 10 exact-stage survivors with BOTH stage ranks, so
+    the row shows what the reranker changed (pq_rank vs ce_rank).
+
+    Scale shape: the shortlist is |Q| x 10 BOUNDED rows -> it
+    broadcasts into the documents scan, pruning the corpus to the ~44
+    relevant texts BEFORE tokenization (never a corpus-wide shingle
+    explode on the candidate side). The only full-corpus pass is the
+    document-frequency table — a term-statistics artifact a real
+    pipeline precomputes once and reuses (the q160 side-table
+    convention). The final window partitions by qid over <= 10 rows.
+    vec_id == doc_id by the testdata contract (embeddings are the
+    documents' vectors).
+
+    Oracle: q188's full WITH-chain (shared _PQ_RERANK_CTES fragment —
+    codebooks retrained from scratch) + the same tf/df/interaction
+    CTEs in SQL.
+
+    Reference analog: none (beyond-reference mandate; completes the
+    retrieval ladder).
+    """
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.text import (
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+
+    # top10 is referenced three times below (relevant-doc prune, the
+    # interaction join, the final left join); session-persist the
+    # 40-row frame so the q188 pipeline — including its Arrow encode
+    # pass — runs ONCE, not per reference (plan-pinned).
+    top10 = lru_persisted(
+        spark,
+        "_klrs_q195_top10_cache",
+        sf_dir,
+        lambda: _pq_rerank_top10(spark, sf_dir),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # saturated shingle term frequencies, corpus pruned to the bounded
+    # relevant-doc set BEFORE the shingle explode
+    relevant = top10.select(F.col("vec_id").alias("doc_id")).unionByName(
+        top10.select(F.col("qid").alias("doc_id"))
+    ).distinct()
+    tf = (
+        docs.join(F.broadcast(relevant), "doc_id")
+        .select("doc_id", token_base_hashes().alias("tb"))
+        .select(
+            "doc_id",
+            F.explode(
+                token_shingle_hashes(F.col("tb"), distinct=False)
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.least(F.count(F.lit(1)), F.lit(3)).alias("tf_sat"))
+    )
+
+    # document-frequency table: the one full-corpus pass (precomputed
+    # artifact at scale); same 10%-df stopword prune as q165
+    base = docs.select("doc_id", token_base_hashes().alias("tb"))
+    dtok = base.select(
+        "doc_id", F.explode(token_shingle_hashes(F.col("tb"))).alias("t")
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    idf_u = F.floor(
+        F.log(F.col("n_corpus").cast("double") / F.col("df")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    df_tbl = (
+        dtok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 10 <= F.col("n_corpus"))
+        .select("t", idf_u.alias("idf_u"))
+    )
+
+    qtf = (
+        tf.filter(F.col("doc_id") < _PQ_NQ)
+        .select(F.col("doc_id").alias("qid"), "t", F.col("tf_sat").alias("tfq"))
+    )
+    ce = (
+        top10.join(
+            tf.select(F.col("doc_id").alias("vec_id"), "t", "tf_sat"),
+            "vec_id",
+        )
+        .join(F.broadcast(qtf), ["qid", "t"])
+        .join(F.broadcast(df_tbl), "t")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("idf_u") * F.col("tfq") * F.col("tf_sat")).alias("ce_u"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("ce_u").desc(), F.col("d2"), F.col("vec_id")
+    )
+    return (
+        top10.join(ce, ["qid", "vec_id"], "left")
+        .withColumn("ce_u", F.coalesce(F.col("ce_u"), F.lit(0)))
+        .withColumn("ce_rank", F.row_number().over(w))
+        .filter(F.col("ce_rank") <= 5)
+        .select(
+            "qid",
+            "ce_rank",
+            "vec_id",
+            F.col("rk").alias("pq_rank"),
+            "d2",
+            "ce_u",
+        )
+        .orderBy("qid", "ce_rank")
     )

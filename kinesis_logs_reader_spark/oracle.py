@@ -4772,8 +4772,10 @@ ORDER BY qid
 """
 
 
-ORACLE["q188_pq_reranked"] = f"""
-WITH {_PQ_SUBS},
+# Shared WITH-chain for the two-stage retrieval (q188) and its
+# cross-encoder-shaped rerank (q195): retrained codebooks -> ADC
+# shortlist (50) -> exact grid re-rank -> top10 (qid, rk, vec_id, d2).
+_PQ_RERANK_CTES = f"""{_PQ_SUBS},
 codes AS (
 {_PQ_CODES}
 ),
@@ -4821,13 +4823,91 @@ exact AS (
   JOIN gflat g ON g.vec_id = s.vec_id
   JOIN qgrid q ON q.qid = s.qid AND q.dim = g.dim
   GROUP BY s.qid, s.vec_id
-)
-SELECT qid, rk, vec_id, d2 FROM (
-  SELECT qid, vec_id, d2,
-         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS INT) AS rk
-  FROM exact) t
-WHERE rk <= 10
+),
+top10 AS (
+  SELECT qid, rk, vec_id, d2 FROM (
+    SELECT qid, vec_id, d2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS INT) AS rk
+    FROM exact) t
+  WHERE rk <= 10
+)"""
+
+ORACLE["q188_pq_reranked"] = f"""
+WITH {_PQ_RERANK_CTES}
+SELECT qid, rk, vec_id, d2 FROM top10
 ORDER BY qid, rk
+"""
+
+# q195: late-interaction lexical rerank of q188's top-10 — saturated
+# shingle tf both sides, idf-weighted, exact int64 (similarity.py
+# docstring). Shingle hashing mirrors functions/text.py exactly (the
+# q165 oracle kernel, WITHOUT list_distinct so tf survives).
+ORACLE["q195_ce_rerank"] = f"""
+WITH {_PQ_RERANK_CTES},
+relevant AS (
+  SELECT DISTINCT vec_id AS doc_id FROM top10
+  UNION
+  SELECT DISTINCT qid AS doc_id FROM top10
+),
+rel_tokbase AS (
+  SELECT d.doc_id,
+         list_transform(str_split(d.text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents d JOIN relevant r USING (doc_id)
+),
+rel_sh AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647)) AS t
+  FROM rel_tokbase
+),
+tf AS (
+  SELECT doc_id, t, LEAST(COUNT(*), 3) AS tf_sat
+  FROM rel_sh GROUP BY doc_id, t
+),
+tokbase AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 2147483647) AS tb
+  FROM documents
+),
+dtok AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(0, len(tb) - 2)),
+           i -> ((tb[i] * 912367891) % 2147483647
+               + (tb[i+1] * 1500450271) % 2147483647
+               + (tb[i+2] * 2038074743) % 2147483647) % 2147483647))) AS t
+  FROM tokbase
+),
+stats AS (SELECT COUNT(*) AS n_corpus FROM documents),
+df_tbl AS (
+  SELECT t,
+         CAST(FLOOR(LN(CAST(s.n_corpus AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT)
+           AS idf_u
+  FROM (SELECT t, COUNT(*) AS df FROM dtok GROUP BY t) d
+  CROSS JOIN stats s
+  WHERE d.df * 10 <= s.n_corpus
+),
+ce AS (
+  SELECT p.qid, p.vec_id,
+         CAST(SUM(d.idf_u * q.tf_sat * c.tf_sat) AS BIGINT) AS ce_u
+  FROM top10 p
+  JOIN tf c ON c.doc_id = p.vec_id
+  JOIN tf q ON q.doc_id = p.qid AND q.t = c.t
+  JOIN df_tbl d ON d.t = c.t
+  GROUP BY p.qid, p.vec_id
+)
+SELECT qid, ce_rank, vec_id, pq_rank, d2, ce_u FROM (
+  SELECT p.qid, p.vec_id, p.rk AS pq_rank, p.d2,
+         COALESCE(ce.ce_u, 0) AS ce_u,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+                ORDER BY COALESCE(ce.ce_u, 0) DESC, p.d2, p.vec_id)
+              AS INT) AS ce_rank
+  FROM top10 p LEFT JOIN ce ON ce.qid = p.qid AND ce.vec_id = p.vec_id) t
+WHERE ce_rank <= 5
+ORDER BY qid, ce_rank
 """
 
 

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 202  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 203  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 202  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 202  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 203  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -55,7 +55,8 @@ N_ORACLES = 202  # all r7-r10 additions are fully oracle-backed
 #                      +q187 PQ codebook distortion report,
 #                      +q188 two-stage PQ retrieval (ADC shortlist -> exact re-rank),
 #                      +q189 KMV-sketch cross-source overlap (est vs exact)
-#                  r11: +q194 perceptual-hash (dHash) image near-dup pairs
+#                  r11: +q194 perceptual-hash (dHash) image near-dup pairs,
+#                      +q195 cross-encoder-shaped rerank of q188's shortlist
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -557,6 +558,7 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
 DRIVER_WINDOW: list[str] = [
     # (0) r11 additions
     "q194_phash_neardup",
+    "q195_ce_rerank",
     # (1) changed kernels whose driver rows predate the change
     "q143_repetition_runs",
     "q45_fingerprint",
@@ -608,17 +610,18 @@ DRIVER_WINDOW: list[str] = [
     "q34_join_right",
     "q36_supplier_nation",
     "q52_percentiles",
-    "q53_pivot",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
     f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
 )
 
-# Staged r12 rotation: the 18 r6-era keys this window could not fit.
+# Staged r12 rotation: the 19 r6-era keys this window could not fit
+# (q53 displaced late-r11 when q195 entered the window as a new key).
 # At r12 they are exactly 6 rounds stale — the policy ceiling — so
 # they MUST lead the r12 window (after any changed/new keys).
 DRIVER_WINDOW_R12_STAGED: list[str] = [
+    "q53_pivot",
     "q54_posexplode",
     "q55_scalar_subquery",
     "q57_string_extra",

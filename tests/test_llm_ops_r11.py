@@ -110,3 +110,111 @@ def test_q194_hamming_symmetry_and_self_zero(spark):
             # one changed byte samples into at most pixel 0 -> at most
             # the single (r0,c0) gradient bit flips
             assert r.hamming <= 1, (r.ida, r.hamming)
+
+
+# --- q195: cross-encoder-shaped rerank of q188's shortlist -----------------
+
+_P = 2_147_483_647
+_C = (912_367_891, 1_500_450_271, 2_038_074_743)
+
+
+def _py_shingle_hashes(text: str) -> list[int]:
+    """Independent pure-Python shingle-hash spec (functions/text.py)."""
+    import hashlib
+
+    tb = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _P
+        for t in text.split(" ")
+    ]
+    return [
+        (tb[i] * _C[0] % _P + tb[i + 1] * _C[1] % _P + tb[i + 2] * _C[2] % _P)
+        % _P
+        for i in range(max(0, len(tb) - 2))
+    ]
+
+
+def test_q195_matches_pure_python_rerank(spark):
+    """End-to-end exactness pin: recompute the saturated-tf idf
+    interaction scores and the full reranked output in pure Python
+    from the raw texts + q188's shortlist, and require bit equality —
+    the kernel (idf table, tf saturation, tie order) has one spec."""
+    import math
+    from collections import Counter
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q188_pq_reranked,
+        q195_ce_rerank,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(texts)
+    sh = {d: _py_shingle_hashes(t) for d, t in texts.items()}
+    df_cnt = Counter()
+    for hs in sh.values():
+        df_cnt.update(set(hs))
+    idf = {
+        t: math.floor(math.log(n / c) * 1e6 + 0.5)
+        for t, c in df_cnt.items()
+        if c * 10 <= n
+    }
+    tf = {d: Counter(hs) for d, hs in sh.items()}
+
+    def ce_u(q: int, c: int) -> int:
+        tq, tc = tf[q], tf[c]
+        return sum(
+            idf[t] * min(tq[t], 3) * min(tc[t], 3)
+            for t in tq.keys() & tc.keys()
+            if t in idf
+        )
+
+    top10 = [
+        (r.qid, r.rk, r.vec_id, r.d2)
+        for r in q188_pq_reranked(spark, SF_DIR).collect()
+    ]
+    expected = []
+    for qid in sorted({q for q, *_ in top10}):
+        cands = [
+            (-ce_u(qid, v), d2, v, rk)
+            for (q, rk, v, d2) in top10
+            if q == qid
+        ]
+        for i, (neg_ce, d2, v, rk) in enumerate(sorted(cands)[:5], 1):
+            expected.append((qid, i, v, rk, d2, -neg_ce))
+
+    got = [
+        (r.qid, r.ce_rank, r.vec_id, r.pq_rank, r.d2, r.ce_u)
+        for r in q195_ce_rerank(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_q195_output_contract(spark):
+    """Shape invariants: exactly 5 rows per query, ce_rank 1..5,
+    output pairs are a subset of q188's top-10, and the reranker
+    actually reorders on content (ce_u non-increasing per qid)."""
+    from collections import defaultdict
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q188_pq_reranked,
+        q195_ce_rerank,
+    )
+
+    pairs_188 = {
+        (r.qid, r.vec_id) for r in q188_pq_reranked(spark, SF_DIR).collect()
+    }
+    rows = q195_ce_rerank(spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.qid].append(r)
+        assert (r.qid, r.vec_id) in pairs_188
+        assert r.ce_u >= 0
+    for qid, rs in by_q.items():
+        assert [r.ce_rank for r in rs] == [1, 2, 3, 4, 5]
+        ces = [r.ce_u for r in rs]
+        assert ces == sorted(ces, reverse=True)

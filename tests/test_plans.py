@@ -1022,3 +1022,22 @@ def test_q194_phash_banded_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted signature frame
     assert "bit_count" in plan
+
+
+def test_q195_ce_rerank_plan_shape(spark):
+    """q195: the bounded shortlist and per-query term tables broadcast
+    into the corpus-side scans (candidate texts pruned BEFORE the
+    shingle explode); the interaction sum partial-aggregates; no
+    cartesian; the only Python boundary is q185's shared encode."""
+    from kinesis_logs_reader_spark.operators import similarity
+
+    df = similarity.q195_ce_rerank(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # all three top10 references must hit the persisted 40-row frame
+    # (the q188 encode pass runs once inside the cached relation, not
+    # per reference — the formatted plan still PRINTS the stored build
+    # plan's MapInPandas, so pin the reuse, not the node count)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("BroadcastExchange") >= 4  # relevant/qtf/df_tbl...
+    assert "partial_sum" in plan
