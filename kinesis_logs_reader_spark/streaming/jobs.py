@@ -769,3 +769,174 @@ def run_shard_plan_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_mixture_sample_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    budget: int = 300,
+) -> None:
+    """One micro-batch of continuous mixture sampling (streaming
+    q193): maintain tonight's training sample as documents ARRIVE —
+    the q192/q160 sink discipline applied to the draw itself
+    (VERDICT r10 item 8).
+
+    State is two immutable per-batch ledgers, never a mutable store:
+
+    - ``counts/batch_id=N``: per-source arrival counts for batch N.
+      Cumulative source sizes (the Hamilton weight input) are a sum
+      over ledger rows — one row per (source, batch), never per doc.
+    - ``cands/batch_id=N``: the per-source ``budget``-smallest
+      (md5 key, doc_id) candidates over EVERYTHING arrived through
+      batch N, derived from the latest prior candidate set plus this
+      batch's arrivals. Because any source's quota is at most
+      ``budget`` (quotas sum to it), this bounded frame — at most
+      |sources| x budget rows regardless of corpus size — is a
+      SUFFICIENT STATISTIC for the exact draw: the incremental plan
+      equals batch q193 run over the full arrived corpus (pinned).
+
+    Per batch the sink re-apportions quotas from cumulative counts
+    (largest-remainder, q193's arithmetic verbatim), draws from the
+    candidate frame, and writes the full |sources|-row plan under
+    ``plans/batch_id=N``. A REPLAYED batch reads only ledgers with
+    batch_id < its own and overwrites its own partitions
+    byte-for-byte (idempotence, pinned). Corrupt/unreadable ledgers
+    fail LOUD; only path-not-found means "first batch" (the
+    apply_shard_plan_batch contract).
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+
+    def _ledger(subdir: str, empty_schema: str) -> DataFrame:
+        path = os.path.join(store_dir, subdir)
+        try:
+            return spark.read.parquet(path).filter(
+                F.col("batch_id") < batch_id
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in (exc.getCondition() or str(exc)):
+                raise
+            return spark.createDataFrame([], empty_schema)
+
+    arrivals = batch_df.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+
+    # candidate frame: latest prior set (bounded) + this batch's docs,
+    # per-source budget-smallest by (md5 key, doc_id)
+    prev_cands = _ledger(
+        "cands", "source string, doc_id long, k string, batch_id long"
+    )
+    latest_row = prev_cands.agg(F.max("batch_id").alias("m")).first()
+    latest_id = latest_row["m"] if latest_row else None
+    latest = (
+        prev_cands.filter(F.col("batch_id") == latest_id)
+        if latest_id is not None
+        else prev_cands
+    ).select("source", "doc_id", "k")
+    w_cand = Window.partitionBy("source").orderBy("k", "doc_id")
+    cands = (
+        latest.unionByName(arrivals.select("source", "doc_id", "k"))
+        .withColumn("rnk", F.row_number().over(w_cand))
+        .filter(F.col("rnk") <= budget)
+    )
+    cands.drop("rnk").write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"cands/batch_id={batch_id}")
+    )
+
+    # counts ledger + cumulative source sizes through this batch
+    own = arrivals.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    own.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"counts/batch_id={batch_id}")
+    )
+    prev_counts = (
+        _ledger("counts", "source string, n long, batch_id long")
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_prev"))
+    )
+    cum = (
+        own.join(prev_counts, "source", "full_outer")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("n_prev"), F.lit(0))
+            ).alias("n_docs"),
+        )
+    )
+
+    # q193's Hamilton apportionment verbatim on the |sources| frame
+    keyed = cum.withColumn(
+        "kw",
+        F.floor(F.pow(F.col("n_docs").cast("double"), 0.7) * 1e6 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    tot = keyed.agg(F.sum("kw").alias("tot"))
+    alloc = keyed.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({budget}L * kw) div tot").alias("base"),
+        F.expr(f"({budget}L * kw) % tot").alias("rem"),
+    )
+    base_sum = alloc.agg(F.sum("base").alias("base_sum"))
+    w_rem = Window.orderBy(F.col("rem").desc(), "source")
+    quota = (
+        alloc.crossJoin(F.broadcast(base_sum))
+        .withColumn("rr", F.row_number().over(w_rem))
+        .withColumn(
+            "quota",
+            F.col("base")
+            + (F.col("rr") <= F.lit(budget) - F.col("base_sum")).cast("long"),
+        )
+        .select("source", "n_docs", "quota")
+    )
+    drawn = (
+        cands.join(F.broadcast(quota.select("source", "quota")), "source")
+        .filter(F.col("rnk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum(F.col("rnk") * F.col("doc_id")).alias("draw_checksum"),
+        )
+    )
+    plan = quota.join(drawn, "source", "left").select(
+        "source",
+        "n_docs",
+        "quota",
+        F.coalesce(F.col("n_drawn"), F.lit(0)).alias("n_drawn"),
+        (F.col("quota") - F.coalesce(F.col("n_drawn"), F.lit(0))).alias(
+            "shortfall"
+        ),
+        F.coalesce(F.col("draw_checksum"), F.lit(0)).alias("draw_checksum"),
+    )
+    plan.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"plans/batch_id={batch_id}")
+    )
+
+
+def run_mixture_sample_sink(
+    doc_stream: DataFrame, checkpoint: str, store_dir: str, budget: int = 300
+):
+    """Continuous mixture sampling (streaming q193): per micro-batch,
+    re-apportion the sample budget over cumulative source sizes and
+    maintain the exact deterministic draw. foreachBatch because the
+    state is the bounded external candidate/count ledgers, not a
+    watermark-boundable aggregation."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_mixture_sample_batch(batch_df, batch_id, store_dir, budget)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -905,3 +905,91 @@ def test_shard_plan_corrupt_totals_fails_loud(spark, tmp_path):
     apply_shard_plan_batch(docs.limit(10), 0, store2)
     first = spark.read.parquet(os.path.join(store2, "docs"))
     assert first.agg(F.min("cum_before")).first()[0] == 0
+
+
+def test_mixture_sample_sink_matches_batch_q193(spark, tmp_path):
+    """Streaming mixture sampler (r11): (1) the whole corpus in ONE
+    wave reproduces batch q193's plan exactly; (2) TWO waves converge
+    to the same plan — the bounded per-source candidate store (budget-
+    smallest md5 keys; any quota <= budget) is a sufficient statistic
+    for the exact draw over everything arrived; (3) replaying a
+    batch_id is byte-idempotent; (4) a corrupt counts ledger fails
+    loud (the shard-plan contract)."""
+    import os
+
+    import pytest
+
+    from kinesis_logs_reader_spark.operators.curation import q193_mixture_plan
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_mixture_sample_batch,
+        run_mixture_sample_sink,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    want = sorted(tuple(r) for r in q193_mixture_plan(spark, SF_DIR).collect())
+
+    # (1) single wave == batch q193
+    src1 = tmp_path / "src1"
+    os.makedirs(src1)
+    docs.coalesce(1).write.parquet(str(src1 / "wave0"))
+    store1 = str(tmp_path / "store1")
+    stream = spark.readStream.schema("doc_id long, source string").parquet(
+        str(src1 / "*")
+    )
+    run_mixture_sample_sink(
+        stream, str(tmp_path / "ckpt1"), store1
+    ).awaitTermination(120)
+    got1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store1, "plans/batch_id=0"))
+        .collect()
+    )
+    assert got1 == want
+
+    # (2) two waves converge to the batch plan over the full corpus
+    store2 = str(tmp_path / "store2")
+    w0 = docs.filter(F.col("doc_id") % 2 == 0)
+    w1 = docs.filter(F.col("doc_id") % 2 == 1)
+    apply_mixture_sample_batch(w0, 0, store2)
+    apply_mixture_sample_batch(w1, 1, store2)
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store2, "plans/batch_id=1"))
+        .collect()
+    )
+    assert got2 == want
+    # the interim plan is a valid full apportionment of the budget too
+    interim = spark.read.parquet(os.path.join(store2, "plans/batch_id=0"))
+    assert interim.agg(F.sum("quota")).first()[0] == 300
+
+    # (3) replay idempotence: re-apply batch 1 over the same wave
+    before_c = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(store2, "cands/batch_id=1")
+        ).collect()
+    )
+    apply_mixture_sample_batch(w1, 1, store2)
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(store2, "plans/batch_id=1"))
+        .collect()
+    )
+    after_c = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(store2, "cands/batch_id=1")
+        ).collect()
+    )
+    assert after == want and after_c == before_c
+
+    # (4) corrupt counts ledger fails loud; missing ledger = first batch
+    store3 = str(tmp_path / "store3")
+    bad = os.path.join(store3, "counts", "batch_id=0")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        apply_mixture_sample_batch(docs.limit(10), 1, store3)
