@@ -202,7 +202,6 @@ DRIVER_WINDOW_R6: list[str] = [
     "q160_incremental_dedup",
     # never-checked overflow from r5
     "q141_ivf_fixed_probe",
-    "q142_interval_join",
     "q143_repetition_runs",
     "q144_token_entropy",
     "q145_oov_rate",
@@ -567,6 +566,7 @@ DRIVER_WINDOW: list[str] = [
     "q125_dsir_sampling",
     "q178_stratified_eval_sample",
     "q191_eval_split_regen",
+    "q142_interval_join",  # r11 bucketed band-join rewrite (weak-row audit)
     # (2) r5-era evidence (5 rounds stale — the whole tier cycles out)
     "q130_span_decontamination",
     "q132_countmin_sketch",
@@ -609,7 +609,6 @@ DRIVER_WINDOW: list[str] = [
     "q29_embedding_norm",
     "q34_join_right",
     "q36_supplier_nation",
-    "q52_percentiles",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -622,13 +621,13 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # they MUST lead the r12 window (after any changed/new keys).
 DRIVER_WINDOW_R12_STAGED: list[str] = [
     "q53_pivot",
+    "q52_percentiles",
     "q54_posexplode",
     "q55_scalar_subquery",
     "q57_string_extra",
     "q58_map_funcs",
     "q59_exists_subquery",
     "q141_ivf_fixed_probe",
-    "q142_interval_join",
     "q144_token_entropy",
     "q145_oov_rate",
     "q146_jaccard_threshold_sweep",

@@ -87,23 +87,41 @@ def q142_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch the same bound is what keeps the join a band join instead of
     a per-user cross product.
 
-    Scale shape: both sides shuffle once on user_id (the equi part of
-    the predicate); the band condition applies within each key group.
-    The per-user aggregate bounds the output at |users| rows at any
-    event volume.
+    Scale shape (r11 weak-row audit): the band condition is bucketed
+    — signups duplicate into their two covering hour buckets, the
+    join is an EQUI-join on (user_id, bucket) with the exact band as
+    a residual filter. Each qualifying pair meets in exactly ONE
+    bucket (the purchase's own), so no dedup is needed and the pair
+    set is identical. This replaces the per-user mini cross product
+    (and the optimizer's fact-side broadcast) with comparisons
+    bounded per (user, hour) — the standard range-join optimization,
+    and the only shape that survives a user with months of events at
+    100 TB. SHUFFLE_HASH pinned: both sides are fact-sized, sorting
+    them for SMJ measured slower (A/B at sf~1: shipped 0.53 s ->
+    bucketed 0.39 s -> bucketed SHJ 0.32 s join core, identical 37400
+    pairs; PERF.md r11). The per-user aggregate bounds the output at
+    |users| rows at any event volume.
     """
     ev = load_table(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    hour = lambda c: (F.unix_timestamp(c) / 3600).cast("long")  # noqa: E731
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withColumn("sb", F.explode(F.array(hour("s_ts"), hour("s_ts") + 1)))
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("amount"),
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withColumn("pb", hour("p_ts"))
     )
-    joined = signups.join(
+    joined = signups.hint("SHUFFLE_HASH").join(
         purchases,
         (F.col("s_user") == F.col("p_user"))
+        & (F.col("sb") == F.col("pb"))
         & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 60 MINUTES")),
     )

@@ -1041,3 +1041,20 @@ def test_q195_ce_rerank_plan_shape(spark):
     assert plan.count("InMemoryTableScan") >= 3
     assert plan.count("BroadcastExchange") >= 4  # relevant/qtf/df_tbl...
     assert "partial_sum" in plan
+
+
+def test_q142_interval_join_bucketed_shj(spark):
+    """r11 weak-row audit: the band join must be the bucketed
+    (user, hour) EQUI-join under SHUFFLE_HASH — never a fact-side
+    broadcast or a per-user cross product (scale-inverting at 100 TB),
+    never SMJ (both sides fact-sized, sort measured slower)."""
+    from kinesis_logs_reader_spark.streaming.batch_windows import (
+        q142_interval_join,
+    )
+
+    df = q142_interval_join(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
