@@ -2295,3 +2295,105 @@ def q151b_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_idx")
     )
+
+
+def q189b_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q189's production twin (the q45b/q151b convention, r11): the
+    KMV overlap ESTIMATES alone — per source pair, exact distinct
+    counts, the Beyer et al. union estimate, and the /m Jaccard
+    estimate — with the exact h-keyed self-join DROPPED. q189 keeps
+    the error-report columns (est vs exact side by side) as the
+    declared audit; this is what a 100 TB run actually ships, where
+    the whole point of the sketch is that the all-pairs digest join
+    is unaffordable: after the one distinct pass, everything that
+    moves is |sources| x 32 hash values.
+
+    Plan shape: the same session-persisted distinct (source, h) frame
+    as q189 (shared lru cache key — InMemoryTableScan reuse across the
+    twins), one per-source partial-agg count, one |sources|-bounded
+    top-k window, and broadcast-only pair joins. NO shuffled
+    corpus-sized join anywhere (pinned — the twin's reason to exist).
+
+    Reference analog: none (beyond-reference mandate; sketch family).
+    """
+    from pyspark.sql.window import Window
+
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    k = 32
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    sh = lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("source", "h")
+    )
+    pairs = (
+        per_src.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+        .join(
+            per_src.select(
+                F.col("source").alias("source_b"), F.col("n").alias("n_b")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    merged = (
+        sk.select(F.col("source").alias("source_a"), "h")
+        .join(F.broadcast(pairs.select("source_a", "source_b")), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "h",
+            F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+        .unionByName(
+            sk.select(F.col("source").alias("source_b"), "h")
+            .join(
+                F.broadcast(pairs.select("source_a", "source_b")), "source_b"
+            )
+            .select(
+                "source_a",
+                "source_b",
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
+    est = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("h").alias("m_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    two52 = 1 << 52
+    return (
+        pairs.join(F.broadcast(est), ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.when(F.col("m") < k, F.col("m"))
+            .otherwise(F.expr(f"({k - 1}L * {two52}L) div m_k"))
+            .cast("bigint")
+            .alias("union_est"),
+            F.expr("(n_both * 1000000L) div m").alias("jacc_est_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

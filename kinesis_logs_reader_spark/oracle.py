@@ -5221,3 +5221,54 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
 ORDER BY 1, 2
 """
+
+# q189b: the sketch-only production twin — q189's CTE chain minus the
+# exact h-keyed self-join and the error columns.
+ORACLE["q189b_kmv_overlap_sketch"] = """
+WITH sh AS (
+  SELECT DISTINCT source, CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS h
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh) t
+  WHERE rn <= 32
+),
+pairs AS (
+  SELECT pa.source AS source_a, pa.n AS n_a, pb.source AS source_b, pb.n AS n_b
+  FROM per_src pa JOIN per_src pb ON pa.source < pb.source
+),
+merged AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM sk s JOIN pairs p ON p.source_a = s.source
+    UNION ALL
+    SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM sk s JOIN pairs p ON p.source_b = s.source) u
+  GROUP BY source_a, source_b, h
+),
+topk AS (
+  SELECT * FROM (
+    SELECT source_a, source_b, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+    FROM merged) t
+  WHERE rn <= 32
+),
+est AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS m_k,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM topk GROUP BY source_a, source_b
+)
+SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       CAST(CASE WHEN e.m < 32 THEN e.m
+                 ELSE (31 * 4503599627370496) // e.m_k END AS BIGINT)
+         AS union_est,
+       CAST((e.n_both * 1000000) // e.m AS BIGINT) AS jacc_est_ppm
+FROM pairs p
+JOIN est e USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""

@@ -218,3 +218,23 @@ def test_q195_output_contract(spark):
         assert [r.ce_rank for r in rs] == [1, 2, 3, 4, 5]
         ces = [r.ce_u for r in rs]
         assert ces == sorted(ces, reverse=True)
+
+
+def test_q189b_ties_out_with_q189(spark):
+    """The production twin's estimates must equal q189's corresponding
+    columns row for row (same sketches, same arithmetic — only the
+    exact audit branch dropped)."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q189_kmv_overlap,
+        q189b_kmv_overlap_sketch,
+    )
+
+    full = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.union_est, r.jacc_est_ppm)
+        for r in q189_kmv_overlap(spark, SF_DIR).collect()
+    }
+    twin = {
+        (r.source_a, r.source_b): (r.n_a, r.n_b, r.union_est, r.jacc_est_ppm)
+        for r in q189b_kmv_overlap_sketch(spark, SF_DIR).collect()
+    }
+    assert twin == full

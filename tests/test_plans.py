@@ -1058,3 +1058,21 @@ def test_q142_interval_join_bucketed_shj(spark):
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q189b_sketch_only_no_corpus_self_join(spark):
+    """q189b's reason to exist: NO shuffled corpus-sized join — after
+    the one persisted distinct pass, only broadcast pair joins and
+    |sources|-bounded windows. The exact h-keyed self-join stays in
+    q189 (the audit twin)."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q189b_kmv_overlap_sketch,
+    )
+
+    df = q189b_kmv_overlap_sketch(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "InMemoryTableScan" in plan  # shared distinct frame (q189's)
+    assert "BroadcastExchange" in plan
