@@ -487,3 +487,93 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ida", "idb")
     )
+
+
+def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip scene-cut profile (r11: the multimodal family's
+    TEMPORAL story — q175 dedups frames, q194 matches alike images;
+    this reads a clip's internal structure): dHash every sampled
+    frame, take consecutive-frame Hamming distances, and report per
+    clip how many hard cuts it contains (step >= 16 of 64 bits),
+    where the first one lands, and the mean/max inter-frame change —
+    the shot-boundary detector a video-training pipeline runs to
+    split clips into scenes before sampling.
+
+    Planted semantics: docs with id < 30 (and >= 64 chars) re-emitted
+    at id+7_000_000 as STATIC clips — the first 64 bytes repeated 8
+    times, so every sampled frame is the identical 64-byte block
+    (step = len div 8 = 64 exactly), every dHash equal, zero cuts by
+    construction; pinned against natural clips, which cut nearly
+    everywhere on byte-sampled text.
+
+    Spark shape: ONE Arrow fan-out (sample_frames — the swap-in point
+    for real keyframe extraction) feeding ONE Arrow dHash stage via a
+    fid = doc_id*8+frame_idx key (frames enter the hash stage as the
+    SAME batch shape q194 uses — no new kernel); everything after is
+    JVM: a per-clip lag window over 8-row partitions and one
+    aggregate. At 100 TB pixels cross exactly two Arrow boundaries as
+    64-byte frames and shuffle once as 8 small ints per frame.
+
+    Oracle: frames as VARCHAR substrings (q175's ASCII invariant),
+    the q194 grid/band kernel per frame, lag windows in SQL.
+
+    Reference analog: none (beyond-reference mandate; multimodal
+    family, SURVEY §2.2 I5).
+    """
+    from pyspark.sql.window import Window
+
+    cut = 16
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 30) & (F.length("text") >= 64))
+        .select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"),
+            F.repeat(F.expr("substr(text, 1, 64)"), 8)
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    frames = sample_frames(docs.unionByName(planted), n_frames=8)
+    sig = perceptual_hashes(
+        frames.select(
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    ).select(
+        F.expr("doc_id div 8").alias("doc_id"),
+        F.expr("doc_id % 8").cast("int").alias("frame_idx"),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    stepped = sig.select(
+        "doc_id",
+        "frame_idx",
+        sum(
+            F.bit_count(
+                F.col(f"b{i}").bitwiseXOR(F.lag(f"b{i}").over(w))
+            )
+            for i in range(4)
+        ).alias("h"),
+    ).filter(F.col("frame_idx") >= 1)
+    return (
+        stepped.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("h") >= cut).cast("long")).alias("n_cuts"),
+            F.max("h").cast("int").alias("max_step"),
+            F.expr("(sum(h) * 1000) div count(1)").alias("mean_step_milli"),
+            F.coalesce(
+                F.min(F.when(F.col("h") >= cut, F.col("frame_idx"))),
+                F.lit(-1),
+            )
+            .cast("int")
+            .alias("first_cut"),
+        )
+        .withColumn("is_planted_static", F.col("doc_id") >= 7_000_000)
+        .orderBy("doc_id")
+    )

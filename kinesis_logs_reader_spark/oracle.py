@@ -5272,3 +5272,51 @@ FROM pairs p
 JOIN est e USING (source_a, source_b)
 ORDER BY source_a, source_b
 """
+
+
+# q196: per-clip scene cuts — q175's frame substrings + q194's grid/
+# band kernel per frame + SQL lag windows.
+ORACLE["q196_scene_cuts"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 7000000 AS doc_id, repeat(substr(text, 1, 64), 8) AS text
+  FROM documents WHERE doc_id < 30 AND length(text) >= 64
+), fr AS (
+  SELECT doc_id, k AS frame_idx,
+         substring(text, k * GREATEST(length(text) // 8, 1) + 1, 64) AS frame
+  FROM base, range(8) t(k)
+), px AS (
+  SELECT doc_id, frame_idx,
+         list_transform(generate_series(0, 71),
+           i -> CASE WHEN length(frame) = 0 THEN 0
+                     ELSE ord(substr(frame, (i * length(frame)) // 72 + 1, 1))
+                END) AS p
+  FROM fr
+), sig AS (
+  SELECT doc_id, frame_idx,
+         CAST({_phash_band_sql(0)} AS INTEGER) AS b0,
+         CAST({_phash_band_sql(1)} AS INTEGER) AS b1,
+         CAST({_phash_band_sql(2)} AS INTEGER) AS b2,
+         CAST({_phash_band_sql(3)} AS INTEGER) AS b3
+  FROM px
+), stepped AS (
+  SELECT doc_id, frame_idx,
+         bit_count(xor(b0, lag(b0) OVER w)) + bit_count(xor(b1, lag(b1) OVER w))
+       + bit_count(xor(b2, lag(b2) OVER w)) + bit_count(xor(b3, lag(b3) OVER w))
+           AS h
+  FROM sig
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+  QUALIFY frame_idx >= 1
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN h >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MAX(h) AS INTEGER) AS max_step,
+       CAST((SUM(h) * 1000) // COUNT(*) AS BIGINT) AS mean_step_milli,
+       CAST(COALESCE(MIN(CASE WHEN h >= 16 THEN frame_idx END), -1)
+            AS INTEGER) AS first_cut,
+       (doc_id >= 7000000) AS is_planted_static
+FROM stepped
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -238,3 +238,70 @@ def test_q189b_ties_out_with_q189(spark):
         for r in q189b_kmv_overlap_sketch(spark, SF_DIR).collect()
     }
     assert twin == full
+
+
+# --- q196: per-clip scene cuts ---------------------------------------------
+
+
+def test_q196_planted_static_clips_have_zero_cuts(spark):
+    """A static clip (one 64-byte block repeated 8 times) samples 8
+    identical frames -> identical dHashes -> zero cuts, no first cut,
+    zero mean step — by construction; natural byte-sampled text clips
+    must show cuts somewhere (the detector actually fires)."""
+    from kinesis_logs_reader_spark.operators.multimodal import q196_scene_cuts
+    from tests.conftest import SF_DIR
+
+    rows = q196_scene_cuts(spark, SF_DIR).collect()
+    static = [r for r in rows if r.is_planted_static]
+    natural = [r for r in rows if not r.is_planted_static]
+    assert static, "planted static clips must exist"
+    for r in static:
+        assert (r.n_cuts, r.max_step, r.mean_step_milli, r.first_cut) == (
+            0,
+            0,
+            0,
+            -1,
+        )
+    assert any(r.n_cuts > 0 for r in natural)
+
+
+def test_q196_matches_pure_python_spec(spark):
+    """End-to-end kernel pin on a handful of clips: frame sampling,
+    per-frame dHash (the q194 spec), consecutive Hamming steps, and
+    the per-clip rollup recomputed in pure Python."""
+    from kinesis_logs_reader_spark.operators.multimodal import q196_scene_cuts
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    texts = {
+        r.doc_id: r.text.encode()
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 12)
+        .collect()
+    }
+
+    def clip_profile(raw: bytes):
+        step = max(len(raw) // 8, 1)
+        frames = [raw[k * step : k * step + 64] for k in range(8)]
+        sigs = [_py_dhash_bands(f) for f in frames]
+        hs = [
+            sum(bin(a ^ b).count("1") for a, b in zip(sigs[i - 1], sigs[i]))
+            for i in range(1, 8)
+        ]
+        cuts = [i for i, h in enumerate(hs, 1) if h >= 16]
+        return (
+            len(cuts),
+            max(hs),
+            sum(hs) * 1000 // len(hs),
+            cuts[0] if cuts else -1,
+        )
+
+    got = {
+        r.doc_id: (r.n_cuts, r.max_step, r.mean_step_milli, r.first_cut)
+        for r in q196_scene_cuts(spark, SF_DIR)
+        .filter(F.col("doc_id") < 12)
+        .collect()
+    }
+    want = {d: clip_profile(t) for d, t in texts.items()}
+    assert got == want

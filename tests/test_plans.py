@@ -1076,3 +1076,18 @@ def test_q189b_sketch_only_no_corpus_self_join(spark):
     assert "ShuffledHashJoin" not in plan
     assert "InMemoryTableScan" in plan  # shared distinct frame (q189's)
     assert "BroadcastExchange" in plan
+
+
+def test_q196_scene_cuts_plan_shape(spark):
+    """q196: exactly two Arrow boundaries (frame fan-out + dHash —
+    pixels never shuffle past them), the lag window partitions by
+    doc_id (8-row partitions, never corpus-global), no joins."""
+    from kinesis_logs_reader_spark.operators.multimodal import q196_scene_cuts
+
+    df = q196_scene_cuts(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("MapInPandas") == 4  # two stages, each printed twice
+    assert "windowspecdefinition(doc_id" in plan
