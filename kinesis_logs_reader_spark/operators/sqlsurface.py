@@ -164,3 +164,82 @@ def q131_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_nulls", "n_distinct", "min_str", "max_str")
         .orderBy("column_name")
     )
+
+
+def q131b_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q131's production twin (the q45b/q151b/q189b convention, r11)
+    — the single-scan sketch profile q131's own docstring commits to
+    at 100 TB: per column, null count, min/max, and an HLL
+    approx_count_distinct, ALL riding one ordinary stacked aggregate
+    (map-side combinable, no Expand, no second unpivot pass — the
+    sketch is a regular aggregate, which is the whole point of the
+    swap). The exact unpivot pass from q131 is retained ONLY to
+    certify the sketch in-query: the emitted column is the q28
+    tolerance boolean (each engine's own approx within 12% of its own
+    exact), the established cross-engine form for sketches whose bit
+    patterns legitimately differ between engines.
+
+    At 100 TB the audit pass is dropped and the profile is ONE scan;
+    q131 stays the declared exact surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    specs = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ]
+    aggs = []
+    for c, _t in specs:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.approx_count_distinct(c).alias(f"{c}__apx"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max, {c}__apx"
+        for c, _t in specs
+    )
+    base = wide.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(column_name, n_nulls, min_str, max_str, apx)"
+        )
+    )
+    # audit-only exact pass (q131's unpivoted two-phase distinct)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c, _t in specs
+        ]
+    )
+    dist = (
+        orders.select(F.explode(pairs).alias("e"))
+        .select("e.column_name", "e.v")
+        .filter(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.lit(1))
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        base.join(F.broadcast(dist), "column_name")
+        .select(
+            "column_name",
+            "n_nulls",
+            "min_str",
+            "max_str",
+            (
+                F.abs(F.col("apx") - F.col("n_distinct"))
+                <= 0.12 * F.col("n_distinct")
+            ).alias("approx_within_12pct"),
+        )
+        .orderBy("column_name")
+    )

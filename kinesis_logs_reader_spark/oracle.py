@@ -5320,3 +5320,40 @@ FROM stepped
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# q131b: the sketch-profile production twin — q131's exact fields plus
+# the q28 tolerance boolean (each engine's own HLL vs its own exact).
+ORACLE["q131b_table_profile_sketch"] = """
+WITH w AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c0n,
+    COUNT(DISTINCT o_orderkey) AS c0d, approx_count_distinct(o_orderkey) AS c0a,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS c0mn, CAST(MAX(o_orderkey) AS VARCHAR) AS c0mx,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c1n,
+    COUNT(DISTINCT o_custkey) AS c1d, approx_count_distinct(o_custkey) AS c1a,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c1mn, CAST(MAX(o_custkey) AS VARCHAR) AS c1mx,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS c2n,
+    COUNT(DISTINCT o_orderstatus) AS c2d, approx_count_distinct(o_orderstatus) AS c2a,
+    MIN(o_orderstatus) AS c2mn, MAX(o_orderstatus) AS c2mx,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS c3n,
+    COUNT(DISTINCT o_totalprice) AS c3d, approx_count_distinct(o_totalprice) AS c3a,
+    CAST(MIN(o_totalprice) AS VARCHAR) AS c3mn, CAST(MAX(o_totalprice) AS VARCHAR) AS c3mx,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS c4n,
+    COUNT(DISTINCT o_orderdate) AS c4d, approx_count_distinct(o_orderdate) AS c4a,
+    CAST(MIN(o_orderdate) AS VARCHAR) AS c4mn, CAST(MAX(o_orderdate) AS VARCHAR) AS c4mx,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS c5n,
+    COUNT(DISTINCT o_orderpriority) AS c5d, approx_count_distinct(o_orderpriority) AS c5a,
+    MIN(o_orderpriority) AS c5mn, MAX(o_orderpriority) AS c5mx
+  FROM orders
+)
+SELECT column_name, n_nulls, min_str, max_str, approx_within_12pct FROM (
+  SELECT 'o_orderkey' AS column_name, CAST(c0n AS BIGINT) AS n_nulls, c0mn AS min_str, c0mx AS max_str,
+         ABS(c0a - c0d) <= 0.12 * c0d AS approx_within_12pct FROM w
+  UNION ALL SELECT 'o_custkey', CAST(c1n AS BIGINT), c1mn, c1mx, ABS(c1a - c1d) <= 0.12 * c1d FROM w
+  UNION ALL SELECT 'o_orderstatus', CAST(c2n AS BIGINT), c2mn, c2mx, ABS(c2a - c2d) <= 0.12 * c2d FROM w
+  UNION ALL SELECT 'o_totalprice', CAST(c3n AS BIGINT), c3mn, c3mx, ABS(c3a - c3d) <= 0.12 * c3d FROM w
+  UNION ALL SELECT 'o_orderdate', CAST(c4n AS BIGINT), c4mn, c4mx, ABS(c4a - c4d) <= 0.12 * c4d FROM w
+  UNION ALL SELECT 'o_orderpriority', CAST(c5n AS BIGINT), c5mn, c5mx, ABS(c5a - c5d) <= 0.12 * c5d FROM w
+)
+ORDER BY column_name
+"""

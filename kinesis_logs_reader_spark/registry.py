@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 205  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 206  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 205  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 205  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 206  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -58,7 +58,8 @@ N_ORACLES = 205  # all r7-r10 additions are fully oracle-backed
 #                  r11: +q194 perceptual-hash (dHash) image near-dup pairs,
 #                      +q195 cross-encoder-shaped rerank of q188's shortlist,
 #                      +q189b sketch-only KMV overlap (production twin),
-#                      +q196 per-clip scene-cut profile (multimodal temporal)
+#                      +q196 per-clip scene-cut profile (multimodal temporal),
+#                      +q131b single-scan sketch table profile (production twin)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -571,6 +572,7 @@ DRIVER_WINDOW: list[str] = [
     "q142_interval_join",  # r11 bucketed band-join rewrite (weak-row audit)
     "q189b_kmv_overlap_sketch",  # r11 production twin (new key)
     "q196_scene_cuts",  # r11 multimodal temporal (new key)
+    "q131b_table_profile_sketch",  # r11 production twin (new key)
     # (2) r5-era evidence (5 rounds stale — the whole tier cycles out)
     "q130_span_decontamination",
     "q132_countmin_sketch",
@@ -610,7 +612,6 @@ DRIVER_WINDOW: list[str] = [
     "q26d_array_funcs",
     "q26e_json_funcs",
     "q27_join_full_outer",
-    "q29_embedding_norm",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -626,6 +627,7 @@ DRIVER_WINDOW_R12_STAGED: list[str] = [
     "q52_percentiles",
     "q36_supplier_nation",
     "q34_join_right",
+    "q29_embedding_norm",
     "q54_posexplode",
     "q55_scalar_subquery",
     "q57_string_extra",

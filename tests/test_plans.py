@@ -1091,3 +1091,19 @@ def test_q196_scene_cuts_plan_shape(spark):
     assert "BroadcastHashJoin" not in plan
     assert plan.count("MapInPandas") == 4  # two stages, each printed twice
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_q131b_sketch_rides_single_scan_agg(spark):
+    """q131b's production path: nulls/min/max AND the HLL sketch ride
+    ONE ordinary stacked aggregate — no Expand node (the 6-way
+    COUNT(DISTINCT) rewrite q131's docstring measures at 4 s), with
+    the exact unpivot pass present only as the in-query audit."""
+    from kinesis_logs_reader_spark.operators.sqlsurface import (
+        q131b_table_profile_sketch,
+    )
+
+    df = q131b_table_profile_sketch(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Expand" not in plan
+    assert "approx_count_distinct" in plan
+    assert "CartesianProduct" not in plan
