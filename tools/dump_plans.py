@@ -52,8 +52,8 @@ ANNOTATED = {
     "q136_source_overlap": "r4: persisted (source, digest) frame (InMemoryTableScan x3); keyed self-join, no cartesian",
     "q139_pmi_collocations": "r4: unigram tables broadcast twice into the pair frame; top-20 via TakeOrderedAndProject",
     "q141_ivf_fixed_probe": "r4: session-cached cell index (InMemoryTableScan); probe = routing + cell-bounded cosine",
-    "q142_interval_join": "r4: H9 batch twin — user-keyed equi join with band filter inside the key group",
-    "q143_repetition_runs": "r4: per-row struct-accumulator fold — zero shuffle, rides the scan",
+    "q142_interval_join": "r11 rewrite: bucketed (user, hour) SHUFFLE_HASH equi-join with the band as residual — no fact-side broadcast, per-bucket comparisons",
+    "q143_repetition_runs": "r11 rewrite: one Arrow mapInPandas RLE pass (numpy break-diff) — zero shuffle, rides the scan",
     "q144_token_entropy": "r4 batch 9: entropy via ln(n) - sum(c*ln c)/n — two hash aggregates, NO doc-keyed window exchange",
     "q146_jaccard_threshold_sweep": "r4 batch 9: persisted pair frame (InMemoryTableScan) x 4-row ladder broadcast; n_pairs recovered as count/2 inside the single distinct-doc aggregate",
     "q147_bigram_lm": "r4 batch 9: persisted bigram stream; bigram/context/vocab tables broadcast back onto it",
