@@ -577,3 +577,164 @@ def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_planted_static", F.col("doc_id") >= 7_000_000)
         .orderBy("doc_id")
     )
+
+
+# --- audio: energy / voice-activity segmentation -----------------------------
+
+AUDIO_WIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+# Per-window voiced threshold, calibrated on the synthetic corpus: full
+# 64-byte prose windows measure 569k-672k (1st pct 586k, median 628k);
+# space/digit-dense stretches fall below 610k (~15% of natural windows)
+# and a pure-space window is 32^2*64 = 65,536 — unambiguously silent.
+VOICED_THRESH = 610_000
+
+
+def audio_energy_batch(win_bytes: int = 64):
+    """mapInPandas stage factory: audio payload -> fixed-size analysis
+    windows with integer short-time energy (sum of squared samples).
+
+    The fake codec reads the payload as unsigned 8-bit PCM; a real
+    deployment swaps soundfile/ffmpeg decode into this same stage
+    (binary in, bounded ints out — the multimodal.py contract). The
+    per-window energy is exact int64 (max 255^2 * 64 < 2^23), so the
+    oracle can re-derive it bit-for-bit; only FULL windows are
+    emitted (len // win_bytes), matching the SQL generate_series
+    bound. Inner loop is numpy (frombuffer -> square -> reshape-sum):
+    no per-sample Python, the q143/q45 Arrow-kernel rule.
+    """
+
+    def _stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            energies: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_win = len(raw) // win_bytes
+                if n_win == 0:
+                    continue
+                arr = np.frombuffer(
+                    raw, dtype=np.uint8, count=n_win * win_bytes
+                ).astype(np.int64)
+                e = (arr * arr).reshape(n_win, win_bytes).sum(axis=1)
+                ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "win_idx": np.asarray(idxs, dtype=np.int32),
+                    "energy": np.asarray(energies, dtype=np.int64),
+                }
+            )
+
+    return _stage
+
+
+def audio_energy(
+    df: DataFrame, win_bytes: int = 64, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, payload: binary) -> (doc_id, win_idx, energy) windows."""
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    return src.mapInPandas(audio_energy_batch(win_bytes), AUDIO_WIN_SCHEMA)
+
+
+def q197_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip voice-activity segmentation over audio-shaped binaries
+    (r11: the multimodal family's AUDIO story — q49/q194/q196 cover
+    images and video; this is the energy-based VAD a speech-training
+    pipeline runs to drop silence and split clips into utterances
+    before transcription): 64-byte analysis windows with integer
+    short-time energy, a voiced/silent flag per window, and per clip
+    the voiced fraction, utterance count (maximal voiced runs), and
+    longest silence run.
+
+    Planted semantics: docs with id < 24 (and >= 256 chars) re-emitted
+    at id+8_000_000 as half-silent clips — the first 256 payload bytes
+    followed by 256 spaces — so the tail is 4 windows of energy
+    32^2*64 = 65,536 (silent by construction) and every planted clip
+    reports longest_silence >= 4; pinned in tests together with a
+    pure-Python recompute of the full pipeline.
+
+    Spark shape: ONE Arrow stage (audio_energy — the decode swap-in
+    point; numpy kernel, no per-sample Python) emitting 3 small ints
+    per window; everything after is JVM — run-length segmentation via
+    a per-clip lag window (partitions bounded by len/64 windows per
+    clip) and one aggregate per run then per clip. At 100 TB waveforms
+    cross exactly one Arrow boundary and shuffle once as 3-int window
+    rows (the q175/q196 digest discipline: payload bytes never
+    shuffle).
+
+    Oracle: windows as VARCHAR substrings (the q175 ASCII invariant:
+    octet == char), energy re-derived with list_transform ord()
+    squares, the identical lag/run/rollup windows in SQL — exact
+    int64 end to end.
+
+    Reference analog: none (beyond-reference mandate; multimodal
+    family, SURVEY §2.2 I5).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 24) & (F.length("text") >= 256))
+        .select(
+            (F.col("doc_id") + 8_000_000).alias("doc_id"),
+            F.concat(F.expr("substr(text, 1, 256)"), F.lit(" " * 256))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    wins = audio_energy(docs.unionByName(planted)).withColumn(
+        "voiced", F.col("energy") >= F.lit(VOICED_THRESH)
+    )
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    lagged = F.lag("voiced").over(w)
+    runs = wins.withColumn(
+        "new_run",
+        F.when(lagged.isNull() | (lagged != F.col("voiced")), 1).otherwise(0),
+    ).withColumn("run_id", F.sum("new_run").over(w))
+    run_lens = runs.groupBy("doc_id", "run_id", "voiced").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        run_lens.groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("n_windows"),
+            F.sum(
+                F.when(F.col("voiced"), F.col("run_len")).otherwise(F.lit(0))
+            ).alias("voiced_windows"),
+            F.sum(F.when(F.col("voiced"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.coalesce(
+                F.max(F.when(~F.col("voiced"), F.col("run_len"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("longest_silence"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "voiced_windows",
+            F.expr("voiced_windows * 1000000L div n_windows").alias(
+                "voiced_ppm"
+            ),
+            "n_segments",
+            "longest_silence",
+            (F.col("doc_id") >= 8_000_000).alias("is_planted"),
+        )
+        .orderBy("doc_id")
+    )

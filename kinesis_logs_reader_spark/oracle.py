@@ -5357,3 +5357,58 @@ SELECT column_name, n_nulls, min_str, max_str, approx_within_12pct FROM (
 )
 ORDER BY column_name
 """
+
+
+# q197: per-clip audio VAD — windows as VARCHAR substrings (ASCII
+# invariant), integer short-time energy via ord() squares, identical
+# lag/run-length/rollup windows in SQL. Exact int64 end to end.
+ORACLE["q197_audio_vad"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000 AS doc_id,
+         substr(text, 1, 256) || repeat(' ', 256) AS text
+  FROM documents WHERE doc_id < 24 AND length(text) >= 256
+), win AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, length(text) // 64 - 1)) AS INTEGER)
+           AS win_idx,
+         text
+  FROM base
+), e AS (
+  SELECT doc_id, win_idx,
+         list_aggregate(list_transform(
+           list_transform(generate_series(0, 63),
+             i -> CAST(ord(substr(text,
+                    CAST(win_idx * 64 + i + 1 AS INTEGER), 1)) AS BIGINT)),
+           v -> v * v), 'sum') AS energy
+  FROM win
+), v AS (
+  SELECT doc_id, win_idx, (energy >= 610000) AS voiced FROM e
+), r AS (
+  SELECT doc_id, win_idx, voiced,
+         CASE WHEN LAG(voiced) OVER (PARTITION BY doc_id ORDER BY win_idx)
+                   IS DISTINCT FROM voiced THEN 1 ELSE 0 END AS new_run
+  FROM v
+), rid AS (
+  SELECT doc_id, voiced,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY win_idx) AS run_id
+  FROM r
+), runs AS (
+  SELECT doc_id, run_id, voiced, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM rid GROUP BY doc_id, run_id, voiced
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN voiced THEN run_len ELSE 0 END) AS BIGINT)
+         AS voiced_windows,
+       CAST((SUM(CASE WHEN voiced THEN run_len ELSE 0 END) * 1000000)
+            // SUM(run_len) AS BIGINT) AS voiced_ppm,
+       CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+       CAST(COALESCE(MAX(CASE WHEN NOT voiced THEN run_len END), 0) AS BIGINT)
+         AS longest_silence,
+       (doc_id >= 8000000) AS is_planted
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -305,3 +305,90 @@ def test_q196_matches_pure_python_spec(spark):
     }
     want = {d: clip_profile(t) for d, t in texts.items()}
     assert got == want
+
+
+# --- q197: per-clip audio VAD ------------------------------------------------
+
+
+def _py_vad_profile(raw: bytes):
+    """Pure-Python spec of the q197 pipeline: 64-byte windows, integer
+    short-time energy, voiced threshold, run-length segmentation."""
+    n_win = len(raw) // 64
+    if n_win == 0:
+        return None
+    voiced = [
+        sum(b * b for b in raw[k * 64 : (k + 1) * 64]) >= 610_000
+        for k in range(n_win)
+    ]
+    runs: list[tuple[bool, int]] = []
+    for v in voiced:
+        if runs and runs[-1][0] == v:
+            runs[-1] = (v, runs[-1][1] + 1)
+        else:
+            runs.append((v, 1))
+    voiced_windows = sum(n for v, n in runs if v)
+    return (
+        n_win,
+        voiced_windows,
+        voiced_windows * 1_000_000 // n_win,
+        sum(1 for v, _n in runs if v),
+        max((n for v, n in runs if not v), default=0),
+    )
+
+
+def test_q197_planted_half_silent_clips(spark):
+    """Planted clips (256 payload bytes + 256 spaces) have exactly 8
+    windows and a tail silence run >= 4 by construction (space windows
+    measure 32^2*64 = 65,536 << the 610k threshold); the natural corpus
+    must contain both fully-voiced docs and docs with real silence —
+    the detector separates, it doesn't rubber-stamp."""
+    from kinesis_logs_reader_spark.operators.multimodal import q197_audio_vad
+
+    rows = q197_audio_vad(spark, SF_DIR).collect()
+    planted = [r for r in rows if r.is_planted]
+    natural = [r for r in rows if not r.is_planted]
+    assert planted, "planted half-silent clips must exist"
+    for r in planted:
+        assert r.n_windows == 8
+        assert r.longest_silence >= 4
+        assert r.voiced_ppm <= 500_000
+    assert any(r.voiced_ppm == 1_000_000 for r in natural)
+    assert any(r.voiced_ppm < 1_000_000 for r in natural)
+    for r in rows:
+        assert 0 <= r.voiced_windows <= r.n_windows
+        assert r.n_segments <= (r.n_windows + 1) // 2 + 1
+
+
+def test_q197_matches_pure_python_spec(spark):
+    """End-to-end kernel pin on a handful of clips: windowing, energy,
+    threshold, and run segmentation recomputed in pure Python."""
+    from kinesis_logs_reader_spark.operators.multimodal import q197_audio_vad
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text.encode()
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 12)
+        .collect()
+    }
+    want = {}
+    for d, t in texts.items():
+        prof = _py_vad_profile(t)
+        if prof is not None:
+            want[d] = prof
+        prof_p = _py_vad_profile(t[:256] + b" " * 256) if len(t) >= 256 else None
+        if prof_p is not None:
+            want[d + 8_000_000] = prof_p
+    got = {
+        r.doc_id: (
+            r.n_windows,
+            r.voiced_windows,
+            r.voiced_ppm,
+            r.n_segments,
+            r.longest_silence,
+        )
+        for r in q197_audio_vad(spark, SF_DIR)
+        .filter((F.col("doc_id") % 8_000_000) < 12)
+        .collect()
+    }
+    assert got == want

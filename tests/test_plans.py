@@ -1107,3 +1107,19 @@ def test_q131b_sketch_rides_single_scan_agg(spark):
     assert "Expand" not in plan
     assert "approx_count_distinct" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q197_audio_vad_plan_shape(spark):
+    """q197: exactly ONE Arrow boundary (the audio_energy stage —
+    waveform bytes never travel past it), the segmentation windows
+    partition by doc_id (len/64-row partitions, never corpus-global),
+    no joins anywhere."""
+    from kinesis_logs_reader_spark.operators.multimodal import q197_audio_vad
+
+    df = q197_audio_vad(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("MapInPandas") == 2  # one stage, printed twice
+    assert "windowspecdefinition(doc_id" in plan
