@@ -827,7 +827,17 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("bg"),
         ),
     )
-    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    # The count table feeds THREE consumers (lp directly, ctx, and via
+    # ctx the smoothing denominators); Spark re-runs the 2.6M-row agg
+    # per use, so persist the bigram-vocab-bounded result (931 rows on
+    # this corpus — tiny at any scale). Measured 1.86 -> 0.96 s at
+    # sf~1 (PERF.md r11, q147 audit).
+    bg_counts = lru_persisted(
+        spark,
+        "_klrs_bigram_counts_cache",
+        sf_dir,
+        lambda: big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg")),
+    )
     ctx = bg_counts.select(
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c_bg"
     ).groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
