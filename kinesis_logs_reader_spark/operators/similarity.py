@@ -2182,3 +2182,98 @@ def q195_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "ce_rank")
     )
+
+
+def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion + nearest-cluster audit (r11:
+    the data-MIXING diagnostic the retrieval ladder doesn't cover —
+    before sampling a corpus you ask of each labeled subset "is it
+    diverse or collapsed, and which other subset does it duplicate?"):
+    within-label scatter via the sums identity
+    n*Sum||x||^2 - ||Sum x||^2 = n^2 * (E||x||^2 - ||E x||^2), and
+    between-label structure as each centroid's nearest other centroid.
+
+    Exactness: vectors quantize to the q141/q109 integer grid
+    (floor(v*1024 + 0.5) — power-of-two scale, exact multiply); both
+    scatter terms are pure int64 sums of products (bounded here by
+    |x_q| <= ~540, 64 dims: n*sum_sq < 5e14 at sf~1 — at extreme
+    per-label counts the same sums promote to DECIMAL per shard, the
+    documented swap); the centroid is floor(s1/n) under the SHARED
+    IEEE double-division expression (the q186 convention: both engines
+    evaluate the identical correctly-rounded expression, so the bits
+    cannot disagree); dispersion_milli is integer div by n^2.
+
+    Scale shape: one posexplode scan with map-side partial aggregation
+    into a (label x dim)-bounded frame (10 x 64 rows at ANY corpus
+    size); everything after — per-label rollup, centroid pairwise
+    distances, argmin — lives on that bounded frame (broadcast
+    self-join, |labels|^2 pairs). No corpus-sized shuffle, no Python.
+
+    Reference analog: none (beyond-reference mandate; similarity /
+    curation family, SURVEY §2.2 I-extension).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("v").cast("double") * 1024 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+    )
+    per_ld = x.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    per_label = per_ld.groupBy("label").agg(
+        F.max("cnt").alias("n_vecs"),  # fixed dim: every d sees all vectors
+        F.sum("s2").alias("sum_sq"),
+        F.sum(F.col("s1") * F.col("s1")).alias("norm_s1_sq"),
+    )
+    cent = per_ld.join(
+        F.broadcast(per_label.select("label", "n_vecs")), "label"
+    ).select(
+        "label",
+        "d",
+        # shared IEEE expression — identical bits in both engines
+        F.floor(F.col("s1").cast("double") / F.col("n_vecs").cast("double"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pair_d2 = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label"), F.col("b.label").alias("other"))
+        .agg(
+            F.sum(
+                (F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c"))
+            ).alias("d2")
+        )
+    )
+    nearest = pair_d2.groupBy("label").agg(
+        F.min(F.struct("d2", "other")).alias("_m")
+    ).select(
+        "label",
+        F.col("_m.other").alias("nearest_label"),
+        F.col("_m.d2").alias("nearest_d2"),
+    )
+    return (
+        per_label.join(F.broadcast(nearest), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.expr(
+                "(n_vecs * sum_sq - norm_s1_sq) * 1000 div (n_vecs * n_vecs)"
+            ).alias("dispersion_milli"),
+            "nearest_label",
+            "nearest_d2",
+        )
+        .orderBy("label")
+    )

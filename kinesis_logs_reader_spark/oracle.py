@@ -5412,3 +5412,46 @@ FROM runs
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# q198: per-label embedding dispersion — the q141 integer grid, the
+# sums identity for scatter, the q186 shared-IEEE centroid division,
+# |labels|^2 pairwise centroid distances. Exact int64 end to end.
+ORACLE["q198_embedding_dispersion"] = """
+WITH x AS (
+  SELECT label, CAST(i - 1 AS INTEGER) AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), per_ld AS (
+  SELECT label, d, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM x GROUP BY label, d
+), per_label AS (
+  SELECT label, MAX(cnt) AS n_vecs, CAST(SUM(s2) AS BIGINT) AS sum_sq,
+         CAST(SUM(s1 * s1) AS BIGINT) AS norm_s1_sq
+  FROM per_ld GROUP BY label
+), cent AS (
+  SELECT p.label, p.d,
+         CAST(floor(CAST(p.s1 AS DOUBLE) / CAST(l.n_vecs AS DOUBLE))
+           AS BIGINT) AS c
+  FROM per_ld p JOIN per_label l USING (label)
+), pair_d2 AS (
+  SELECT a.label AS label, b.label AS other,
+         CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label <> b.label
+  GROUP BY a.label, b.label
+), nearest AS (
+  SELECT label, other AS nearest_label, d2 AS nearest_d2
+  FROM (SELECT label, other, d2,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2, other)
+                 AS rn
+        FROM pair_d2) t
+  WHERE rn = 1
+)
+SELECT l.label, l.n_vecs,
+       CAST((l.n_vecs * l.sum_sq - l.norm_s1_sq) * 1000
+            // (l.n_vecs * l.n_vecs) AS BIGINT) AS dispersion_milli,
+       n.nearest_label, n.nearest_d2
+FROM per_label l JOIN nearest n USING (label)
+ORDER BY l.label
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 207  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 208  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 207  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 207  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 208  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -60,7 +60,8 @@ N_ORACLES = 207  # all r7-r10 additions are fully oracle-backed
 #                      +q189b sketch-only KMV overlap (production twin),
 #                      +q196 per-clip scene-cut profile (multimodal temporal),
 #                      +q131b single-scan sketch table profile (production twin),
-#                      +q197 per-clip audio VAD segmentation (multimodal audio)
+#                      +q197 per-clip audio VAD segmentation (multimodal audio),
+#                      +q198 per-label embedding dispersion / nearest-cluster audit
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -545,7 +546,7 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
 # RE-CERTIFIED WITHIN <=6 ROUNDS (the arithmetic a 201-key surface, a
 # 50-slot window, and ~15 changed/new keys per round actually permit —
 # the old ~4-round aspiration was infeasible, VERDICT r10).
-#   (0) new-this-round keys (never driver-checked): q194, q195, q197;
+#   (0) new-this-round keys (never driver-checked): q194, q195, q197, q198;
 #   (1) keys whose KERNEL changed after their newest driver row — the
 #       r11 Arrow fold rewrites (q143 RLE, q45/q45b rolling
 #       fingerprints), the q133 literal-bitmask bloom probe, the q125
@@ -563,6 +564,7 @@ DRIVER_WINDOW: list[str] = [
     "q194_phash_neardup",
     "q195_ce_rerank",
     "q197_audio_vad",  # r11 multimodal audio (new key)
+    "q198_embedding_dispersion",  # r11 diversity audit (new key)
     # (1) changed kernels whose driver rows predate the change
     "q143_repetition_runs",
     "q45_fingerprint",
@@ -612,7 +614,6 @@ DRIVER_WINDOW: list[str] = [
     "q26b_datetime_funcs",
     "q26c_math_funcs",
     "q26d_array_funcs",
-    "q26e_json_funcs",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -625,6 +626,7 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # they MUST lead the r12 window (after any changed/new keys). q27 joins
 # them (displaced by q197; its newest row is r6 — 6 rounds at r12).
 DRIVER_WINDOW_R12_STAGED: list[str] = [
+    "q26e_json_funcs",  # displaced late-r11 when q198 entered as a new key
     "q27_join_full_outer",  # displaced late-r11 when q197 entered as a new key
     "q53_pivot",
     "q52_percentiles",

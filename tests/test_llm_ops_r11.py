@@ -392,3 +392,48 @@ def test_q197_matches_pure_python_spec(spark):
         .collect()
     }
     assert got == want
+
+
+# --- q198: per-label embedding dispersion -----------------------------------
+
+
+def test_q198_matches_numpy_recompute(spark):
+    """End-to-end pin: grid quantization, the sums scatter identity,
+    floor-division centroids, and the nearest-centroid argmin all
+    recomputed in numpy over the full (tiny) corpus."""
+    import numpy as np
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q198_embedding_dispersion,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        q = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1024 + 0.5)
+        by_label.setdefault(r.label, []).append(q.astype(np.int64))
+    want = {}
+    cents = {}
+    for lab, vecs in by_label.items():
+        m = np.stack(vecs)
+        n = len(vecs)
+        sum_sq = int((m * m).sum())
+        s1 = m.sum(axis=0)
+        norm_s1_sq = int((s1 * s1).sum())
+        disp = (n * sum_sq - norm_s1_sq) * 1000 // (n * n)
+        cents[lab] = np.floor(s1.astype(np.float64) / n).astype(np.int64)
+        want[lab] = (n, disp)
+    for lab in want:
+        best = min(
+            (int(((cents[lab] - cents[o]) ** 2).sum()), o)
+            for o in cents
+            if o != lab
+        )
+        want[lab] = want[lab] + (best[1], best[0])
+    got = {
+        r.label: (r.n_vecs, r.dispersion_milli, r.nearest_label, r.nearest_d2)
+        for r in q198_embedding_dispersion(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert all(v[1] > 0 for v in got.values())  # no collapsed label here

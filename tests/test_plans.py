@@ -1123,3 +1123,23 @@ def test_q197_audio_vad_plan_shape(spark):
     assert "BroadcastHashJoin" not in plan
     assert plan.count("MapInPandas") == 2  # one stage, printed twice
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_q198_dispersion_bounded_frames(spark):
+    """q198: ONE corpus scan feeding a map-side partial agg into the
+    (label x dim)-bounded frame; centroid pairing and the rollup are
+    broadcast joins on that bounded frame — no SMJ/SHJ, no cartesian,
+    no Python stage."""
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q198_embedding_dispersion,
+    )
+
+    df = q198_embedding_dispersion(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    # partial aggregation happens before the (label, d) exchange
+    assert "partial_sum" in plan
