@@ -512,3 +512,80 @@ def test_q45_fingerprint_kernel_agrees_on_nasty_corpus(spark, nasty_path, tmp_pa
         ).fetchall()
     }
     assert got == want
+
+
+def test_audio_energy_ascii_contract(spark, nasty_path):
+    """q197's kernel contract: Spark's numpy byte-squares over
+    cast-to-binary text must equal DuckDB's ord(substr()) squares over
+    the SAME rows — exactly the ASCII-invariant boundary the
+    multimodal oracles ride. The nasty corpus INCLUDES multi-byte
+    unicode rows: there the byte view and the char view legitimately
+    diverge (ord() yields the codepoint, bytes yield UTF-8 units), so
+    the pin asserts (a) exact agreement on every pure-ASCII row and
+    (b) that the guarded divergence actually exists — documenting WHY
+    q197's oracle is valid only under the corpus-is-ascii invariant
+    (test_documents_corpus_is_ascii)."""
+    from kinesis_logs_reader_spark.operators.multimodal import audio_energy
+
+    docs = spark.read.parquet(nasty_path).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    got = {
+        (r.doc_id, r.win_idx): r.energy
+        for r in audio_energy(docs, win_bytes=4).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id, CAST(k AS INTEGER), list_aggregate(
+              list_transform(list_transform(generate_series(0, 3),
+                i -> CAST(ord(substr(text, CAST(k*4+i+1 AS INTEGER), 1))
+                     AS BIGINT)), v -> v*v), 'sum')
+            FROM (SELECT doc_id, text,
+                    unnest(generate_series(0, length(text) // 4 - 1)) AS k
+                  FROM read_parquet('{nasty_path}'))
+            """
+        ).fetchall()
+    }
+    ascii_rows = {
+        r.doc_id
+        for r in spark.read.parquet(nasty_path)
+        .filter(~F.col("text").rlike("[^\\x00-\\x7f]"))
+        .collect()
+    }
+    for key, v in want.items():
+        if key[0] in ascii_rows and key in got:
+            assert got[key] == v, key
+    # the divergence the invariant guards: multi-byte rows differ in
+    # window COUNT (len() counts chars, bytes count UTF-8 units)
+    non_ascii = {k[0] for k in got} - ascii_rows
+    assert any(
+        sum(1 for k in got if k[0] == d) != sum(1 for k in want if k[0] == d)
+        for d in non_ascii
+    )
+
+
+def test_centroid_floor_division_shared_ieee(spark):
+    """q198's centroid contract: floor(CAST(s1 AS DOUBLE)/n) must give
+    identical bits in both engines, including the adversarial
+    near-integer quotients where TRUE floor(a/b) and
+    floor(double-divide(a, b)) can disagree — both engines do the
+    SAME correctly-rounded IEEE divide, so they cannot split."""
+    cases = [
+        (7, 2), (-7, 2), (10**15 + 1, 10**7), (10**15 - 1, 10**7),
+        (4503599627370497, 3), (0, 5), (-1, 3), (999999999999, 7),
+    ]
+    got = spark.createDataFrame(cases, "s1 long, n long").select(
+        F.floor(F.col("s1").cast("double") / F.col("n").cast("double"))
+        .cast("bigint")
+        .alias("c")
+    ).collect()
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT CAST(floor(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)) AS BIGINT) "
+            "FROM (VALUES " + ",".join(f"({a},{b})" for a, b in cases) + ") t(s1, n) "
+        ).fetchall()
+    ]
+    assert [r.c for r in got] == want
