@@ -26,6 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_logs_reader_spark.functions.generate import (
+    explode_nonempty,
+    posexplode_nonempty,
+)
 from kinesis_logs_reader_spark.functions.text import n_tokens, shingles, stopword_count, tokens
 from kinesis_logs_reader_spark.sources.tables import load_table
 
@@ -877,8 +881,10 @@ def q120_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tokd = docs.select(tokens().alias("_toks"))
-    pairs = tokd.select(
-        F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("pair")
+    # explode_nonempty: the inferred filter would re-inline the pair
+    # lambda over _toks per element (functions/generate.py)
+    pairs = explode_nonempty(
+        tokd, shingles_from_tokens(F.col("_toks"), k=2), "pair"
     )
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.col("n").desc(), "pair").limit(20)
@@ -1131,15 +1137,14 @@ def q139_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokd = docs.select(tokens().alias("_toks"))
     uni = (
-        tokd.select(F.explode(F.col("_toks")).alias("t"))
+        explode_nonempty(tokd, F.col("_toks"), "t")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     t_uni = uni.agg(F.sum("c").alias("t_u"))
     pairs = (
-        tokd.select(
-            F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("pair")
-        )
+        # explode_nonempty: see q120 (functions/generate.py)
+        explode_nonempty(tokd, shingles_from_tokens(F.col("_toks"), k=2), "pair")
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 5)
@@ -1492,9 +1497,11 @@ def q165_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = corpus.select("doc_id", token_base_hashes().alias("tb"))
-    tok = base.select(
-        "doc_id",
-        F.explode(token_shingle_hashes(F.col("tb"))).alias("t"),
+    # explode_nonempty: the inferred filter would re-inline the full
+    # md5+shingle chain per element — the O(n^2) InferFiltersFromGenerate
+    # trap (functions/generate.py, PERF.md r11)
+    tok = explode_nonempty(
+        base, token_shingle_hashes(F.col("tb")), "t", "doc_id"
     )
     idf_u = F.floor(
         F.log(F.col("n_corpus").cast("double") / F.col("df")) * 1e6 + F.lit(0.5)

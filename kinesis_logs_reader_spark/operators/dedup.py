@@ -37,6 +37,10 @@ from kinesis_logs_reader_spark.functions.text import (
     token_shingle_hashes,
     tokens,
 )
+from kinesis_logs_reader_spark.functions.generate import (
+    explode_nonempty,
+    posexplode_nonempty,
+)
 from kinesis_logs_reader_spark.sources.tables import load_table
 
 
@@ -104,7 +108,9 @@ def shingle_pair_counts(
             F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
         )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = docs.select("doc_id", F.explode("sh").alias("s"))
+    # explode_nonempty: keep the inferred filter off the shingle chain
+    # (functions/generate.py — the InferFiltersFromGenerate re-inline)
+    inv = explode_nonempty(docs, F.col("sh"), "s", "doc_id")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -532,11 +538,12 @@ def q162_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", token_shingle_hashes(F.col("tb")).alias("sh")
         )
 
-    ev_set = (
-        _sh(ev_docs)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
+    # explode_nonempty, NOT explode: the inferred size()>0 filter would
+    # push below both _sh projections and re-inline the md5 chain per
+    # element — O(n^2) hashes per doc (functions/generate.py; measured
+    # 13x on this exact stage, PERF.md r11).
+    ev_set = explode_nonempty(_sh(ev_docs), F.col("sh"), "s").distinct().withColumn(
+        "_hit", F.lit(1)
     )
     exploded = _sh(train_docs).select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("s")
@@ -640,8 +647,9 @@ def q112_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = F.regexp_extract_all("text", F.lit(r"\S+( \S+)?"), 0)
     hashed = (
-        docs.filter(F.length("text") > 0)
-        .select("doc_id", F.explode(chunks).alias("chunk"))
+        # explode_nonempty: the inferred size()>0 filter would re-run
+        # the regex chunker once more per row (functions/generate.py)
+        explode_nonempty(docs.filter(F.length("text") > 0), chunks, "chunk", "doc_id")
         .select("doc_id", F.md5("chunk").alias("h"))
     )
     # Global occurrence count as a window over the digest: ONE shuffle
@@ -794,11 +802,10 @@ def q122_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokd = docs.unionByName(planted).select(
         "doc_id", tokens().alias("_toks")
     )
-    positional = tokd.select(
-        "doc_id",
-        F.posexplode(shingles_from_tokens(F.col("_toks"), k=k)).alias(
-            "pos", "sh"
-        ),
+    # posexplode_nonempty: the inferred filter would re-inline the
+    # shingle lambda over _toks per element (functions/generate.py)
+    positional = posexplode_nonempty(
+        tokd, shingles_from_tokens(F.col("_toks"), k=k), "pos", "sh", "doc_id"
     ).select("doc_id", "pos", F.md5("sh").alias("h"))
     # Occurrence counting as groupBy + broadcast-join-back, not a
     # COUNT() OVER (PARTITION BY h) window: the window formulation
@@ -1039,14 +1046,17 @@ def q130_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_shingle_hashes(F.col("tb"), distinct=False).alias("sh"),
     )
-    ev = (
-        possh.filter(F.col("doc_id") % 101 == 0)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-    )
-    tr = (
-        possh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500))
-        .select(F.col("doc_id").alias("train_id"), F.posexplode("sh").alias("pos", "s"))
+    # *_nonempty: keep the inferred filter from re-running the shingle
+    # transform over the cached tb per row (functions/generate.py)
+    ev = explode_nonempty(
+        possh.filter(F.col("doc_id") % 101 == 0), F.col("sh"), "s"
+    ).distinct()
+    tr = posexplode_nonempty(
+        possh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500)),
+        F.col("sh"),
+        "pos",
+        "s",
+        F.col("doc_id").alias("train_id"),
     )
     contam = tr.join(F.broadcast(ev), "s", "left_semi")
     w = Window.partitionBy("train_id").orderBy("pos")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from kinesis_logs_reader_spark.functions.generate import explode_nonempty
 from kinesis_logs_reader_spark.sources.tables import load_table
 
 
@@ -2134,8 +2135,10 @@ def q195_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document-frequency table: the one full-corpus pass (precomputed
     # artifact at scale); same 10%-df stopword prune as q165
     base = docs.select("doc_id", token_base_hashes().alias("tb"))
-    dtok = base.select(
-        "doc_id", F.explode(token_shingle_hashes(F.col("tb"))).alias("t")
+    # explode_nonempty: keeps the inferred filter from re-inlining the
+    # md5+shingle chain per element (functions/generate.py, PERF.md r11)
+    dtok = explode_nonempty(
+        base, token_shingle_hashes(F.col("tb")), "t", "doc_id"
     )
     stats = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
     idf_u = F.floor(

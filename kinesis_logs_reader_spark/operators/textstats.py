@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kinesis_logs_reader_spark.functions.generate import explode_nonempty
 from kinesis_logs_reader_spark.functions.text import (
     n_tokens,
     stopword_count,
@@ -38,8 +39,15 @@ def cached_doc_tokens(spark: SparkSession, sf_dir: str):
         spark,
         "_klrs_doc_tokens_cache",
         sf_dir,
-        lambda: load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", F.explode(tokens()).alias("t")
+        # explode_nonempty: the inferred size()>0 filter re-runs the
+        # split once per row (functions/generate.py) — this is the most
+        # shared frame in the engine, so the extra corpus pass matters
+        lambda: explode_nonempty(
+            load_table(spark, sf_dir, "documents"),
+            tokens(),
+            "t",
+            "doc_id",
+            "lang",
         ),
     )
 
@@ -227,7 +235,7 @@ def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(tokens()).alias("t"))
+    tok = explode_nonempty(docs, tokens(), "t", "lang")
     counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
     w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t"))
     profile = (

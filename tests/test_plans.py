@@ -1143,3 +1143,46 @@ def test_q198_dispersion_bounded_frames(spark):
     assert plan.count("BroadcastExchange") >= 2
     # partial aggregation happens before the (label, d) exchange
     assert "partial_sum" in plan
+
+
+def test_explode_nonempty_defeats_infer_filters_regression(spark):
+    """The InferFiltersFromGenerate trap (PERF.md r11): a non-outer
+    explode over the stacked token-hash -> shingle chain lets the
+    inferred size()>0 filter push below BOTH projections, re-inlining
+    the md5 array build per element (O(n^2) hashes/row — physical plan
+    shows 11 md5 calls). explode_nonempty generates first and filters
+    the generated column: exactly ONE md5 in the plan. Pins the helper
+    against optimizer-rule regressions on upgrade."""
+    from kinesis_logs_reader_spark.functions.generate import explode_nonempty
+    from kinesis_logs_reader_spark.functions.text import (
+        token_base_hashes,
+        token_shingle_hashes,
+    )
+    from kinesis_logs_reader_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", token_base_hashes().alias("tb")).select(
+        "doc_id", token_shingle_hashes(F.col("tb")).alias("sh")
+    )
+    fixed = explode_nonempty(sh, F.col("sh"), "s", "doc_id")
+    fixed_plan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert fixed_plan.count("md5") == 1
+    trapped = sh.select("doc_id", F.explode("sh").alias("s"))
+    trapped_plan = trapped._jdf.queryExecution().executedPlan().toString()
+    assert trapped_plan.count("md5") > 1  # the trap is real on this Spark
+    # and the two forms agree row-for-row (no null elements in ours)
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, trapped.limit(100000).collect())
+    )
+
+
+def test_q162_ev_side_single_hash_pass(spark):
+    """q162's eval shingle set is built with ONE md5 pass (the
+    explode_nonempty fix, -56% at sf~1); the only other md5 in the
+    plan is the train side's own chain."""
+    from kinesis_logs_reader_spark.operators.dedup import q162_eval_containment
+
+    df = q162_eval_containment(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5") <= 3
