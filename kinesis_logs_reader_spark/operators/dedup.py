@@ -460,11 +460,20 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write or one repartition, not a cluster-wide cache.
     tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
     sh = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("sh"))
-    ev = sh.filter(F.col("doc_id") % 101 == 0).select(
-        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s")
+    # explode_nonempty: even with the cache barrier the inferred filter
+    # re-runs the shingle transform over cached tb per row
+    # (functions/generate.py; the q130 fix measured -47% on this shape)
+    ev = explode_nonempty(
+        sh.filter(F.col("doc_id") % 101 == 0),
+        F.col("sh"),
+        "s",
+        F.col("doc_id").alias("eval_id"),
     )
-    tr = sh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500)).select(
-        F.col("doc_id").alias("train_id"), F.explode("sh").alias("s")
+    tr = explode_nonempty(
+        sh.filter((F.col("doc_id") % 101 != 0) & (F.col("doc_id") < 500)),
+        F.col("sh"),
+        "s",
+        F.col("doc_id").alias("train_id"),
     )
     return (
         tr.join(F.broadcast(ev), "s")
