@@ -1161,7 +1161,16 @@ def test_explode_nonempty_defeats_infer_filters_regression(spark):
     from kinesis_logs_reader_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # the always-true filter makes this subtree canonically distinct
+    # from q89's session-cached (doc_id, tb) frame — otherwise the
+    # CacheManager swaps in the InMemoryRelation and no pushdown (and
+    # hence no trap) can occur, making the negative control flaky
+    # depending on which tests ran first
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 7 >= 0)
+        .select("doc_id", "text")
+    )
     sh = docs.select("doc_id", token_base_hashes().alias("tb")).select(
         "doc_id", token_shingle_hashes(F.col("tb")).alias("sh")
     )
