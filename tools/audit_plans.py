@@ -1,0 +1,79 @@
+"""Optimizer-trap audit over every declared query's physical plan.
+
+Two scans (r11, PERF.md "InferFiltersFromGenerate re-inline trap"):
+
+1. **Inferred computed-array filters** — for a non-outer explode/
+   posexplode, Catalyst infers ``size(e) > 0`` and pushes it below the
+   projections that built the array, substituting the construction
+   expression into the filter (O(n^2) for stacked HOF chains; 13x on
+   q162's shingle stage before the fix). Fingerprint: a Filter node
+   evaluating ``size()`` over transform/split/regexp_extract_all/CASE.
+   Expected output after the r11 sweep: zero hits. Re-run after any
+   Spark upgrade — the fix (functions/generate.py) is plan-pinned but
+   new call sites regress silently.
+
+2. **Expression-reuse census** — md5/transform occurrence counts per
+   executedPlan. High counts are usually legitimate (q174's bounded
+   recursion unroll, two-sided pair joins over signature frames, the
+   8-permutation MinHash transforms); a NEW entrant near the top of
+   this list is the cue to check whether a frame needs the
+   lru_persisted barrier.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    from kinesis_logs_reader_spark.registry import all_queries
+    from kinesis_logs_reader_spark.session import build_session
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    infer_hits: list[tuple[str, str]] = []
+    census: list[tuple[int, int, str]] = []
+    errs: list[str] = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            errs.append(f"{name}: {type(exc).__name__}")
+            continue
+        for m in re.finditer(r"Filter \(*(.{0,400})", plan):
+            frag = m.group(1)
+            # The O(n^2) class: a filter evaluating size() over a
+            # HOF-built array (transform / CASE-wrapped transform) —
+            # each element re-runs the inner build. Pushed-down USER
+            # predicates over scalar chains (q154's size(split())>=k,
+            # inferred join-key not-nulls) are constant-factor-2 and
+            # deliberately not flagged.
+            if re.search(
+                r"size\((transform|array_distinct\(transform|CASE WHEN)",
+                frag,
+            ):
+                infer_hits.append((name, frag[:160]))
+                break
+        census.append((plan.count("md5"), plan.count("transform("), name))
+
+    print("== inferred computed-array filters (expect: none) ==")
+    for name, frag in infer_hits:
+        print(f"HIT {name}: {frag}")
+    print(f"{len(infer_hits)} hits / {len(census)} plans / {len(errs)} errors")
+    print("\n== expression-reuse census (top 15 by md5 count) ==")
+    for n_md5, n_tr, name in sorted(census, reverse=True)[:15]:
+        print(f"md5={n_md5:3d} transform={n_tr:3d} {name}")
+    spark.stop()
+    if infer_hits:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
