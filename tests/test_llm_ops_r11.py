@@ -437,3 +437,73 @@ def test_q198_matches_numpy_recompute(spark):
     }
     assert got == want
     assert all(v[1] > 0 for v in got.values())  # no collapsed label here
+
+
+def test_multimodal_kernels_survive_adversarial_corpus(spark, tmp_path):
+    """Robustness floor for the r11 multimodal kernels: q194/q196/q197
+    must RUN (no crash, invariants hold) on a corpus the fake codec was
+    never calibrated for — empty docs, one-byte docs, multi-byte
+    unicode/emoji, NUL bytes, a 100 KB monster, single spaces. (Their
+    ORACLES legitimately require the ASCII corpus invariant — this
+    pins the Spark side's totality, not cross-engine equality.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q194_phash_neardup,
+        q196_scene_cuts,
+        q197_audio_vad,
+    )
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "é ü ß 中文 🦆" * 3,
+        "x\x00y " * 40,
+        "z" * 100_000,
+        "normal prose with several tokens in it " * 4,
+        "  \t\n  ",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["fuzz"] * len(texts),
+                "lang": ["xx"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sf = str(tmp_path)
+
+    vad = q197_audio_vad(spark, sf).collect()
+    assert vad, "the monster and prose docs have full windows"
+    for r in vad:
+        assert r.n_windows >= 1
+        assert 0 <= r.voiced_windows <= r.n_windows
+        assert 0 <= r.voiced_ppm <= 1_000_000
+    # the 100 KB single-char doc: zero byte-variance windows, all below
+    # threshold ('z' = 122 -> 122^2*64 = 952576 > 610k: actually voiced)
+    monster = next(r for r in vad if r.doc_id == 5)
+    assert monster.n_windows == 100_000 // 64
+    assert monster.n_segments <= 1
+
+    cuts = q196_scene_cuts(spark, sf).collect()
+    for r in cuts:
+        assert 0 <= r.n_cuts <= 7
+
+    pairs = q194_phash_neardup(spark, sf).collect()
+    for r in pairs:
+        assert 0 <= r.hamming <= 6
