@@ -507,3 +507,58 @@ def test_multimodal_kernels_survive_adversarial_corpus(spark, tmp_path):
     pairs = q194_phash_neardup(spark, sf).collect()
     for r in pairs:
         assert 0 <= r.hamming <= 6
+
+
+def test_q197_segmentation_law_on_constructed_patterns(spark, tmp_path):
+    """Property pin: clips CONSTRUCTED from 64-byte blocks of known
+    class — 'the' + spaces (voiced prose: mixed-letter windows) vs
+    all-spaces (silent) — must segment exactly per the pattern: one
+    (doc per pattern) DataFrame, 40 random patterns, one Spark job."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.multimodal import q197_audio_vad
+
+    rng = random.Random(1197)
+    VOICED = "thequickbrownfox" * 4  # exactly 64 letter bytes
+    SILENT = " " * 64
+    assert len(VOICED) == 64 and len(SILENT) == 64
+    assert sum(ord(c) ** 2 for c in VOICED) >= 610_000
+    assert sum(ord(c) ** 2 for c in SILENT) < 610_000
+
+    patterns = []
+    for _ in range(40):
+        patterns.append([rng.random() < 0.6 for _ in range(rng.randint(1, 12))])
+    texts = ["".join(VOICED if v else SILENT for v in pat) for pat in patterns]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["pat"] * len(texts),
+                "lang": ["xx"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.voiced_windows, r.n_segments, r.longest_silence)
+        for r in q197_audio_vad(spark, str(tmp_path)).collect()
+    }
+    for i, pat in enumerate(patterns):
+        runs = []
+        for v in pat:
+            if runs and runs[-1][0] == v:
+                runs[-1][1] += 1
+            else:
+                runs.append([v, 1])
+        want = (
+            len(pat),
+            sum(pat),
+            sum(1 for v, _n in runs if v),
+            max((n for v, n in runs if not v), default=0),
+        )
+        assert got[i] == want, (i, pat, got[i], want)
