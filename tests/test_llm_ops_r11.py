@@ -562,3 +562,46 @@ def test_q197_segmentation_law_on_constructed_patterns(spark, tmp_path):
             max((n for v, n in runs if not v), default=0),
         )
         assert got[i] == want, (i, pat, got[i], want)
+
+
+def test_q198_collapsed_and_separated_clusters(spark, tmp_path):
+    """Geometric pin: a label whose vectors are all IDENTICAL must
+    report dispersion exactly 0; two labels planted far apart and one
+    near the first must resolve nearest_label by actual distance, with
+    the exact integer d2 of the constructed grid offsets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q198_embedding_dispersion,
+    )
+
+    dim = 8
+    base = [0.5] * dim          # grid 512 per dim
+    near = [0.5 + 10.0 / 1024] * dim   # +10 grid steps -> d2 = 8*100
+    far = [100.0] * dim         # grid 102400 per dim
+    rows, labels = [], []
+    for _ in range(5):
+        rows.append(base); labels.append(0)      # collapsed cluster
+    for _ in range(4):
+        rows.append(near); labels.append(1)      # collapsed, near 0
+    for _ in range(3):
+        rows.append(far); labels.append(2)       # collapsed, far away
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(rows))),
+                "embedding": pa.array(rows, type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = {
+        r.label: (r.n_vecs, r.dispersion_milli, r.nearest_label, r.nearest_d2)
+        for r in q198_embedding_dispersion(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (5, 0, 1, 8 * 10 * 10)
+    assert got[1] == (4, 0, 0, 8 * 10 * 10)
+    assert got[2][0:2] == (3, 0)
+    assert got[2][2] == 1  # far cluster's nearest is the closer of 0/1
