@@ -541,93 +541,29 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
 ][:50]
 
 # ACTIVE window for this round's driver correctness gate (first 50).
-# r11 rotation (VERDICT r10 item 1). Amended freshness policy, now
-# codified in COVERAGE.md: CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS
-# RE-CERTIFIED WITHIN <=6 ROUNDS (the arithmetic a 201-key surface, a
-# 50-slot window, and ~15 changed/new keys per round actually permit —
-# the old ~4-round aspiration was infeasible, VERDICT r10).
-#   (0) new-this-round keys (never driver-checked): q194, q195, q197, q198;
-#   (1) keys whose KERNEL changed after their newest driver row — the
-#       r11 Arrow fold rewrites (q143 RLE, q45/q45b rolling
-#       fingerprints), the q133 literal-bitmask bloom probe, the q125
-#       one-aggregate DSIR fold, and the q178/q191 shared
-#       eval-manifest rule extraction. (The lru_persisted cache
-#       refactors in q78/q90/q118/q189/q192 change eviction only, not
-#       construction or results — they do not jump the queue.)
-#   (2) the 23 remaining r5-era keys (q133 already above) — after
-#       this window ZERO keys have evidence older than r6;
-#   (3) the 19 oldest r6-era keys, low query numbers first (the
-#       longest-lived relational core).
+# r12 rotation (VERDICT r11 item 1). Freshness policy (codified in
+# COVERAGE.md): CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED
+# WITHIN <=6 ROUNDS.
+#   (1) keys whose kernel is changed/audited this round — the q83
+#       funnel one-pass rewrite, the q103/q52 percentile audit, the
+#       q119 knn-join audit, and the q189/q189b KMV decomposition
+#       (q52 sits in tier 2 where it already was due);
+#   (2) the 24 r6-era keys staged last round (DRIVER_WINDOW_R12_STAGED,
+#       verbatim) — exactly 6 rounds stale at r12, the policy ceiling;
+#   (3) the oldest r8-era keys, low query numbers first. After this
+#       window ZERO keys have evidence older than r8 except the
+#       remaining r8 tier, staged below for r13 (due r14).
 # Exactly 50 entries — asserted below, no silent [:50] trim.
 DRIVER_WINDOW: list[str] = [
-    # (0) r11 additions
-    "q194_phash_neardup",
-    "q195_ce_rerank",
-    "q197_audio_vad",  # r11 multimodal audio (new key)
-    "q198_embedding_dispersion",  # r11 diversity audit (new key)
-    # (1) changed kernels whose driver rows predate the change
-    "q143_repetition_runs",
-    "q45_fingerprint",
-    "q45b_fingerprint_agg",
-    "q133_bloom_decontamination",
-    "q125_dsir_sampling",
-    "q178_stratified_eval_sample",
-    "q191_eval_split_regen",
-    "q142_interval_join",  # r11 bucketed band-join rewrite (weak-row audit)
-    "q189b_kmv_overlap_sketch",  # r11 production twin (new key)
-    "q196_scene_cuts",  # r11 multimodal temporal (new key)
-    "q131b_table_profile_sketch",  # r11 production twin (new key)
-    # (2) r5-era evidence (5 rounds stale — the whole tier cycles out)
-    "q130_span_decontamination",
-    "q132_countmin_sketch",
-    "q134_ngram_novelty",
-    "q135_jl_projection",
-    "q136_source_overlap",
-    "q137_distribution_drift",
-    "q138_heaps_law",
-    "q140_weighted_sample",
-    "q35_median_segment",
-    "q35b_median_native",
-    "q37_zscore",
-    "q37b_zscore_window",
-    "q38_price_histogram",
-    "q39_mode_per_group",
-    "q41_token_stats",
-    "q47_simhash",
-    "q48_ann_ivf",
-    "q86_unpivot",
-    "q88_date_spine",
-    "q93_domain_mix",
-    "q94_pack_sequences",
-    "q96_stratified_sample",
-    "q99_centroid_outliers",
-    # (3) oldest r6-era keys
-    "q01_project_arith",
-    "q10_join_range",
-    "q13_tpch_q1",
-    "q15_rollup",
-    "q18_window_rank",
-    "q20_window_running_sum",
-    "q22_topk",
-    "q24_intersect_except",
-    "q26a_string_funcs",
-    "q26b_datetime_funcs",
-    "q26c_math_funcs",
-    "q26d_array_funcs",
-]
-assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
-    "DRIVER_WINDOW must hold exactly 50 unique keys "
-    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
-)
-
-# Staged r12 rotation: the 19 r6-era keys this window could not fit
-# (q53 displaced late-r11 when q195 entered the window as a new key).
-# At r12 they are exactly 6 rounds stale — the policy ceiling — so
-# they MUST lead the r12 window (after any changed/new keys). q27 joins
-# them (displaced by q197; its newest row is r6 — 6 rounds at r12).
-DRIVER_WINDOW_R12_STAGED: list[str] = [
-    "q26e_json_funcs",  # displaced late-r11 when q198 entered as a new key
-    "q27_join_full_outer",  # displaced late-r11 when q197 entered as a new key
+    # (1) changed/audited kernels this round
+    "q83_funnel",
+    "q103_approx_percentile",
+    "q119_knn_join",
+    "q189_kmv_overlap",
+    "q189b_kmv_overlap_sketch",
+    # (2) the 24 r6-era keys staged as DRIVER_WINDOW_R12_STAGED
+    "q26e_json_funcs",
+    "q27_join_full_outer",
     "q53_pivot",
     "q52_percentiles",
     "q36_supplier_nation",
@@ -650,6 +586,63 @@ DRIVER_WINDOW_R12_STAGED: list[str] = [
     "q156_training_order",
     "q157_epoch_plan",
     "q158_fuzzy_variants",
+    # (3) oldest r8-era fill, low query numbers first
+    "q03_case_when",
+    "q04_cast_coalesce",
+    "q06_join_broadcast",
+    "q08_join_semi",
+    "q09_join_anti",
+    "q11_join_cross",
+    "q16_having",
+    "q19_window_lag",
+    "q21_sort_nulls",
+    "q23_union",
+    "q25_distinct",
+    "q28_approx_distinct",
+    "q46_minhash_lsh",
+    "q74_dup_clusters",
+    "q75_ann_ivf_kmeans",
+    "q109_semdedup",
+    "q110b_rrf_topk",
+    "q123_minhash_accuracy",
+    "q128_split_leakage",
+    "q129_dedup_pipeline",
+    "q151_candidate_degree",
+]
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
+    "DRIVER_WINDOW must hold exactly 50 unique keys "
+    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
+)
+
+# Staged r13 rotation: the 24 r8-era keys the r12 window could not fit.
+# Their newest driver evidence is r8, so they hit the 6-round policy
+# ceiling at r14 — running them in r13 keeps one round of slack.
+# Changed/new r13 kernels still jump this queue.
+DRIVER_WINDOW_R13_STAGED: list[str] = [
+    "q155_lsh_band_sensitivity",
+    "q158b_fuzzy_variants_banded",
+    "q159_dup_authority",
+    "q160_incremental_dedup",
+    "q161_epoch_shuffle",
+    "q162_eval_containment",
+    "q163_srp_banded_pairs",
+    "q164_cluster_safe_split",
+    "q165_hard_negatives",
+    "q166_bpe_train",
+    "q167_ann_recall",
+    "q168_mutual_nn",
+    "q169_bpe_encode",
+    "q170_pack_nextfit",
+    "q171_bootstrap_ci",
+    "q172_novelty_curve",
+    "q173_resample_ffill",
+    "q174_reachability_cte",
+    "q175_frame_dedup",
+    "q176_ann_ranking_quality",
+    "q177_span_quality_prune",
+    "q179_data_card",
+    "q180_rag_context_assembly",
+    "q182_last_touch_attribution",
 ]
 
 

@@ -109,14 +109,14 @@ def test_q103_approx_percentile_tolerance(spark):
     assert all(r.p50_within_2pct and r.p95_within_2pct for r in rows)
 
 
-def test_r12_staged_window_consistency():
-    """The staged r12 rotation must stay executable: every staged key
-    exists in the registry, is oracle-backed, none is already in the
+def test_staged_window_consistency():
+    """The staged next-round rotation must stay executable: every staged
+    key exists in the registry, is oracle-backed, none is already in the
     active window, and there are no duplicates — a renamed or retired
     query would otherwise surface only when the rotation lands."""
-    from kinesis_logs_reader_spark.registry import DRIVER_WINDOW_R12_STAGED
+    from kinesis_logs_reader_spark.registry import DRIVER_WINDOW_R13_STAGED
 
-    staged = DRIVER_WINDOW_R12_STAGED
+    staged = DRIVER_WINDOW_R13_STAGED
     assert len(staged) == len(set(staged))
     assert set(staged) <= set(QUERIES)
     assert set(staged) <= set(ORACLES)
