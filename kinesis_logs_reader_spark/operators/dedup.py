@@ -2129,38 +2129,27 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10 per ADVICE). The planted cross-source duplicates make
     intersections non-trivial.
 
-    Plan shape: ONE corpus scan -> distinct (source, h) frame
-    [1 exchange], reused three ways (per-source counts; per-source
-    top-k window over |sources| bounded partitions; exact pair
-    intersections via a keyed self-join on h — the q136 shape,
-    included only for the error columns). Sketch-side pair work is
-    |sources|^2 * k rows — KBs at any corpus size.
+    Plan shape (r12 rewrite, VERDICT r11 item 4): ONE corpus scan ->
+    distinct (source, h) frame [1 exchange], reused three ways — the
+    per-source count (map-side partial agg), the per-source top-k
+    (WindowGroupLimit keeps <=k rows per source map-side BEFORE the
+    shuffle, then collapses to ONE array row per source), and the
+    exact pair intersections via a keyed self-join on h (the q136
+    shape, the audit branch only this parent carries). All pair math —
+    merged top-k, m, m_k, n_both — is JVM array expressions over the
+    |sources|^2 broadcast pair frame: zero shuffles, zero windows
+    after the sketch build. The r11 shape recomputed the merged sketch
+    as a (pair, h)-keyed groupBy + window + three joins; on KB-sized
+    frames every one of those exchanges paid the AQE stage floor
+    (~0.2 s each) and the query read 2.07 s at sf~1 against 0.8 s of
+    actual component work.
 
     Reference analog: none (beyond-reference mandate; the sketch
     family: q28 HLL, q132 count-min, q133 bloom).
     """
-    from pyspark.sql.window import Window
-
     k = 32
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    )
-    # the ONE shuffled frame everything reuses — session-persisted so
-    # the three consumers (counts, sketches, exact join) read the cached
-    # relation instead of re-running the distinct (the q136 convention)
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
-
-    sh = lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("source").orderBy("h")
-    sk = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("source", "h")
-    )
+    sh = _kmv_distinct_hashes(spark, sf_dir)
+    src = _kmv_source_sketches(sh, k)
     # exact pairwise intersections (error-report side, q136 shape)
     inter = (
         sh.alias("a")
@@ -2172,73 +2161,22 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("inter_exact"))
     )
-    pairs = (
-        per_src.alias("pa")
-        .select(
-            F.col("source").alias("source_a"), F.col("n").alias("n_a")
-        )
-        .join(
-            per_src.alias("pb").select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            ),
-            F.col("source_a") < F.col("source_b"),
-        )
-    )
-    # merged sketch per pair: k smallest DISTINCT h of sketch(A)∪sketch(B),
-    # tagging whether each h sits in both sides (the KMV Jaccard counter)
-    merged = (
-        sk.alias("sa")
-        .select(F.col("source").alias("source_a"), "h")
-        .join(
-            F.broadcast(
-                pairs.select("source_a", "source_b")
-            ),
-            "source_a",
-        )
-        .select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-        .unionByName(
-            sk.alias("sb")
-            .select(F.col("source").alias("source_b"), "h")
-            .join(
-                F.broadcast(pairs.select("source_a", "source_b")),
-                "source_b",
-            )
-            .select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-        )
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
-    topk = merged.withColumn("rn", F.row_number().over(wm)).filter(
-        F.col("rn") <= k
-    )
-    est = topk.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.max("h").alias("m_k"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
-    )
-    two52 = 1 << 52
-    out = (
-        pairs.join(est, ["source_a", "source_b"])
-        .join(inter, ["source_a", "source_b"], "left")
+    return (
+        _kmv_pair_estimates(src, k)
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
             "n_a",
             "n_b",
             F.coalesce(F.col("inter_exact"), F.lit(0)).alias("inter_exact"),
-            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter_exact"), F.lit(0))).alias("union_exact"),
-            F.when(F.col("m") < k, F.col("m"))
-            .otherwise(
-                F.expr(f"({k - 1}L * {two52}L) div m_k")
-            )
-            .cast("bigint")
-            .alias("union_est"),
-            # divide by m, the merged-sketch size: equals /k when the
-            # union fills the sketch (m == k) and is EXACT when the true
-            # union is smaller than k (m < k ⇒ the sketch IS the union),
-            # matching the union_est branch above (ADVICE r9 item 1)
-            F.expr("(n_both * 1000000L) div m").alias("jacc_est_ppm"),
+            (
+                F.col("n_a")
+                + F.col("n_b")
+                - F.coalesce(F.col("inter_exact"), F.lit(0))
+            ).alias("union_exact"),
+            "union_est",
+            "jacc_est_ppm",
         )
         .withColumn(
             "jacc_exact_ppm",
@@ -2254,7 +2192,93 @@ def q189_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
-    return out
+
+
+def _kmv_distinct_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE shuffled frame the q189 twins reuse — session-persisted
+    distinct (source, h) with h = first 13 hex chars of md5(text) as a
+    52-bit int (the (k-1)*2^52 numerator stays in int64)."""
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    return lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
+
+
+def _kmv_source_sketches(sh: DataFrame, k: int) -> DataFrame:
+    """Per source: exact distinct count n (map-side partial agg) and
+    the KMV sketch as ONE sorted array<bigint> row of the k smallest h
+    (WindowGroupLimit keeps <=k rows per source per map partition
+    before the shuffle — pinned in test_plans — so collect_list only
+    ever sees <=k values per source)."""
+    from pyspark.sql.window import Window
+
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy("h")
+    sk_arr = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("arr"))
+    )
+    return per_src.join(sk_arr, "source")
+
+
+def _kmv_pair_estimates(src: DataFrame, k: int) -> DataFrame:
+    """All |sources|^2 pair math as JVM array expressions on the
+    broadcast pair frame — merged sketch = k smallest distinct h of
+    sketch(A) ∪ sketch(B); union_est per Beyer et al. (SIGMOD'07);
+    jacc_est divides by m, the merged-sketch size: equals /k when the
+    union fills the sketch (m == k) and is EXACT when the true union
+    is smaller than k (m < k ⇒ the sketch IS the union), matching the
+    union_est branch (ADVICE r9 item 1)."""
+    pairs = (
+        src.select(
+            F.col("source").alias("source_a"),
+            F.col("n").alias("n_a"),
+            F.col("arr").alias("arr_a"),
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("n_b"),
+                    F.col("arr").alias("arr_b"),
+                )
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("arr_a", "arr_b"))), 1, k
+    )
+    withm = pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.size(merged).alias("m"),
+        F.element_at(merged, F.size(merged)).alias("m_k"),
+        F.size(F.array_intersect(F.array_intersect("arr_a", "arr_b"), merged))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    two52 = 1 << 52
+    return withm.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.when(F.col("m") < k, F.col("m"))
+        .otherwise(F.expr(f"({k - 1}L * {two52}L) div m_k"))
+        .cast("bigint")
+        .alias("union_est"),
+        F.expr("(n_both * 1000000L) div m").alias("jacc_est_ppm"),
+    )
 
 
 def q151b_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,92 +2351,23 @@ def q189b_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unaffordable: after the one distinct pass, everything that
     moves is |sources| x 32 hash values.
 
-    Plan shape: the same session-persisted distinct (source, h) frame
-    as q189 (shared lru cache key — InMemoryTableScan reuse across the
-    twins), one per-source partial-agg count, one |sources|-bounded
-    top-k window, and broadcast-only pair joins. NO shuffled
-    corpus-sized join anywhere (pinned — the twin's reason to exist).
+    Plan shape (r12 rewrite with the parent, VERDICT r11 item 4): the
+    same session-persisted distinct (source, h) frame as q189 (shared
+    lru cache key — InMemoryTableScan reuse across the twins), one
+    per-source partial-agg count, one WindowGroupLimit-bounded top-k
+    collapsed to a per-source array row, then pure JVM array
+    expressions over the broadcast |sources|^2 pair frame. NO shuffled
+    corpus-sized join anywhere, and past the sketch build NO exchange
+    at all (pinned — the twin's reason to exist). The r11 decomposition
+    found both twins stage-floor-bound (every KB-sized exchange paying
+    ~0.2 s of AQE floor); this shape deletes four of those exchanges
+    and separates the twin from its parent: warm best-of-4 at sf~1
+    1.22 -> 0.73 s vs the parent's 1.27 -> 0.83 s — the ~0.1-0.2 s gap
+    IS the exact h self-join audit branch, now visible instead of
+    buried under exchange floors.
 
     Reference analog: none (beyond-reference mandate; sketch family).
     """
-    from pyspark.sql.window import Window
-
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
-
     k = 32
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    )
-    sh = lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
-    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("source").orderBy("h")
-    sk = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("source", "h")
-    )
-    pairs = (
-        per_src.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-        .join(
-            per_src.select(
-                F.col("source").alias("source_b"), F.col("n").alias("n_b")
-            ),
-            F.col("source_a") < F.col("source_b"),
-        )
-    )
-    merged = (
-        sk.select(F.col("source").alias("source_a"), "h")
-        .join(F.broadcast(pairs.select("source_a", "source_b")), "source_a")
-        .select(
-            "source_a",
-            "source_b",
-            "h",
-            F.lit(1).alias("in_a"),
-            F.lit(0).alias("in_b"),
-        )
-        .unionByName(
-            sk.select(F.col("source").alias("source_b"), "h")
-            .join(
-                F.broadcast(pairs.select("source_a", "source_b")), "source_b"
-            )
-            .select(
-                "source_a",
-                "source_b",
-                "h",
-                F.lit(0).alias("in_a"),
-                F.lit(1).alias("in_b"),
-            )
-        )
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wm = Window.partitionBy("source_a", "source_b").orderBy("h")
-    est = (
-        merged.withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= k)
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.max("h").alias("m_k"),
-            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
-        )
-    )
-    two52 = 1 << 52
-    return (
-        pairs.join(F.broadcast(est), ["source_a", "source_b"])
-        .select(
-            "source_a",
-            "source_b",
-            "n_a",
-            "n_b",
-            F.when(F.col("m") < k, F.col("m"))
-            .otherwise(F.expr(f"({k - 1}L * {two52}L) div m_k"))
-            .cast("bigint")
-            .alias("union_est"),
-            F.expr("(n_both * 1000000L) div m").alias("jacc_est_ppm"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    src = _kmv_source_sketches(_kmv_distinct_hashes(spark, sf_dir), k)
+    return _kmv_pair_estimates(src, k).orderBy("source_a", "source_b")

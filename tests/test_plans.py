@@ -1218,3 +1218,22 @@ def test_q83_funnel_single_scan_two_exchanges(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3  # stacked
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1  # one shared sort
+
+
+def test_kmv_sketch_build_uses_window_group_limit(spark):
+    """The q189-family per-source top-k must ride WindowGroupLimit
+    (Partial before the shuffle): each map partition keeps <=k rows per
+    source, so the sketch-build exchange carries |sources| x k rows,
+    not the corpus — the property that makes a KMV sketch affordable at
+    100 TB. If this pin breaks (rank-pushdown disabled or the filter
+    shape stops matching InsertWindowGroupLimit), the window would
+    shuffle every distinct (source, h) row."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _kmv_distinct_hashes,
+        _kmv_source_sketches,
+    )
+
+    src = _kmv_source_sketches(_kmv_distinct_hashes(spark, SF_DIR), 32)
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
