@@ -1237,3 +1237,19 @@ def test_kmv_sketch_build_uses_window_group_limit(spark):
     plan = src._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_q119_knn_arrow_kernel_window_group_limit(spark):
+    """r12 audit (VERDICT r11 item 5): the candidate-x-query scoring is
+    ONE Arrow/numpy pass riding the corpus scan (no per-pair zip_with
+    lambda, no broadcast join materializing the pair frame), and the
+    per-query top-k keeps WindowGroupLimit so only |queries| x k rows
+    per map partition reach the rank shuffle."""
+    from kinesis_logs_reader_spark.operators.similarity import q119_knn_join
+
+    df = q119_knn_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan.split("Window")[0]
