@@ -299,6 +299,16 @@ def main() -> None:
                 "cpus": int(CPUS),
                 "scale_mode": SCALE_MODE,
                 "queries": timings,
+                # per-query wall-clock with the measured fixed per-job
+                # floor stripped (VERDICT r11 item 7): rows near zero
+                # here are floor-dominated scheduler arithmetic, not
+                # slow plans — the machine-readable form of the
+                # floor-vs-work split the weak-row tally needs
+                "floor_ms_per_query": floor_ms,
+                "queries_minus_floor": {
+                    k: round(max(0.0, v - floor_best), 3)
+                    for k, v in timings.items()
+                },
                 "duckdb": duck,
             },
             f,

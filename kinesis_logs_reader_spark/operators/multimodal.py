@@ -738,3 +738,128 @@ def q197_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval with RRF fusion (r12: the multimodal
+    ladder's RETRIEVAL story, VERDICT r11 item 6 — q194 matches alike
+    images, q196 reads temporal structure; this answers "find items
+    LIKE this one" across BOTH modalities at once): the query item is
+    doc_id 0, every other document is a candidate scored twice —
+    visually, by the Hamming distance between dHash signatures (the
+    q194 Arrow stage over the payload column), and lexically, by
+    distinct shared-token count against the query's text — and the two
+    top-60 rank lists fuse via Reciprocal Rank Fusion (Cormack et al.
+    2009) in integer micro-units, the q110b idiom, so every hashed
+    column is pure integer arithmetic in both engines.
+
+    Scale shape: the signature side table is the SAME session-persisted
+    frame q194 builds (one Arrow pass per corpus — at 100 TB this is
+    the materialized phash table, filtered here to natural ids); the
+    1-row query signature broadcasts into a map-only Hamming pass;
+    each retriever's candidate list collapses through
+    TakeOrderedAndProject (per-partition heaps + driver merge, never a
+    global sort of the corpus); the lexical pass broadcasts the
+    query's distinct tokens into the exploded candidate tokens and
+    partial-aggregates the overlap count by doc_id. The fusion itself
+    is a full outer join of two <=60-row frames. Ranks come from
+    integer scores with doc_id tie-breaks, so ranks — and the
+    1000000 DIV (60+rank) micro-unit RRF — are bit-identical across
+    engines.
+
+    Reference analog: none (beyond-reference mandate; multimodal
+    family, SURVEY §2.2 I5 + I7).
+    """
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.text import tokens
+
+    from pyspark.sql.window import Window
+
+    k_list = 60
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select(
+            (F.col("doc_id") + 6_000_000).alias("doc_id"),
+            F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    # q194's signature cache, verbatim (same key -> shared build);
+    # natural corpus only for retrieval
+    sig = lru_persisted(
+        spark,
+        "_klrs_phash_sig_cache",
+        sf_dir,
+        lambda: perceptual_hashes(docs.unionByName(planted)),
+    ).filter(F.col("doc_id") < 6_000_000)
+    qsig = sig.filter(F.col("doc_id") == 0).select(
+        *[F.col(f"b{i}").alias(f"q{i}") for i in range(4)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"q{i}")))
+        for i in range(4)
+    )
+    vis_top = (
+        sig.filter(F.col("doc_id") > 0)
+        .join(F.broadcast(qsig))
+        .select("doc_id", hamming.cast("int").alias("hamming"))
+        .orderBy("hamming", "doc_id")
+        .limit(k_list)
+    )
+    w_vis = Window.orderBy("hamming", "doc_id")
+    vis_rank = vis_top.select(
+        "doc_id", F.row_number().over(w_vis).alias("rank_vis")
+    )
+    text_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # explode_nonempty, not explode: a non-outer generate over an array
+    # computed in the same plan lets Catalyst infer size()>0 and
+    # re-inline the array build per row (the r11 InferFilters trap)
+    from kinesis_logs_reader_spark.functions.generate import explode_nonempty
+
+    qtok = (
+        explode_nonempty(
+            text_docs.filter(F.col("doc_id") == 0),
+            F.array_distinct(tokens()),
+            "tok",
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    overlap = (
+        explode_nonempty(
+            text_docs.filter(F.col("doc_id") > 0),
+            F.array_distinct(tokens()),
+            "tok",
+            "doc_id",
+        )
+        .join(F.broadcast(qtok), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    lex_top = overlap.orderBy(F.col("overlap").desc(), "doc_id").limit(k_list)
+    w_lex = Window.orderBy(F.col("overlap").desc(), "doc_id")
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+    # full outer cannot broadcast (Spark join-type constraint); the SMJ
+    # here merges two <=60-row frames — size-bounded by construction
+    fused = vis_rank.join(lex_rank, "doc_id", "full").select(
+        "doc_id",
+        "rank_vis",
+        "rank_lex",
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + rank_vis)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + rank_lex)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_ppm"),
+    )
+    top = fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(20)
+    return top.orderBy("doc_id")

@@ -5455,3 +5455,64 @@ SELECT l.label, l.n_vecs,
 FROM per_label l JOIN nearest n USING (label)
 ORDER BY l.label
 """
+
+# q199: cross-modal retrieval with RRF fusion — the q194 grid/band
+# derivation for the visual ranks (natural corpus only, query = doc 0),
+# a distinct shared-token count for the lexical ranks, both top-60 with
+# doc_id tie-breaks, fused in the q110b integer micro-unit idiom.
+ORACLE["q199_crossmodal_rrf"] = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 71),
+           i -> CASE WHEN length(text) = 0 THEN 0
+                     ELSE ord(substr(text, (i * length(text)) // 72 + 1, 1))
+                END) AS p
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST({_phash_band_sql(0)} AS INTEGER) AS b0,
+         CAST({_phash_band_sql(1)} AS INTEGER) AS b1,
+         CAST({_phash_band_sql(2)} AS INTEGER) AS b2,
+         CAST({_phash_band_sql(3)} AS INTEGER) AS b3
+  FROM px
+), qsig AS (
+  SELECT b0 AS q0, b1 AS q1, b2 AS q2, b3 AS q3 FROM sig WHERE doc_id = 0
+), vis AS (
+  SELECT s.doc_id,
+         CAST(bit_count(xor(s.b0, q.q0)) + bit_count(xor(s.b1, q.q1))
+            + bit_count(xor(s.b2, q.q2)) + bit_count(xor(s.b3, q.q3))
+           AS INTEGER) AS hamming
+  FROM sig s, qsig q WHERE s.doc_id > 0
+), vis_rank AS (
+  SELECT doc_id, CAST(rn AS INTEGER) AS rank_vis FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hamming, doc_id) AS rn
+    FROM vis) t
+  WHERE rn <= 60
+), qtok AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(str_split(text, ' ')) AS tok FROM documents WHERE doc_id = 0
+  ) WHERE tok <> ''
+), ctok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id > 0
+  ) WHERE tok <> ''
+), overlap AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+  FROM ctok c JOIN qtok q ON c.tok = q.tok
+  GROUP BY c.doc_id
+), lex_rank AS (
+  SELECT doc_id, CAST(rn AS INTEGER) AS rank_lex FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ov DESC, doc_id) AS rn
+    FROM overlap) t
+  WHERE rn <= 60
+), fused AS (
+  SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id, v.rank_vis, l.rank_lex,
+         CAST(COALESCE(1000000 // (60 + v.rank_vis), 0)
+            + COALESCE(1000000 // (60 + l.rank_lex), 0) AS BIGINT) AS rrf_ppm
+  FROM vis_rank v FULL OUTER JOIN lex_rank l ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rank_vis, rank_lex, rrf_ppm FROM (
+  SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20
+) ORDER BY doc_id
+"""

@@ -1,0 +1,88 @@
+"""Round-12 additions: cross-modal RRF retrieval (q199).
+
+Layered like the prior rounds' suites: planted-ranking semantics on a
+constructed corpus, and the integer RRF contract recomputed in pure
+Python from the emitted ranks.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_DIR
+
+
+def _write_docs(tmp_path, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["t"] * len(texts),
+                "lang": ["en"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_q199_planted_ranking_semantics(spark, tmp_path):
+    """A byte-identical copy of the query doc must lead BOTH lists
+    (hamming 0 -> rank_vis 1; full token overlap + doc_id tie-break ->
+    rank_lex 1) and therefore the fused list; a token-disjoint doc has
+    no lexical rank at all (it never joins the query's token set)."""
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q199_crossmodal_rrf,
+    )
+
+    q = "alpha beta gamma delta " * 8
+    sf = _write_docs(
+        tmp_path,
+        [
+            q,  # doc 0: the query item
+            q,  # doc 1: identical twin — wins both modalities
+            "delta gamma beta alpha " * 8,  # doc 2: same tokens, other pixels
+            "zeta eta theta iota " * 8,  # doc 3: token-disjoint
+        ],
+    )
+    rows = {r.doc_id: r for r in q199_crossmodal_rrf(spark, sf).collect()}
+    assert rows[1].rank_vis == 1 and rows[1].rank_lex == 1
+    assert rows[1].rrf_ppm == max(r.rrf_ppm for r in rows.values())
+    assert rows[2].rank_lex == 2  # equal overlap, doc_id tie-break
+    assert rows[3].rank_lex is None
+    assert rows[3].rank_vis is not None  # every doc has a visual rank
+
+
+def test_q199_integer_rrf_contract(spark):
+    """On the real corpus: <=20 rows, ranks in [1, 60], and rrf_ppm is
+    EXACTLY the integer micro-unit recomputation from the emitted ranks
+    (1000000 // (60 + rank), absent list contributes 0) — the q110b
+    idiom that keeps the hashed column float-free."""
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q199_crossmodal_rrf,
+    )
+
+    rows = q199_crossmodal_rrf(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.rank_vis is not None or r.rank_lex is not None
+        want = 0
+        if r.rank_vis is not None:
+            assert 1 <= r.rank_vis <= 60
+            want += 1_000_000 // (60 + r.rank_vis)
+        if r.rank_lex is not None:
+            assert 1 <= r.rank_lex <= 60
+            want += 1_000_000 // (60 + r.rank_lex)
+        assert r.rrf_ppm == want

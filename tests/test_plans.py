@@ -1253,3 +1253,26 @@ def test_q119_knn_arrow_kernel_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "zip_with" not in plan and "aggregate(" not in plan.split("Window")[0]
+
+
+def test_q199_crossmodal_retriever_topk_shapes(spark):
+    """r12 (VERDICT r11 item 6): both retrievers collapse through
+    TakeOrderedAndProject (per-partition heaps, never a global sort of
+    the corpus), the signature side rides q194's session-persisted
+    Arrow frame (InMemoryTableScan), and the only joins are broadcasts
+    (query signature, query tokens, the <=60-row fusion)."""
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q199_crossmodal_rrf,
+    )
+
+    import re
+
+    df = q199_crossmodal_rrf(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 2
+    assert "InMemoryTableScan" in plan
+    # full outer cannot broadcast: exactly ONE SortMergeJoin, the
+    # <=60-row fusion — never a corpus-sized merge join
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
