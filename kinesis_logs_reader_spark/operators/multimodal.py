@@ -36,6 +36,17 @@ except ImportError:  # container lacks image libs; fake decoder stands in
 
 HAVE_PIL = _PILImage is not None
 
+# Planted-fixture id namespaces (ADVICE r11): q194/q196/q197/q199
+# re-emit natural docs at doc_id + offset so their oracles can plant
+# recoverable twins in-query. INVARIANT: natural corpus doc_ids stay
+# BELOW the smallest offset — at a corpus approaching 6M documents,
+# raise all three offsets together (and their oracle literals) or
+# is_planted silently flips on natural ids. The synthetic test corpus
+# tops out ~6x10^5 at sf~1; the margin is 10x.
+PLANT_PHASH = 6_000_000  # q194 near-dup twins; q199 filters below this
+PLANT_STATIC = 7_000_000  # q196 static clips
+PLANT_SILENT = 8_000_000  # q197 half-silent clips
+
 # Output schema of the decode stage: typed metadata + a fixed-size
 # feature vector, the shape a training pipeline would feed downstream.
 DECODED_SCHEMA = T.StructType(
@@ -390,7 +401,7 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of q47's SimHash text near-dup).
 
     Near-dups are planted in-query (docs with id < 24 re-emitted at
-    id+6_000_000 with the FIRST byte replaced by 'Z'): the fake grid
+    id+PLANT_PHASH with the FIRST byte replaced by 'Z'): the fake grid
     samples (i*n) div 72, so a same-length one-byte change perturbs at
     most the pixels that sample offset 0 — Hamming distance <= a few
     bits, guaranteed recoverable (a <= 1-bit difference leaves >= 3 of
@@ -417,7 +428,7 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 24)
         .select(
-            (F.col("doc_id") + 6_000_000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_PHASH).alias("doc_id"),
             F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
             .cast("binary")
             .alias("payload"),
@@ -483,7 +494,7 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ida",
             "idb",
             "hamming",
-            (F.col("idb") - F.col("ida") == 6_000_000).alias("is_planted"),
+            (F.col("idb") - F.col("ida") == PLANT_PHASH).alias("is_planted"),
         )
         .orderBy("ida", "idb")
     )
@@ -500,7 +511,7 @@ def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     split clips into scenes before sampling.
 
     Planted semantics: docs with id < 30 (and >= 64 chars) re-emitted
-    at id+7_000_000 as STATIC clips — the first 64 bytes repeated 8
+    at id+PLANT_STATIC as STATIC clips — the first 64 bytes repeated 8
     times, so every sampled frame is the identical 64-byte block
     (step = len div 8 = 64 exactly), every dHash equal, zero cuts by
     construction; pinned against natural clips, which cut nearly
@@ -530,7 +541,7 @@ def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 30) & (F.length("text") >= 64))
         .select(
-            (F.col("doc_id") + 7_000_000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_STATIC).alias("doc_id"),
             F.repeat(F.expr("substr(text, 1, 64)"), 8)
             .cast("binary")
             .alias("payload"),
@@ -574,7 +585,7 @@ def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("first_cut"),
         )
-        .withColumn("is_planted_static", F.col("doc_id") >= 7_000_000)
+        .withColumn("is_planted_static", F.col("doc_id") >= PLANT_STATIC)
         .orderBy("doc_id")
     )
 
@@ -659,7 +670,7 @@ def q197_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest silence run.
 
     Planted semantics: docs with id < 24 (and >= 256 chars) re-emitted
-    at id+8_000_000 as half-silent clips — the first 256 payload bytes
+    at id+PLANT_SILENT as half-silent clips — the first 256 payload bytes
     followed by 256 spaces — so the tail is 4 windows of energy
     32^2*64 = 65,536 (silent by construction) and every planted clip
     reports longest_silence >= 4; pinned in tests together with a
@@ -691,7 +702,7 @@ def q197_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 24) & (F.length("text") >= 256))
         .select(
-            (F.col("doc_id") + 8_000_000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_SILENT).alias("doc_id"),
             F.concat(F.expr("substr(text, 1, 256)"), F.lit(" " * 256))
             .cast("binary")
             .alias("payload"),
@@ -734,7 +745,7 @@ def q197_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_segments",
             "longest_silence",
-            (F.col("doc_id") >= 8_000_000).alias("is_planted"),
+            (F.col("doc_id") >= PLANT_SILENT).alias("is_planted"),
         )
         .orderBy("doc_id")
     )
@@ -783,7 +794,7 @@ def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 24)
         .select(
-            (F.col("doc_id") + 6_000_000).alias("doc_id"),
+            (F.col("doc_id") + PLANT_PHASH).alias("doc_id"),
             F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
             .cast("binary")
             .alias("payload"),
@@ -796,7 +807,7 @@ def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_klrs_phash_sig_cache",
         sf_dir,
         lambda: perceptual_hashes(docs.unionByName(planted)),
-    ).filter(F.col("doc_id") < 6_000_000)
+    ).filter(F.col("doc_id") < PLANT_PHASH)
     qsig = sig.filter(F.col("doc_id") == 0).select(
         *[F.col(f"b{i}").alias(f"q{i}") for i in range(4)]
     )

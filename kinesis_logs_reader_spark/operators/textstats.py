@@ -826,13 +826,22 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram intermediate table). Measured 1.42 -> 0.64 s at sf0.1.
     from kinesis_logs_reader_spark.functions.caching import lru_persisted
 
+    # explode_nonempty, not explode (ADVICE r11): the inferred
+    # size()>0 filter of a raw explode re-runs the shingle build once
+    # per row during the cache materialization — invisible to
+    # tools/audit_plans.py afterwards because lru_persisted replaces
+    # the subtree with InMemoryTableScan in audited plans.
+    from kinesis_logs_reader_spark.functions.generate import explode_nonempty
+
     big = lru_persisted(
         spark,
         "_klrs_doc_bigrams_cache",
         sf_dir,
-        lambda: docs.select("doc_id", tokens().alias("_toks")).select(
+        lambda: explode_nonempty(
+            docs.select("doc_id", tokens().alias("_toks")),
+            shingles_from_tokens(F.col("_toks"), k=2),
+            "bg",
             "doc_id",
-            F.explode(shingles_from_tokens(F.col("_toks"), k=2)).alias("bg"),
         ),
     )
     # The count table feeds THREE consumers (lp directly, ctx, and via

@@ -554,8 +554,14 @@ def test_audio_energy_ascii_contract(spark, nasty_path):
         .filter(~F.col("text").rlike("[^\\x00-\\x7f]"))
         .collect()
     }
+    # key-set equality FIRST (ADVICE r11): a kernel that silently
+    # emitted fewer windows for an ASCII row must fail here, not be
+    # skipped by a membership guard
+    assert {k for k in got if k[0] in ascii_rows} == {
+        k for k in want if k[0] in ascii_rows
+    }
     for key, v in want.items():
-        if key[0] in ascii_rows and key in got:
+        if key[0] in ascii_rows:
             assert got[key] == v, key
     # the divergence the invariant guards: multi-byte rows differ in
     # window COUNT (len() counts chars, bytes count UTF-8 units)

@@ -10,7 +10,10 @@ Two scans (r11, PERF.md "InferFiltersFromGenerate re-inline trap"):
    evaluating ``size()`` over transform/split/regexp_extract_all/CASE.
    Expected output after the r11 sweep: zero hits. Re-run after any
    Spark upgrade — the fix (functions/generate.py) is plan-pinned but
-   new call sites regress silently.
+   new call sites regress silently. CAVEAT (ADVICE r11): subtrees
+   behind lru_persisted show as InMemoryTableScan here, so a trapped
+   explode INSIDE a cache-build lambda is invisible to this scan —
+   the cache-build sites themselves must use explode_nonempty.
 
 2. **Expression-reuse census** — md5/transform occurrence counts per
    executedPlan. High counts are usually legitimate (q174's bounded
@@ -27,7 +30,10 @@ from __future__ import annotations
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+# repo root from this script's location, not a hardcoded checkout path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
