@@ -874,3 +874,279 @@ def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = fused.orderBy(F.col("rrf_ppm").desc(), "doc_id").limit(20)
     return top.orderBy("doc_id")
+
+
+# q200 planted-admission namespaces: far past any plausible doc count
+# (the q160 convention — a +2e6 shift would collide with the sf~1
+# synthesized table's shifted copies).
+PLANT_ADM_EXACT = 4_000_000_000_000
+PLANT_ADM_NEAR = 8_000_000_000_000
+PLANT_ADM_BATCH = 9_000_000_000_000  # second copy of each mutated payload
+
+
+def phash_sig64(prefix: str = "") -> "F.Column":
+    """Packed 64-bit dHash signature as ONE bigint: b0..b3 16-bit
+    bands, top band biased by 32768 so 4x16 bits span the FULL signed
+    int64 range (an unbiased b3<<48 overflows at b3 >= 32768; ANSI
+    mode raises). Same expression on the oracle side."""
+    c = lambda n: F.col(f"{prefix}{n}").cast("bigint")  # noqa: E731
+    return (
+        c("b0")
+        + c("b1") * F.lit(1 << 16)
+        + c("b2") * F.lit(1 << 32)
+        + (c("b3") - F.lit(32768)) * F.lit(1 << 48)
+    )
+
+
+def phash_digest_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3) -> (doc_id, band_idx, digest) with NAMESPACED
+    string digests — band_idx -1 carries "x:<sig64>" (the exact packed
+    signature), 0..3 carry "<i>:<band value>". Namespacing keys band
+    identity into the digest itself (the q160 c3 contract), so ONE
+    digest-bucketed store serves both the exact probe and the band
+    probe with zero store-side exchange."""
+    out = sigs.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band_idx"),
+        F.concat(F.lit("x:"), phash_sig64().cast("string")).alias("digest"),
+    )
+    for i in range(4):
+        out = out.unionByName(
+            sigs.select(
+                "doc_id",
+                F.lit(i).cast("int").alias("band_idx"),
+                F.concat(
+                    F.lit(f"{i}:"), F.col(f"b{i}").cast("string")
+                ).alias("digest"),
+            )
+        )
+    return out
+
+
+def _phash_index_path(sf_dir: str) -> str:
+    """Fingerprinted location of the persisted phash signature index —
+    the q160 path discipline (corpus mtime+size fingerprint; contract
+    version bumped if the digest recipe or layout ever changes)."""
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+    except OSError as e:
+        raise FileNotFoundError(
+            f"corpus source not statable, refusing to fingerprint: {src}"
+        ) from e
+    fp = f"{st.st_mtime_ns}_{st.st_size}"
+    safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir))
+    return os.path.join(
+        repo_root, "spark-warehouse", "phash_index", f"p1_{safe}_{fp}"
+    )
+
+
+def get_or_build_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk-persisted dHash signature index of the image STORE
+    partition (doc_id % 10 != 3): one digest-bucketed parquet side
+    table of (doc_id, band_idx, digest) rows, built once per corpus
+    fingerprint, reused across calls AND sessions — the q160
+    incremental-index discipline on the q194 phash side table
+    (VERDICT r11 item 8a). Probe joins against it read the bucketed
+    layout with NO store-side exchange; only incoming batches shuffle.
+    """
+    import os
+
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _read_index_bucketed,
+        _write_index_bucketed,
+    )
+
+    path = _phash_index_path(sf_dir)
+    if not os.path.isdir(path):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+        planted_q194 = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 24)
+            .select(
+                (F.col("doc_id") + PLANT_PHASH).alias("doc_id"),
+                F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+                .cast("binary")
+                .alias("payload"),
+            )
+        )
+        nat = lru_persisted(
+            spark,
+            "_klrs_phash_sig_cache",
+            sf_dir,
+            lambda: perceptual_hashes(docs.unionByName(planted_q194)),
+        ).filter(F.col("doc_id") < PLANT_PHASH)
+        store_sigs = nat.filter(F.col("doc_id") % 10 != 3)
+        _write_index_bucketed(spark, phash_digest_rows(store_sigs), path)
+    return _read_index_bucketed(spark, path)
+
+
+def phash_admission_verdicts(
+    incoming_sigs: DataFrame,
+    known_digests: DataFrame,
+    store_label: str = "exact_store",
+    near_label: str = "near_store",
+) -> DataFrame:
+    """THE visual admission-verdict pipeline, shared by the batch
+    operator (:func:`q200_phash_admission`) and the streaming sink
+    (``streaming.jobs.apply_phash_admission_batch``) so the twins
+    cannot drift — the exact mirror of ``dedup.admission_verdicts``
+    on the dHash side table.
+
+    ``incoming_sigs``: (doc_id, b0..b3); ``known_digests``: (digest)
+    in the :func:`phash_digest_rows` namespaces. Precedence is fixed:
+    exact-vs-store (packed signature digest in the store),
+    exact-within-batch (min-doc_id keeps), any-band collision
+    near-candidate, else novel. Both store probes are digest-keyed
+    left-semi joins against the SAME frame — band identity lives
+    inside the namespaced digest — so a digest-bucketed store serves
+    them with zero store-side exchange. Pixels never move; only
+    signature strings.
+    """
+    rows = phash_digest_rows(incoming_sigs)
+    exact_rows = rows.filter(F.col("band_idx") == -1).select(
+        "doc_id", "digest"
+    )
+    known = known_digests.select("digest")
+    in_store = (
+        exact_rows.join(known, "digest", "left_semi")
+        .select("doc_id")
+        .withColumn("_exact_store", F.lit(True))
+    )
+    first_seen = exact_rows.groupBy("digest").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    in_batch = (
+        exact_rows.join(first_seen, "digest")
+        .filter(F.col("doc_id") > F.col("_first_id"))
+        .select("doc_id")
+        .withColumn("_exact_batch", F.lit(True))
+    )
+    near = (
+        rows.filter(F.col("band_idx") >= 0)
+        .join(known, "digest", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        incoming_sigs.select("doc_id")
+        .join(in_store, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact_store"), F.lit(store_label))
+            .when(F.col("_exact_batch"), F.lit("exact_batch"))
+            .when(F.col("_near"), F.lit(near_label))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+    )
+
+
+def q200_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE admission (r12, VERDICT r11 item 8a — the
+    q160 signature-index discipline on the q194 phash side table): the
+    incoming batch (doc_id % 10 == 3) is verdicted against the stored
+    corpus's persisted dHash signature index
+    (:func:`get_or_build_phash_index`) without re-decoding stored
+    pixels.
+
+    Per incoming image, first verdict that applies: ``exact_store``
+    (identical 64-bit dHash already admitted), ``exact_batch``
+    (duplicates a smaller-doc_id image of its own batch),
+    ``near_store`` (any 16-bit LSH band collides — the q194 banding
+    contract), else ``novel``. Planted admissions exercise every
+    class: store images re-submitted verbatim at +4e12 (their
+    signatures RE-KEYED from the signature frame — identical payload
+    implies identical dHash, no second decode), one-byte-mutated store
+    images at +8e12 (>= 3 of 4 bands survive a same-length first-byte
+    change, so the band probe MUST catch them; they land exact_store
+    in the rare no-bit-flip case and the oracle replays the same
+    rule), and a +9e12 second copy of each mutated payload
+    (exact_batch whenever the first copy was not already stored).
+
+    Output is the per-verdict admission summary (count + id checksum),
+    O(4) rows at any scale. Probe joins read the digest-bucketed index
+    with NO store-side exchange (the q160 scale contract); only the
+    batch-sized incoming frame shuffles. The DuckDB oracle recomputes
+    BOTH sides from the raw table, so a hash-green row also certifies
+    the persisted index content itself.
+    """
+    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    planted_q194 = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select(
+            (F.col("doc_id") + PLANT_PHASH).alias("doc_id"),
+            F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    nat = lru_persisted(
+        spark,
+        "_klrs_phash_sig_cache",
+        sf_dir,
+        lambda: perceptual_hashes(docs.unionByName(planted_q194)),
+    ).filter(F.col("doc_id") < PLANT_PHASH)
+    inc_nat = nat.filter(F.col("doc_id") % 10 == 3)
+    inc_exact = (
+        nat.filter((F.col("doc_id") % 10 != 3) & (F.col("doc_id") < 10))
+        .select(
+            (F.col("doc_id") + PLANT_ADM_EXACT).alias("doc_id"),
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+        )
+    )
+    mutated = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 24) & (F.col("doc_id") % 10 != 3))
+        .select(
+            (F.col("doc_id") + PLANT_ADM_NEAR).alias("doc_id"),
+            F.concat(F.lit("Z"), F.expr("substr(text, 2)"))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    m_sigs = perceptual_hashes(mutated)
+    m_twin = m_sigs.select(
+        (F.col("doc_id") + (PLANT_ADM_BATCH - PLANT_ADM_NEAR)).alias(
+            "doc_id"
+        ),
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+    )
+    incoming = (
+        inc_nat.unionByName(m_sigs)
+        .unionByName(m_twin)
+        .unionByName(inc_exact)
+    )
+    idx = get_or_build_phash_index(spark, sf_dir)
+    return (
+        phash_admission_verdicts(incoming, idx.select("digest"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("verdict")
+    )

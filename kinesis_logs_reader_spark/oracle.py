@@ -5516,3 +5516,77 @@ SELECT doc_id, rank_vis, rank_lex, rrf_ppm FROM (
   SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20
 ) ORDER BY doc_id
 """
+
+# q200: incremental image admission — the q194 grid/band derivation
+# over store + planted incoming, the q160 verdict precedence, the
+# biased-int64 signature pack (b3 - 32768 keeps 4x16 bits inside
+# signed int64), all integer arithmetic.
+ORACLE["q200_phash_admission"] = f"""
+WITH allb AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000000000 AS doc_id, 'Z' || substr(text, 2) AS text
+  FROM documents WHERE doc_id < 24 AND doc_id % 10 <> 3
+), px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 71),
+           i -> CASE WHEN length(text) = 0 THEN 0
+                     ELSE ord(substr(text, (i * length(text)) // 72 + 1, 1))
+                END) AS p
+  FROM allb
+), sig AS (
+  SELECT doc_id,
+         CAST({_phash_band_sql(0)} AS BIGINT) AS b0,
+         CAST({_phash_band_sql(1)} AS BIGINT) AS b1,
+         CAST({_phash_band_sql(2)} AS BIGINT) AS b2,
+         CAST({_phash_band_sql(3)} AS BIGINT) AS b3
+  FROM px
+), packed AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         b0 + b1 * 65536 + b2 * 4294967296
+            + (b3 - 32768) * 281474976710656 AS sig64
+  FROM sig
+), store AS (
+  SELECT * FROM packed
+  WHERE doc_id % 10 <> 3 AND doc_id < 8000000000000
+), incoming AS (
+  SELECT * FROM packed WHERE doc_id % 10 = 3 AND doc_id < 8000000000000
+  UNION ALL
+  SELECT * FROM packed WHERE doc_id >= 8000000000000
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, b0, b1, b2, b3, sig64
+  FROM packed WHERE doc_id >= 8000000000000
+  UNION ALL
+  SELECT doc_id + 4000000000000 AS doc_id, b0, b1, b2, b3, sig64
+  FROM store WHERE doc_id < 10
+), store_bands AS (
+  SELECT DISTINCT bi, bv FROM (
+    SELECT 0 AS bi, b0 AS bv FROM store
+    UNION ALL SELECT 1, b1 FROM store
+    UNION ALL SELECT 2, b2 FROM store
+    UNION ALL SELECT 3, b3 FROM store)
+), first_seen AS (
+  SELECT sig64, MIN(doc_id) AS first_id FROM incoming GROUP BY sig64
+), verdicted AS (
+  SELECT i.doc_id,
+         CASE
+           WHEN i.sig64 IN (SELECT DISTINCT sig64 FROM store)
+             THEN 'exact_store'
+           WHEN i.doc_id > f.first_id THEN 'exact_batch'
+           WHEN EXISTS (
+             SELECT 1 FROM store_bands sb
+             WHERE (sb.bi = 0 AND sb.bv = i.b0)
+                OR (sb.bi = 1 AND sb.bv = i.b1)
+                OR (sb.bi = 2 AND sb.bv = i.b2)
+                OR (sb.bi = 3 AND sb.bv = i.b3)
+           ) THEN 'near_store'
+           ELSE 'novel'
+         END AS verdict
+  FROM incoming i JOIN first_seen f ON i.sig64 = f.sig64
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM verdicted
+GROUP BY verdict
+ORDER BY verdict
+"""

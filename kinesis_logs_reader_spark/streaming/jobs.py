@@ -940,3 +940,92 @@ def run_mixture_sample_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- streaming image admission (r12, VERDICT r11 item 8a) -------------------
+
+
+def apply_phash_admission_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str
+) -> None:
+    """One micro-batch of the IMAGE admission sink (the streaming twin
+    of ``multimodal.q200_phash_admission``): dHash-sign the incoming
+    payloads (one Arrow pass, batch-sized), verdict against the
+    cumulative signature STORE via the SHARED
+    ``phash_admission_verdicts`` pipeline, admit the novel ones, and
+    append their signatures. Stored pixels are never re-decoded — each
+    batch pays O(batch) signing plus digest-keyed joins.
+
+    Store rows: (doc_id, band_idx, digest) in the
+    ``phash_digest_rows`` namespaces (band_idx -1 = packed "x:<sig64>"
+    signature, 0..3 = "<i>:<band>"), the same schema the persisted
+    batch index uses. Same replay-idempotence discipline as
+    :func:`apply_admission_batch`: both writes land in a
+    ``batch_id=<id>`` partition with overwrite, and the store read
+    excludes this batch's own partition.
+    """
+    import os
+
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        perceptual_hashes,
+        phash_admission_verdicts,
+        phash_digest_rows,
+    )
+
+    spark = batch_df.sparkSession
+
+    def _has_parquet(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
+        )
+
+    if _has_parquet(store_dir):
+        known = spark.read.parquet(store_dir)
+        if "batch_id" in known.columns:
+            known = known.filter(F.col("batch_id") != batch_id)
+        known = known.select("digest")
+    else:
+        known = spark.createDataFrame([], "digest string")
+
+    sigs = perceptual_hashes(
+        batch_df.select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        )
+    ).persist()
+    try:
+        verdicted = phash_admission_verdicts(sigs, known).persist()
+        verdicted.select("doc_id", "verdict").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        admitted = sigs.join(
+            verdicted.filter(F.col("verdict") == "novel").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        phash_digest_rows(admitted).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+        verdicted.unpersist()
+    finally:
+        sigs.unpersist()
+
+
+def run_phash_admission_sink(
+    docs_stream: DataFrame, checkpoint: str, store_dir: str, out_dir: str
+):
+    """Continuous image admission (streaming q200): per micro-batch,
+    dHash-sign, verdict against the cumulative signature store, admit
+    novel images, append their signatures. foreachBatch because the
+    state is an unbounded external signature store (~40 bytes/image),
+    not a watermark-boundable aggregation — the q160 admission-sink
+    contract on the visual side table."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_phash_admission_batch(batch_df, batch_id, store_dir, out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

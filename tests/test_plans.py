@@ -1278,3 +1278,20 @@ def test_q199_crossmodal_retriever_topk_shapes(spark):
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q200_phash_admission_signature_keyed(spark):
+    """r12 (VERDICT r11 item 8a): admission verdicts move signatures,
+    never pixels — the natural corpus rides q194's persisted signature
+    frame (InMemoryTableScan), the store probes are signature-keyed
+    LeftSemi joins, and nothing cartesians."""
+    from kinesis_logs_reader_spark.operators.multimodal import (
+        q200_phash_admission,
+    )
+
+    df = q200_phash_admission(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -993,3 +993,73 @@ def test_mixture_sample_sink_matches_batch_q193(spark, tmp_path):
         fh.write(b"this is not parquet")
     with pytest.raises(Exception):
         apply_mixture_sample_batch(docs.limit(10), 1, store3)
+
+
+def test_phash_admission_sink_streaming_q200_twin(spark, tmp_path):
+    """Image-signature admission sink (streaming q200): two
+    micro-batches with planted cross-batch relationships — a verbatim
+    batch-2 replay of an admitted image is exact_store, a within-batch
+    payload twin is exact_batch, a one-byte mutation of an admitted
+    image is caught by the band probe (near_store, or exact_store in
+    the rare no-bit-flip case — never novel), and a checkpoint-style
+    replay of batch 2 is idempotent (identical verdicts, identical
+    store)."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_phash_admission_batch,
+        run_phash_admission_sink,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    t1 = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    t2 = "pack my box with five dozen liquor jugs right now please thanks"
+    t3 = "sphinx of black quartz judge my vow said the king this morning"
+    base = [(1, t1), (2, t2), (3, t3), (3000, t3)]
+    b2 = [
+        (10, t1),  # verbatim replay of an admitted image
+        (11, "completely different payload bytes with other gradients!!"),
+        (12, "Z" + t2[1:]),  # one-byte mutation of an admitted image
+    ]
+    spark.createDataFrame(base, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = run_phash_admission_sink(stream, str(tmp_path / "ckpt"), store, out)
+    q.awaitTermination(120)
+    verdicts = {
+        r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts[1] == "novel" and verdicts[2] == "novel"
+    assert verdicts[3] == "novel" and verdicts[3000] == "exact_batch"
+    assert verdicts[10] == "exact_store"
+    assert verdicts[12] in ("near_store", "exact_store")  # band-caught
+    assert verdicts[12] != "novel"
+    # the store holds 5 rows (1 packed sig + 4 bands) per ADMITTED doc
+    admitted = [d for d, v in verdicts.items() if v == "novel"]
+    store_rows = spark.read.parquet(store).collect()
+    assert len(store_rows) == 5 * len(admitted)
+    # replay idempotence: re-apply batch 1 with the same batch_id
+    store_before = sorted(
+        tuple(r) for r in spark.read.parquet(store).drop("batch_id").collect()
+    )
+    b2_df = spark.createDataFrame(b2, "doc_id long, text string")
+    apply_phash_admission_batch(b2_df, 1, store, out)
+    store_after = sorted(
+        tuple(r) for r in spark.read.parquet(store).drop("batch_id").collect()
+    )
+    assert store_before == store_after
+    verdicts2 = {
+        r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts2 == verdicts
