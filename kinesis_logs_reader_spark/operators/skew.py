@@ -98,3 +98,105 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("int"))
     out = fact_s.join(dim_s, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+# --- q201: cost-based skew/repartition advisor (r12, VERDICT r11 #8b) ------
+
+# A single key holding >= 10% of a table's rows pins one reducer for
+# ~10% of the job no matter how many executors exist — the salting
+# threshold. Integer ppm so the advice column is exact cross-engine.
+SALT_SHARE_PPM = 100_000
+# Fewer distinct keys than this caps post-shuffle parallelism below a
+# useful cluster width: pre-aggregate map-side or broadcast the
+# aggregated dim instead of hash-partitioning the fact by it.
+LOW_PARALLELISM_KEYS = 1_024
+
+# The (table, key) pairs this engine's own operators shuffle on — the
+# join/agg keys a deployment would actually ask about.
+ADVISOR_CANDIDATES: tuple[tuple[str, str], ...] = (
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_nationkey"),
+    ("documents", "source"),
+)
+
+
+def key_profile(df, table: str, key: str):
+    """Distribution profile of one shuffle-key candidate: two-level
+    aggregate (per-key counts are key-vocab-bounded after the map-side
+    combine; the global reduce is one row), never a sort, never a
+    window over the raw table."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        df.select(F.coalesce(F.col(key).cast("string"), F.lit("∅")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_name"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+    )
+
+
+def q201_skew_advisor(spark, sf_dir: str):
+    """Shuffle-key skew advisor — the diagnostic a pipeline runs BEFORE
+    picking a join/agg strategy at 100 TB, surfacing this module's own
+    mitigation ladder as a declared query: per candidate (table, key),
+    the exact key-distribution profile and an integer-thresholded
+    recommendation.
+
+    - ``salt``: the hottest key holds >= SALT_SHARE_PPM of the rows —
+      one reducer pins regardless of cluster width; use
+      :func:`salted_agg` / :func:`salted_join` (AQE skew-join splitting
+      covers the join case at runtime, but a planned pipeline wants the
+      decision ahead of time).
+    - ``broadcast_or_preagg``: fewer than LOW_PARALLELISM_KEYS distinct
+      keys — hash-partitioning the fact by this key caps parallelism;
+      pre-aggregate map-side (partial agg already does) or broadcast
+      the aggregated dim.
+    - ``hash_ok``: enough keys, no dominant one — plain hash exchange.
+
+    Scale shape: one map-side-combinable groupBy per candidate (output
+    is key-vocab-bounded), one global 1-row reduce each, a 7-row union.
+    All thresholds integer ppm; the oracle replays the same CASE.
+    """
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    out = None
+    for table, key in ADVISOR_CANDIDATES:
+        prof = key_profile(load_table(spark, sf_dir, table), table, key)
+        out = prof if out is None else out.unionByName(prof)
+    return (
+        out.select(
+            "table_name",
+            "key_name",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.expr("max_key_rows * 1000000L div n_rows").alias(
+                "max_share_ppm"
+            ),
+            F.expr("n_rows div n_keys").alias("rows_per_key"),
+        )
+        .withColumn(
+            "advice",
+            F.when(
+                F.col("max_share_ppm") >= SALT_SHARE_PPM, F.lit("salt")
+            )
+            .when(
+                F.col("n_keys") < LOW_PARALLELISM_KEYS,
+                F.lit("broadcast_or_preagg"),
+            )
+            .otherwise(F.lit("hash_ok")),
+        )
+        .orderBy("table_name", "key_name")
+    )

@@ -5590,3 +5590,37 @@ FROM verdicted
 GROUP BY verdict
 ORDER BY verdict
 """
+
+# q201: shuffle-key skew advisor — per-candidate two-level aggregate,
+# integer ppm thresholds, same CASE ladder as operators/skew.py.
+def _advisor_profile_sql(table: str, key: str) -> str:
+    return f"""
+  SELECT '{table}' AS table_name, '{key}' AS key_name,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows
+  FROM (SELECT COALESCE(CAST({key} AS VARCHAR), '∅') AS k, COUNT(*) AS c
+        FROM {table} GROUP BY 1)"""
+
+
+ORACLE["q201_skew_advisor"] = f"""
+WITH prof AS (
+{" UNION ALL ".join(_advisor_profile_sql(t, k) for t, k in (
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("orders", "o_custkey"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_nationkey"),
+    ("documents", "source"),
+))}
+)
+SELECT table_name, key_name, n_rows, n_keys, max_key_rows,
+       CAST(max_key_rows * 1000000 // n_rows AS BIGINT) AS max_share_ppm,
+       CAST(n_rows // n_keys AS BIGINT) AS rows_per_key,
+       CASE WHEN max_key_rows * 1000000 // n_rows >= 100000 THEN 'salt'
+            WHEN n_keys < 1024 THEN 'broadcast_or_preagg'
+            ELSE 'hash_ok' END AS advice
+FROM prof
+ORDER BY table_name, key_name
+"""

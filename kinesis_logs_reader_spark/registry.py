@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 210  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 211  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 210  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 210  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 211  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -63,7 +63,8 @@ N_ORACLES = 210  # all r7-r10 additions are fully oracle-backed
 #                      +q197 per-clip audio VAD segmentation (multimodal audio),
 #                      +q198 per-label embedding dispersion / nearest-cluster audit
 #                  r12: +q199 cross-modal (dHash + lexical) RRF retrieval,
-#                      +q200 incremental image admission (phash signature index)
+#                      +q200 incremental image admission (phash signature index),
+#                      +q201 shuffle-key skew/repartition advisor
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -78,6 +79,7 @@ _OPERATOR_MODULES = (
     "multimodal",
     "udfs",
     "asof",
+    "skew",
 )
 
 
@@ -560,6 +562,7 @@ DRIVER_WINDOW: list[str] = [
     # (0) new this round
     "q199_crossmodal_rrf",
     "q200_phash_admission",
+    "q201_skew_advisor",
     # (1) changed/audited kernels this round
     "q83_funnel",
     "q103_approx_percentile",
@@ -610,7 +613,6 @@ DRIVER_WINDOW: list[str] = [
     "q109_semdedup",
     "q110b_rrf_topk",
     "q123_minhash_accuracy",
-    "q128_split_leakage",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -622,6 +624,7 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # ceiling at r14 — running them in r13 keeps one round of slack.
 # Changed/new r13 kernels still jump this queue.
 DRIVER_WINDOW_R13_STAGED: list[str] = [
+    "q128_split_leakage",  # displaced when q201 entered as a new key
     "q129_dedup_pipeline",  # displaced when q200 entered as a new key
     "q151_candidate_degree",  # displaced when q199 entered as a new key
     "q155_lsh_band_sensitivity",

@@ -86,3 +86,45 @@ def test_q199_integer_rrf_contract(spark):
             assert 1 <= r.rank_lex <= 60
             want += 1_000_000 // (60 + r.rank_lex)
         assert r.rrf_ppm == want
+
+
+def test_q201_advice_ladder_all_classes(spark):
+    """On the real corpus every rung of the advice ladder fires:
+    o_orderstatus (3 keys, one >10%) -> salt; c_nationkey (25 keys,
+    none dominant) -> broadcast_or_preagg; l_orderkey (high-card,
+    uniform) -> hash_ok. And the numbers recompute: max_share_ppm and
+    rows_per_key are exact integer div of the emitted counts."""
+    from kinesis_logs_reader_spark.operators.skew import q201_skew_advisor
+
+    rows = {
+        (r.table_name, r.key_name): r
+        for r in q201_skew_advisor(spark, SF_DIR).collect()
+    }
+    assert rows[("orders", "o_orderstatus")].advice == "salt"
+    assert rows[("customer", "c_nationkey")].advice == "broadcast_or_preagg"
+    assert rows[("lineitem", "l_orderkey")].advice == "hash_ok"
+    for r in rows.values():
+        assert r.max_share_ppm == r.max_key_rows * 1_000_000 // r.n_rows
+        assert r.rows_per_key == r.n_rows // r.n_keys
+        assert r.n_keys <= r.n_rows and r.max_key_rows <= r.n_rows
+
+
+def test_q201_thresholds_are_the_skew_module_constants(spark):
+    """The advice ladder must use skew.py's own constants (the advisor
+    exists to surface that module's mitigation ladder): recompute the
+    advice from the emitted profile columns with SALT_SHARE_PPM /
+    LOW_PARALLELISM_KEYS and require an exact match."""
+    from kinesis_logs_reader_spark.operators.skew import (
+        LOW_PARALLELISM_KEYS,
+        SALT_SHARE_PPM,
+        q201_skew_advisor,
+    )
+
+    for r in q201_skew_advisor(spark, SF_DIR).collect():
+        if r.max_share_ppm >= SALT_SHARE_PPM:
+            want = "salt"
+        elif r.n_keys < LOW_PARALLELISM_KEYS:
+            want = "broadcast_or_preagg"
+        else:
+            want = "hash_ok"
+        assert r.advice == want, (r.table_name, r.key_name)

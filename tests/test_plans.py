@@ -1295,3 +1295,21 @@ def test_q200_phash_admission_signature_keyed(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q201_advisor_partial_agg_no_sort_of_facts(spark):
+    """r12 (VERDICT r11 item 8b): every candidate profile is a
+    two-level aggregate — map-side partial combine before each key
+    shuffle (2 HashAggregates per groupBy), and no window or sort over
+    any raw table (the final 7-row ORDER BY is the only sort)."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.skew import q201_skew_advisor
+
+    df = q201_skew_advisor(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_scans == 7
+    assert n_aggs >= 4 * n_scans  # partial+final at both levels
