@@ -1100,9 +1100,17 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     never does.
 
     Scale shape: per-row shingling + within-doc distinct are map-only;
-    the one shuffle partitions by shingle hash (bounded by total
-    distinct shingles, heavily combinable). The per-doc rollup rides
-    the same partitioning since doc_id stays attached to each hash.
+    the one shuffle partitions by shingle hash. The per-doc rollup
+    rides the SAME exploded stream (window, then groupBy — one linear
+    pipeline), which is the property that matters here: an r12 A/B
+    that split n_shingles (map-only size()) from n_novel
+    (groupBy(h).min -> per-doc count -> join) duplicated the md5
+    shingle-build subtree across the two consumers and measured
+    1.1 -> 5.1 s at sf0.1 — the partial combine a groupBy(h) would
+    add is worthless because (doc, h) pairs are distinct-per-doc, so
+    the exchange carries the same rows the window form ships, and the
+    extra exchanges + the doubled hash chain swamp any win. The
+    min-over-window form stays (measured-positive).
     """
     from pyspark.sql.window import Window
 

@@ -1125,21 +1125,22 @@ def q200_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("payload"),
         )
     )
-    m_sigs = perceptual_hashes(mutated)
-    m_twin = m_sigs.select(
-        (F.col("doc_id") + (PLANT_ADM_BATCH - PLANT_ADM_NEAR)).alias(
-            "doc_id"
-        ),
+    # both the mutated row AND its +1e12 batch twin come out of ONE
+    # Arrow pass: a second consumer of m_sigs would duplicate the whole
+    # mapInPandas subtree (two Python-worker round trips per run)
+    m_both = perceptual_hashes(mutated).select(
+        F.explode(
+            F.array(
+                F.col("doc_id"),
+                F.col("doc_id") + F.lit(PLANT_ADM_BATCH - PLANT_ADM_NEAR),
+            )
+        ).alias("doc_id"),
         "b0",
         "b1",
         "b2",
         "b3",
     )
-    incoming = (
-        inc_nat.unionByName(m_sigs)
-        .unionByName(m_twin)
-        .unionByName(inc_exact)
-    )
+    incoming = inc_nat.unionByName(m_both).unionByName(inc_exact)
     idx = get_or_build_phash_index(spark, sf_dir)
     return (
         phash_admission_verdicts(incoming, idx.select("digest"))
