@@ -2351,3 +2351,107 @@ def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# q202: retrieval-threshold calibration — fixed integer bucket width of
+# the exact int64 squared distance (q141 grid: |q| <= 540 per dim, so
+# d2 <= 64 * 1080^2 ≈ 7.5e7; W = 2^19 gives <= ~143 buckets at ANY
+# corpus size — the frame the cumulative window runs over is bounded
+# by the GRID, not the data).
+CALIBRATION_BUCKET_W = 1 << 19
+
+
+def q202_retrieval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-threshold calibration audit (r12): the "where do I cut
+    the distance threshold" planning query an embedding-retrieval or
+    dedup pipeline runs before fixing an admission radius — a full
+    ROC-style sweep of the one-vs-rest classifier "vector belongs to
+    label 0 iff its exact squared distance to label 0's centroid is
+    <= t", evaluated at every occupied integer distance bucket.
+
+    Exactness: coordinates quantize to the q127/q141 integer grid
+    (floor(v*1024+0.5)), the label-0 centroid is the integer
+    floor-mean, every distance is an exact int64 sum of squared
+    integer differences, buckets are d2 div 2^19, and the
+    precision/recall columns are integer ppm — nothing floats, both
+    engines agree bit-for-bit.
+
+    Scale shape: one posexplode scan -> 64-row label-0 centroid
+    (map-side partial agg, broadcast back) -> per-vector distance
+    aggregate (the one corpus-scale shuffle, vec-keyed) -> bucket
+    aggregate (map-side combinable into a GRID-bounded <=143-row
+    frame) -> cumulative TP/FP window + broadcast totals over that
+    bounded frame. The cumulative window never touches corpus-sized
+    data.
+
+    Reference analog: none (beyond-reference mandate; eval/planning
+    family: q127 accuracy, q167 recall, q176 ranking quality).
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1024 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent0 = (
+        flat.filter(F.col("label") == 0)
+        .groupBy("dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n"))
+            .cast("bigint")
+            .alias("mu"),
+        )
+    )
+    d2 = (
+        flat.join(F.broadcast(cent0), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("mu")) * (F.col("q") - F.col("mu")))
+            .alias("d2")
+        )
+    )
+    per_bucket = (
+        d2.select(
+            F.expr(f"d2 div {CALIBRATION_BUCKET_W}L").alias("bucket"),
+            (F.col("label") == 0).cast("int").alias("is_pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_pos").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = per_bucket.agg(
+        F.sum("n_pos").alias("_p"), F.sum("n_neg").alias("_n")
+    )
+    return (
+        per_bucket.withColumn("tp", F.sum("n_pos").over(w).cast("bigint"))
+        .withColumn("fp", F.sum("n_neg").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            ((F.col("bucket") + 1) * CALIBRATION_BUCKET_W).alias(
+                "threshold_hi"
+            ),
+            "tp",
+            "fp",
+            (F.col("_p") - F.col("tp")).cast("bigint").alias("fn"),
+            (F.col("_n") - F.col("fp")).cast("bigint").alias("tn"),
+            F.expr("tp * 1000000L div (tp + fp)").alias("precision_ppm"),
+            F.expr("tp * 1000000L div _p").alias("recall_ppm"),
+        )
+        .orderBy("threshold_hi")
+    )

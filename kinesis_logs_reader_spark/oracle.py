@@ -5624,3 +5624,41 @@ SELECT table_name, key_name, n_rows, n_keys, max_key_rows,
 FROM prof
 ORDER BY table_name, key_name
 """
+
+# q202: retrieval-threshold calibration — q127's integer-grid centroid
+# machinery for label 0 only, fixed 2^19 distance buckets, cumulative
+# TP/FP over the grid-bounded bucket frame, integer-ppm columns.
+ORACLE["q202_retrieval_calibration"] = """
+WITH flat AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+), cent0 AS (
+  SELECT dim, CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM flat WHERE label = 0 GROUP BY dim
+), d2 AS (
+  SELECT f.vec_id, f.label, SUM((f.q - c.mu) * (f.q - c.mu)) AS d2
+  FROM flat f JOIN cent0 c ON f.dim = c.dim
+  GROUP BY f.vec_id, f.label
+), per_bucket AS (
+  SELECT d2 // 524288 AS bucket,
+         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN label = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM d2 GROUP BY 1
+), cum AS (
+  SELECT bucket,
+         CAST(SUM(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS tp,
+         CAST(SUM(n_neg) OVER (ORDER BY bucket) AS BIGINT) AS fp
+  FROM per_bucket
+), tot AS (
+  SELECT SUM(n_pos) AS p, SUM(n_neg) AS n FROM per_bucket
+)
+SELECT CAST((bucket + 1) * 524288 AS BIGINT) AS threshold_hi,
+       tp, fp,
+       CAST(t.p - tp AS BIGINT) AS fn,
+       CAST(t.n - fp AS BIGINT) AS tn,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // t.p AS BIGINT) AS recall_ppm
+FROM cum, tot t
+ORDER BY threshold_hi
+"""

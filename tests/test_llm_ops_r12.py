@@ -128,3 +128,69 @@ def test_q201_thresholds_are_the_skew_module_constants(spark):
         else:
             want = "hash_ok"
         assert r.advice == want, (r.table_name, r.key_name)
+
+
+def test_q202_confusion_identities_and_monotonicity(spark):
+    """ROC bookkeeping on the real corpus: tp/fp non-decreasing in the
+    threshold, tp+fn and fp+tn constant (the class totals), the final
+    row classifies everything positive (fn = tn = 0, recall = 1e6),
+    and every ppm column is the exact integer div of its parts."""
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q202_retrieval_calibration,
+    )
+
+    rows = q202_retrieval_calibration(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    p_tot = rows[0].tp + rows[0].fn
+    n_tot = rows[0].fp + rows[0].tn
+    prev_tp = prev_fp = -1
+    for r in rows:
+        assert r.tp + r.fn == p_tot and r.fp + r.tn == n_tot
+        assert r.tp >= prev_tp and r.fp >= prev_fp
+        prev_tp, prev_fp = r.tp, r.fp
+        assert r.precision_ppm == r.tp * 1_000_000 // (r.tp + r.fp)
+        assert r.recall_ppm == r.tp * 1_000_000 // p_tot
+    last = rows[-1]
+    assert last.fn == 0 and last.tn == 0 and last.recall_ppm == 1_000_000
+
+
+def test_q202_perfect_separation_constructed(spark, tmp_path):
+    """Planted geometry: label-0 vectors at the origin, label-1 far
+    away -> some threshold achieves precision = recall = 1e6 (the
+    sweep must find the clean operating point when one exists)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q202_retrieval_calibration,
+    )
+
+    vecs, labels = [], []
+    for i in range(8):
+        vecs.append([0.001 * i] * 64)
+        labels.append(0)
+    for i in range(8):
+        vecs.append([50.0 + i] * 64)
+        labels.append(1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(16)),
+                "label": labels,
+                "embedding": vecs,
+            },
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("label", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                ]
+            ),
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    rows = q202_retrieval_calibration(spark, str(tmp_path)).collect()
+    assert any(
+        r.precision_ppm == 1_000_000 and r.recall_ppm == 1_000_000
+        for r in rows
+    )

@@ -1313,3 +1313,21 @@ def test_q201_advisor_partial_agg_no_sort_of_facts(spark):
     n_aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
     assert n_scans == 7
     assert n_aggs >= 4 * n_scans  # partial+final at both levels
+
+
+def test_q202_calibration_window_over_bounded_buckets(spark):
+    """r12: the cumulative TP/FP window runs over the GRID-bounded
+    bucket frame (<= ~143 rows by the 2^19 bucket width), never the
+    corpus — no corpus-scale sort, centroid broadcast back, the one
+    corpus-scale exchange is the per-vector distance aggregate."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q202_retrieval_calibration,
+    )
+
+    df = q202_retrieval_calibration(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # 64-row centroid back-join
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2
+    assert "CartesianProduct" not in plan  # totals ride a broadcast NL
