@@ -1063,3 +1063,66 @@ def test_phash_admission_sink_streaming_q200_twin(spark, tmp_path):
         r["doc_id"]: r["verdict"] for r in spark.read.parquet(out).collect()
     }
     assert verdicts2 == verdicts
+
+
+def test_phash_admission_sink_survives_session_restart(spark, tmp_path):
+    """q200's streaming twin under the q160 restart discipline: phase 1
+    admits a batch and stops; phase 2 runs under a brand-new
+    SparkSession against the SAME persisted signature store +
+    checkpoint. A phase-2 verbatim replay must verdict ``exact_store``
+    from the ON-DISK store (not session state), the checkpoint must
+    resume at the right offset, and the store must grow by exactly the
+    phase-2 novel image's 5 signature rows."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        run_phash_admission_sink,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t1 = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    t2 = "pack my box with five dozen liquor jugs right now please thanks"
+    spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_phash_admission_sink(stream, ckpt, store, out).awaitTermination(120)
+    assert {
+        r["verdict"] for r in spark.read.parquet(out).collect()
+    } == {"novel"}
+
+    spark.catalog.clearCache()
+    spark2 = spark.newSession()
+    spark2.createDataFrame(
+        [
+            (10, t1),  # verbatim replay of an admitted image
+            (11, "entirely different payload bytes with new gradients ok"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream2 = (
+        spark2.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    run_phash_admission_sink(stream2, ckpt, store, out).awaitTermination(120)
+
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in spark2.read.parquet(out).collect()
+    }
+    assert verdicts[1] == "novel" and verdicts[2] == "novel"
+    assert verdicts[10] == "exact_store"
+    assert verdicts[11] != "exact_store"  # novel or band-caught only
+    sig = spark2.read.parquet(store)
+    if verdicts[11] == "novel":
+        assert sig.filter(F.col("doc_id") == 11).count() == 5
+    assert sig.filter(F.col("doc_id") == 10).count() == 0
