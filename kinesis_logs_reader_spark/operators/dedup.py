@@ -2379,3 +2379,76 @@ def q189b_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 32
     src = _kmv_source_sketches(_kmv_distinct_hashes(spark, sf_dir), k)
     return _kmv_pair_estimates(src, k).orderBy("source_a", "source_b")
+
+
+def q203_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus delta ledger (r12) — the "what changed
+    between snapshot N and N+1" audit a pipeline runs before deciding
+    whether an incremental re-train is worth it: per source, how many
+    documents were added, removed, content-changed, and unchanged, and
+    the integer-ppm churn rate.
+
+    Snapshot construction (deterministic, planted from the one corpus
+    table): the stable document key is ``doc_id div 2``; even doc_ids
+    are snapshot v0, odd doc_ids are snapshot v1. Keys present in both
+    compare content md5 (same -> unchanged, different -> changed);
+    v0-only keys are removed, v1-only added. Source attribution takes
+    the v1 row's source where one exists (added/changed/unchanged),
+    else the v0 row's (removed).
+
+    Scale shape: each snapshot collapses to a (key, source, digest)
+    frame map-side (16-byte md5s move, text never does — the dedup
+    family discipline); ONE key-keyed full-outer join of the two
+    digest frames is the only corpus-scale exchange (both sides hash
+    the same key, co-partitioned); the per-source ledger is a
+    map-side-combinable conditional aggregate over the joined rows.
+    At 100 TB this is the canonical snapshot-diff plan: two digest
+    scans + one co-partitioned join, no windows, no cartesians.
+
+    Reference analog: none (beyond-reference mandate; monitoring
+    family: q136 overlap, q137 drift, q183 vocab drift).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def snap(parity: int, side: str) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 2 == parity).select(
+            F.expr("doc_id div 2").alias("key"),
+            F.col("source").alias(f"src_{side}"),
+            F.md5("text").alias(f"dig_{side}"),
+        )
+
+    joined = snap(0, "v0").join(snap(1, "v1"), "key", "full")
+    status = (
+        F.when(F.col("dig_v0").isNull(), F.lit("added"))
+        .when(F.col("dig_v1").isNull(), F.lit("removed"))
+        .when(F.col("dig_v0") == F.col("dig_v1"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    per_source = (
+        joined.select(
+            F.coalesce(F.col("src_v1"), F.col("src_v0")).alias("source"),
+            status.alias("_st"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("_st") == "added", True))
+            .alias("n_added"),
+            F.count(F.when(F.col("_st") == "removed", True))
+            .alias("n_removed"),
+            F.count(F.when(F.col("_st") == "changed", True))
+            .alias("n_changed"),
+            F.count(F.when(F.col("_st") == "unchanged", True))
+            .alias("n_unchanged"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.expr(
+            "(n_added + n_removed + n_changed) * 1000000L div "
+            "(n_added + n_removed + n_changed + n_unchanged)"
+        ).alias("churn_ppm"),
+    ).orderBy("source")

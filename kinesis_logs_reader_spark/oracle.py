@@ -5662,3 +5662,36 @@ SELECT CAST((bucket + 1) * 524288 AS BIGINT) AS threshold_hi,
 FROM cum, tot t
 ORDER BY threshold_hi
 """
+
+# q203: cross-snapshot delta ledger — even/odd doc_ids as snapshots
+# keyed by doc_id // 2, one full-outer digest join, per-source
+# conditional counts, integer-ppm churn.
+ORACLE["q203_snapshot_delta"] = """
+WITH v0 AS (
+  SELECT doc_id // 2 AS key, source AS src_v0, md5(text) AS dig_v0
+  FROM documents WHERE doc_id % 2 = 0
+), v1 AS (
+  SELECT doc_id // 2 AS key, source AS src_v1, md5(text) AS dig_v1
+  FROM documents WHERE doc_id % 2 = 1
+), j AS (
+  SELECT COALESCE(v1.src_v1, v0.src_v0) AS source,
+         CASE WHEN v0.dig_v0 IS NULL THEN 'added'
+              WHEN v1.dig_v1 IS NULL THEN 'removed'
+              WHEN v0.dig_v0 = v1.dig_v1 THEN 'unchanged'
+              ELSE 'changed' END AS st
+  FROM v0 FULL OUTER JOIN v1 ON v0.key = v1.key
+), per AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM j GROUP BY source
+)
+SELECT source, n_added, n_removed, n_changed, n_unchanged,
+       CAST((n_added + n_removed + n_changed) * 1000000
+            // (n_added + n_removed + n_changed + n_unchanged) AS BIGINT)
+         AS churn_ppm
+FROM per
+ORDER BY source
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 212  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 213  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 212  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 212  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 213  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -65,7 +65,8 @@ N_ORACLES = 212  # all r7-r10 additions are fully oracle-backed
 #                  r12: +q199 cross-modal (dHash + lexical) RRF retrieval,
 #                      +q200 incremental image admission (phash signature index),
 #                      +q201 shuffle-key skew/repartition advisor,
-#                      +q202 retrieval-threshold calibration (integer ROC sweep)
+#                      +q202 retrieval-threshold calibration (integer ROC sweep),
+#                      +q203 cross-snapshot corpus delta ledger
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -565,6 +566,7 @@ DRIVER_WINDOW: list[str] = [
     "q200_phash_admission",
     "q201_skew_advisor",
     "q202_retrieval_calibration",
+    "q203_snapshot_delta",
     # (1) changed/audited kernels this round
     "q83_funnel",
     "q103_approx_percentile",
@@ -613,7 +615,6 @@ DRIVER_WINDOW: list[str] = [
     "q74_dup_clusters",
     "q75_ann_ivf_kmeans",
     "q109_semdedup",
-    "q110b_rrf_topk",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -625,6 +626,7 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # ceiling at r14 — running them in r13 keeps one round of slack.
 # Changed/new r13 kernels still jump this queue.
 DRIVER_WINDOW_R13_STAGED: list[str] = [
+    "q110b_rrf_topk",  # displaced when q203 entered as a new key
     "q123_minhash_accuracy",  # displaced when q202 entered as a new key
     "q128_split_leakage",  # displaced when q201 entered as a new key
     "q129_dedup_pipeline",  # displaced when q200 entered as a new key

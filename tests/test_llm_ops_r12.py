@@ -194,3 +194,78 @@ def test_q202_perfect_separation_constructed(spark, tmp_path):
         r.precision_ppm == 1_000_000 and r.recall_ppm == 1_000_000
         for r in rows
     )
+
+
+def test_q203_constructed_delta_ledger(spark, tmp_path):
+    """Explicit snapshots: key k = doc_id // 2, even = v0, odd = v1.
+    Construct one key per class and check the per-source ledger and
+    churn exactly."""
+    from kinesis_logs_reader_spark.operators.dedup import q203_snapshot_delta
+
+    docs = [
+        # key 0: unchanged (same text both versions), source a
+        (0, "same text", "a"),
+        (1, "same text", "a"),
+        # key 1: changed, source a
+        (2, "old text", "a"),
+        (3, "new text", "a"),
+        # key 2: removed (v0 only), source b
+        (4, "going away", "b"),
+        # key 3: added (v1 only), source b
+        (7, "brand new", "b"),
+    ]
+    _write_docs_with_sources(tmp_path, docs)
+    rows = {r.source: r for r in q203_snapshot_delta(spark, str(tmp_path)).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_added, a.n_removed, a.n_changed, a.n_unchanged) == (0, 0, 1, 1)
+    assert a.churn_ppm == 1_000_000 // 2
+    assert (b.n_added, b.n_removed, b.n_changed, b.n_unchanged) == (1, 1, 0, 0)
+    assert b.churn_ppm == 1_000_000
+
+
+def _write_docs_with_sources(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+                "source": [d[2] for d in docs],
+                "lang": ["en"] * len(docs),
+                "n_chars": [len(d[1]) for d in docs],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+
+def test_q203_key_conservation(spark):
+    """On the real corpus: the four classes partition the key union —
+    sum over sources equals |v0 keys| + |added keys|, and removed +
+    changed + unchanged equals |v0 keys|."""
+    from pyspark.sql import functions as F
+
+    from kinesis_logs_reader_spark.operators.dedup import q203_snapshot_delta
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    rows = q203_snapshot_delta(spark, SF_DIR).collect()
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    n_v0 = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_v1 = docs.filter(F.col("doc_id") % 2 == 1).count()
+    assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_v0
+    assert tot["n_added"] + tot["n_changed"] + tot["n_unchanged"] == n_v1

@@ -1331,3 +1331,20 @@ def test_q202_calibration_window_over_bounded_buckets(spark):
     assert "BroadcastHashJoin" in plan  # 64-row centroid back-join
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 2
     assert "CartesianProduct" not in plan  # totals ride a broadcast NL
+
+
+def test_q203_single_copartitioned_digest_join(spark):
+    """r12: the snapshot diff is ONE key-keyed join of two digest
+    frames (text collapses to md5 map-side; both sides hash the same
+    key) — no window, no cartesian, exactly two documents scans."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.dedup import q203_snapshot_delta
+
+    df = q203_snapshot_delta(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    n_joins = len(re.findall(r"\(\d+\) \w*Join", plan))
+    assert n_joins == 1
