@@ -2411,10 +2411,14 @@ def q203_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
     def snap(parity: int, side: str) -> DataFrame:
+        # md5(coalesce(text, '')) — NOT md5(text) — so digest NULLness
+        # means "key absent from this snapshot", never "NULL-text row
+        # present" (ADVICE r12: a NULL-text doc in both snapshots would
+        # otherwise be misclassified as added). Mirrored in the oracle.
         return docs.filter(F.col("doc_id") % 2 == parity).select(
             F.expr("doc_id div 2").alias("key"),
             F.col("source").alias(f"src_{side}"),
-            F.md5("text").alias(f"dig_{side}"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias(f"dig_{side}"),
         )
 
     joined = snap(0, "v0").join(snap(1, "v1"), "key", "full")

@@ -1398,9 +1398,17 @@ def q103_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = orders.groupBy("o_orderstatus").agg(
         F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("_e"),
-    )
+    ).withColumnRenamed("o_orderstatus", "_k")
+    # Null-safe (<=>) join key (ADVICE r12): the oracle's single GROUP BY
+    # keeps a NULL-status group; a plain equi-join would silently drop it.
+    # <=> is still an equi-join key to Catalyst, so the broadcast-hash
+    # strategy is unchanged (pinned in test_plans.py).
     return (
-        approx.join(F.broadcast(exact), "o_orderstatus")
+        approx.join(
+            F.broadcast(exact),
+            F.col("o_orderstatus").eqNullSafe(F.col("_k")),
+        )
+        .drop("_k")
         .select(
             "o_orderstatus",
             "n_orders",

@@ -755,11 +755,19 @@ def q119_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     # driver-side batch cache: the query matrix is tiny by contract and
-    # immutable per sf_dir — repeat calls skip the collect job
+    # immutable per corpus CONTENT — keyed by (path, mtime_ns, size) of
+    # embeddings.parquet (ADVICE r12: unlike load_table's plan-only
+    # cache this caches DATA, so a rewritten table mid-session must
+    # miss; the q160/_phash_index_path fingerprint discipline).
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)  # loud if unstatable — never a silent stale hit
+    cache_key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
     qcache = spark.__dict__.setdefault("_klrs_q119_qbatch", {})
-    if sf_dir not in qcache:
+    if cache_key not in qcache:
         q_rows = (
             emb.filter(F.col("vec_id") < 10)
             .select("vec_id", "embedding")
@@ -771,11 +779,11 @@ def q119_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"q119 query batch exceeds {_KNN_MAX_QUERY_BATCH} rows; "
                 "chunk the batch or use the IVF path (q75/q141)"
             )
-        qcache[sf_dir] = (
+        qcache[cache_key] = (
             np.array([r["vec_id"] for r in q_rows], dtype=np.int64),
             np.array([r["embedding"] for r in q_rows], dtype=np.float64),
         )
-    qids, qmat = qcache[sf_dir]
+    qids, qmat = qcache[cache_key]
     nq, dim = qmat.shape
     qq = np.zeros(nq)
     for d in range(dim):  # sequential fold order (see docstring)

@@ -5668,10 +5668,12 @@ ORDER BY threshold_hi
 # conditional counts, integer-ppm churn.
 ORACLE["q203_snapshot_delta"] = """
 WITH v0 AS (
-  SELECT doc_id // 2 AS key, source AS src_v0, md5(text) AS dig_v0
+  SELECT doc_id // 2 AS key, source AS src_v0,
+         md5(COALESCE(text, '')) AS dig_v0
   FROM documents WHERE doc_id % 2 = 0
 ), v1 AS (
-  SELECT doc_id // 2 AS key, source AS src_v1, md5(text) AS dig_v1
+  SELECT doc_id // 2 AS key, source AS src_v1,
+         md5(COALESCE(text, '')) AS dig_v1
   FROM documents WHERE doc_id % 2 = 1
 ), j AS (
   SELECT COALESCE(v1.src_v1, v0.src_v0) AS source,

@@ -547,90 +547,32 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
 ][:50]
 
 # ACTIVE window for this round's driver correctness gate (first 50).
-# r12 rotation (VERDICT r11 item 1). Freshness policy (codified in
+# r13 rotation (VERDICT r12 item 1). Freshness policy (codified in
 # COVERAGE.md): CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED
 # WITHIN <=6 ROUNDS.
-#   (1) keys whose kernel is changed/audited this round — the q83
-#       funnel one-pass rewrite, the q103/q52 percentile audit, the
-#       q119 knn-join audit, and the q189/q189b KMV decomposition
-#       (q52 sits in tier 2 where it already was due);
-#   (2) the 24 r6-era keys staged last round (DRIVER_WINDOW_R12_STAGED,
-#       verbatim) — exactly 6 rounds stale at r12, the policy ceiling;
-#   (3) the oldest r8-era keys, low query numbers first. After this
-#       window ZERO keys have evidence older than r8 except the
-#       remaining r8 tier, staged below for r13 (due r14).
+#   (1) keys whose kernel changed this round — the four r12 ADVICE
+#       fixes: q103 (null-safe branch join), q119 (fingerprint-keyed
+#       query cache), q200 (one-level store probe feeds its pipeline),
+#       q203 (NULL-text digest coalesce, oracle updated in lockstep);
+#   (2) the 29 r8-era keys staged last round (DRIVER_WINDOW_R13_STAGED,
+#       verbatim) — newest evidence r8, ceiling r14, run with slack;
+#   (3) r9-era fill: the two weak-row audit targets (q122, q131) first,
+#       then low query numbers. After this window the only keys older
+#       than r10 are the remaining r9 tier, staged below for r14
+#       (due r15).
 # Exactly 50 entries — asserted below, no silent [:50] trim.
 DRIVER_WINDOW: list[str] = [
-    # (0) new this round
-    "q199_crossmodal_rrf",
-    "q200_phash_admission",
-    "q201_skew_advisor",
-    "q202_retrieval_calibration",
-    "q203_snapshot_delta",
-    # (1) changed/audited kernels this round
-    "q83_funnel",
+    # (1) changed kernels this round (r12 ADVICE fixes)
     "q103_approx_percentile",
     "q119_knn_join",
-    "q189_kmv_overlap",
-    "q189b_kmv_overlap_sketch",
-    # (2) the 24 r6-era keys staged as DRIVER_WINDOW_R12_STAGED
-    "q26e_json_funcs",
-    "q27_join_full_outer",
-    "q53_pivot",
-    "q52_percentiles",
-    "q36_supplier_nation",
-    "q34_join_right",
-    "q29_embedding_norm",
-    "q54_posexplode",
-    "q55_scalar_subquery",
-    "q57_string_extra",
-    "q58_map_funcs",
-    "q59_exists_subquery",
-    "q141_ivf_fixed_probe",
-    "q144_token_entropy",
-    "q145_oov_rate",
-    "q146_jaccard_threshold_sweep",
-    "q147_bigram_lm",
-    "q149_source_signature",
-    "q150_charset_profile",
-    "q153_dedup_survivorship",
-    "q154_boundary_overlap",
-    "q156_training_order",
-    "q157_epoch_plan",
-    "q158_fuzzy_variants",
-    # (3) oldest r8-era fill, low query numbers first
-    "q03_case_when",
-    "q04_cast_coalesce",
-    "q06_join_broadcast",
-    "q08_join_semi",
-    "q09_join_anti",
-    "q11_join_cross",
-    "q16_having",
-    "q19_window_lag",
-    "q21_sort_nulls",
-    "q23_union",
-    "q25_distinct",
-    "q28_approx_distinct",
-    "q46_minhash_lsh",
-    "q74_dup_clusters",
-    "q75_ann_ivf_kmeans",
-    "q109_semdedup",
-]
-assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
-    "DRIVER_WINDOW must hold exactly 50 unique keys "
-    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
-)
-
-# Staged r13 rotation: the 24 r8-era keys the r12 window could not fit.
-# Their newest driver evidence is r8, so they hit the 6-round policy
-# ceiling at r14 — running them in r13 keeps one round of slack.
-# Changed/new r13 kernels still jump this queue.
-DRIVER_WINDOW_R13_STAGED: list[str] = [
-    "q110b_rrf_topk",  # displaced when q203 entered as a new key
-    "q123_minhash_accuracy",  # displaced when q202 entered as a new key
-    "q128_split_leakage",  # displaced when q201 entered as a new key
-    "q129_dedup_pipeline",  # displaced when q200 entered as a new key
-    "q151_candidate_degree",  # displaced when q199 entered as a new key
+    "q200_phash_admission",
+    "q203_snapshot_delta",
+    # (2) the 29 r8-era keys staged as DRIVER_WINDOW_R13_STAGED
+    "q110b_rrf_topk",
+    "q123_minhash_accuracy",
+    "q128_split_leakage",
+    "q129_dedup_pipeline",
+    "q151_candidate_degree",
     "q155_lsh_band_sensitivity",
     "q158b_fuzzy_variants_banded",
     "q159_dup_authority",
@@ -655,6 +597,60 @@ DRIVER_WINDOW_R13_STAGED: list[str] = [
     "q179_data_card",
     "q180_rag_context_assembly",
     "q182_last_touch_attribution",
+    # (3) r9-era fill: audit targets first, then low query numbers
+    "q122_substring_dedup",
+    "q131_table_profile",
+    "q02_filter_predicates",
+    "q14_count_distinct",
+    "q17_global_agg",
+    "q60_range_frame",
+    "q62_asof_join",
+    "q63_window_analytics",
+    "q64_date_format",
+    "q65_grouping_sets",
+    "q66_array_agg",
+    "q67_stats_agg",
+    "q68_shipping_priority",
+    "q69_local_supplier_volume",
+    "q70_returned_items",
+    "q71_large_volume_customer",
+    "q72_inactive_rich_customers",
+]
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
+    "DRIVER_WINDOW must hold exactly 50 unique keys "
+    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
+)
+
+# Staged r14 rotation: the 25 remaining r9-era keys the r13 window
+# could not fit. Their newest driver evidence is r9, so they hit the
+# 6-round policy ceiling at r15 — running them in r14 keeps slack.
+# Changed/new r14 kernels still jump this queue.
+DRIVER_WINDOW_R14_STAGED: list[str] = [
+    "q73_cheapest_lineitem_per_part",
+    "q76_merge_upsert",
+    "q77_hash_split",
+    "q79_pii_scrub",
+    "q80_chunk_documents",
+    "q82_higher_order_funcs",
+    "q84_retention",
+    "q85_event_transitions",
+    "q87_lateral_topn",
+    "q89_decontamination",
+    "q91_gopher_rules",
+    "q92_repetition",
+    "q95_tfidf",
+    "q101_winnowing",
+    "q104_incremental_dedup",
+    "q105_vocab_coverage",
+    "q106_udtf_chunks",
+    "q107_variant_json",
+    "q108_cube",
+    "q183_vocab_drift",
+    "q184_index_drift",
+    "q185_pq_adc",
+    "q186_int8_recall",
+    "q187_pq_distortion",
+    "q188_pq_reranked",
 ]
 
 

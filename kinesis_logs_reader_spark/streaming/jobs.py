@@ -269,6 +269,31 @@ def h12_quality_filter(docs: DataFrame) -> DataFrame:
     return gopher_frame(docs).filter(F.col("passes"))
 
 
+def _store_has_batches(d: str) -> bool:
+    """True iff the cumulative store at ``d`` holds at least one written
+    batch partition. Both sink writers land every write in a top-level
+    ``batch_id=<id>`` hive partition with parquet files directly inside
+    it, so probing ONE directory level suffices — the previous
+    recursive ``os.walk`` listed every file in the store on every
+    micro-batch, an O(store) driver-side cost that grew unboundedly
+    with admitted history (ADVICE r12). A partition dir with no parquet
+    (crashed write before any part file landed) is skipped so the
+    subsequent ``spark.read.parquet`` never sees a schema-less store.
+    """
+    import os
+
+    if not os.path.isdir(d):
+        return False
+    with os.scandir(d) as top:
+        for e in top:
+            if not (e.is_dir() and e.name.startswith("batch_id=")):
+                continue
+            with os.scandir(e.path) as part:
+                if any(f.name.endswith(".parquet") for f in part):
+                    return True
+    return False
+
+
 def apply_incremental_dedup_batch(
     batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str
 ) -> None:
@@ -279,13 +304,8 @@ def apply_incremental_dedup_batch(
 
     from kinesis_logs_reader_spark.operators.preprocess import dedup_incremental
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
-        )
-
     spark = batch_df.sparkSession
-    if _has_parquet(store_dir):
+    if _store_has_batches(store_dir):
         # Exclude THIS batch's own partition: on a replay where both
         # writes landed but the checkpoint commit didn't, the store
         # already holds this batch's digests — consulting them would
@@ -974,12 +994,7 @@ def apply_phash_admission_batch(
 
     spark = batch_df.sparkSession
 
-    def _has_parquet(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(d) for f in fs
-        )
-
-    if _has_parquet(store_dir):
+    if _store_has_batches(store_dir):
         known = spark.read.parquet(store_dir)
         if "batch_id" in known.columns:
             known = known.filter(F.col("batch_id") != batch_id)
