@@ -284,21 +284,28 @@ def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embedded as ±1 literals) and the same integer projections
     bit-for-bit.
 
-    Scale shape: the signature pass is map-only — one Arrow-batched
-    int64 matmul per batch (the Catalyst per-plane fold is an
-    interpreted higher-order lambda, measured ~1 ms/row; the A/B is
-    in PERF.md r7) — then the band explode is 5 small rows/vector
-    of (band, code, id); the (band, code) join's work is bounded by
-    bucket sizes, and the final cosine re-check joins the tiny
-    candidate set back to the vectors on id. On the test slice
-    Catalyst broadcasts the band join's build side; at corpus scale
-    the same plan degrades automatically to a shuffle equi-join on
-    (band, code), and the signature frame is materialized once
-    (persist / written side table, the `_cached_minhash_pairs`
-    pattern) so the corpus is scanned once, not per join branch.
-    Skewed buckets (mass at one code) admit the standard bucket-split
-    salt without changing semantics, because the exact filter is
-    order-independent.
+    Scale shape (r13 audit, VERDICT r12 item 3): the signature pass is
+    map-only — one Arrow-batched int64 matmul per batch (the Catalyst
+    per-plane fold is an interpreted higher-order lambda, measured
+    ~1 ms/row; the A/B is in PERF.md r7) — and the embedding RIDES the
+    band rows into the (band, code) bucket aggregate, so the exact
+    cosine re-check happens INSIDE the expanded bucket pairs with no
+    join back to the corpus at all: ONE corpus scan, zero joins, three
+    exchanges (band-code hash, pair-dedup hash, output sort). The r7
+    shape carried ids only and joined candidates back to the vectors
+    twice — two more corpus scans, two broadcast builds, and an extra
+    pair-distinct exchange; measured at sf~1 the carry shape reads
+    0.73 s vs 1.09 s (A/B in PERF.md r13). The trade at 100 TB: the
+    band exchange ships each embedding bands(=5)x instead of 1x id,
+    but the join-back shape ships the corpus TWICE through its own
+    shuffles (broadcast stops being legal) and scans it three times —
+    carry wins on both bytes moved and scans. Per-bucket work is
+    |bucket|^2 — the quantity the 12-bit band width was sized to keep
+    small; skewed buckets admit the standard bucket-split salt without
+    changing semantics, because the exact filter is order-independent.
+    Pair dedup runs AFTER the >= 0.99 filter (cheaper: only survivors
+    pay the group), and sim is deterministic per pair, so first() is
+    exact.
 
     Reference analog: none (beyond-reference mandate, SURVEY §2.2 I:
     dedup family #4 at scale).
@@ -309,43 +316,42 @@ def q163_srp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.select("vec_id", "embedding").unionByName(planted)
     sig = vecs.select(
-        "vec_id", F.posexplode(srp_codes_udf(F.col("embedding"))).alias("band", "code")
+        "vec_id",
+        "embedding",
+        F.posexplode(srp_codes_udf(F.col("embedding"))).alias("band", "code"),
     )
-    # One signature pass (a self-join would recompute the UDF lineage
-    # per branch — a second Python-worker round-trip, measured ~0.5 s
-    # at sf0.1): group each (band, code) bucket, then expand the
-    # bucket-local id list into ordered pairs JVM-side. Work per
-    # bucket is |bucket|^2 — the quantity the 10-bit band width was
-    # sized to keep small.
+    # struct sort = lexicographic by field order, so (vec_id, embedding)
+    # structs sort by id (ids never tie) — pair expansion stays ida < idb
     buckets = (
         sig.groupBy("band", "code")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "embedding"))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS ida, y AS idb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.ida", "p.idb")
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x.vec_id AS ida, y.vec_id AS idb, "
+                "x.embedding AS ea, y.embedding AS eb))))"
+            )
+        ).alias("p")
     )
-    va = vecs.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
-    vb = vecs.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
     return (
-        cand.join(va, "ida")
-        .join(vb, "idb")
-        .select(
-            "ida",
-            "idb",
-            F.round(cosine(F.col("ea"), F.col("eb")), 4).cast("double").alias("sim"),
+        pairs.select(
+            "p.ida",
+            "p.idb",
+            F.round(cosine(F.col("p.ea"), F.col("p.eb")), 4)
+            .cast("double")
+            .alias("sim"),
         )
         .filter(F.col("sim") >= 0.99)
+        .groupBy("ida", "idb")
+        .agg(F.first("sim").alias("sim"))
         .orderBy("ida", "idb")
     )
 

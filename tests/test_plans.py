@@ -669,6 +669,13 @@ def test_q163_candidates_are_banded_not_all_pairs(spark):
 
     nodes = set(re.findall(r"\(\d+\) ArrowEvalPython", plan))
     assert len(nodes) == 1, plan
+    # r13 carry-embeddings shape: the embedding rides the band rows
+    # into the bucket aggregate, so there is NO join back to the
+    # corpus at all (the r7 shape had two) and exactly three shuffles:
+    # band-code hash, pair-dedup hash, output sort. One corpus scan
+    # family (base + planted slice), not three.
+    assert "Join" not in plan, plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 3, plan
 
 
 def test_q166_merge_step_windows_are_doc_partitioned(spark):
