@@ -243,3 +243,152 @@ def q131b_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# q131c sketch geometry: M md5-keyed substreams, values on a 2^44 grid
+# (11 hex chars). S*M*M = 2^60 and M*S = 2^52 both fit signed int64.
+_KMV_PROFILE_BUCKETS = 256  # stderr ~ 1/sqrt(M) ~ 6%
+_KMV_PROFILE_SCALE = 1 << 44
+
+
+def q131c_table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION half of the profile family, declared and
+    hash-green on its own (VERDICT r12 item 4): q131b as declared
+    still carries q131's exact unpivot branch to certify the HLL —
+    so at sf~1 the "sketch twin" costs MORE than exact q131. This
+    query is the 0.4 s path a 100 TB profile actually runs: nulls /
+    min / max from one stacked native-type aggregate, and the
+    distinct-count column from a DETERMINISTIC sketch — so unlike
+    engine-internal HLL bit patterns, every output value is
+    bit-identical cross-engine and the driver hashes the ESTIMATES
+    themselves, no exact branch anywhere in the plan.
+
+    The sketch (PCSA-style stochastic averaging over md5 substreams):
+    each value's canonical rendering is md5-hashed once; the first 13
+    hex chars parse to a 52-bit word w whose LOW byte picks one of
+    M=256 substreams and whose high 44 bits are the grid value u
+    (one parse per row — the split is integer arithmetic, and
+    min(w) within a substream is min(u) shifted since the low byte
+    is constant inside the group). Per (column, substream) only
+    MIN survives — a
+    map-side-combinable aggregate whose state is M int64s per column,
+    the fixed-memory property that makes the profile a single
+    corpus-scale pass with a <= 6*M-row shuffle. Estimator, all
+    deterministic arithmetic:
+      f < M  (some substream empty): linear counting,
+             round(-M * ln((M - f) / M)) — f is an exact integer and
+             the 255 possible ln inputs were checked offline: the
+             closest result sits 4.9e-3 from a rounding boundary, ten
+             orders above any libm 1-ulp divergence, so the floor is
+             cross-engine stable.
+      f = M  (all substreams hit): min-value estimator
+             S*M*M div (sum of mins) - M — pure int64 division.
+    Accuracy is profile-grade and documented: stderr ~ 1/sqrt(M) ~ 6%
+    plus a -M absolute bias term at huge n and up to ~-17% in the
+    narrow f ~ M crossover band (tested against exact at sf0.01).
+
+    Canonical renderings (the md5 INPUT must match byte-for-byte in
+    DuckDB, where raw double/timestamp casts differ): bigints and
+    strings render as-is; 2-decimal money renders as integer cents
+    floor(v*100 + 0.5); timestamps render as epoch seconds. Injective
+    per column, so distinct renderings == distinct values.
+
+    Reference analog: none (beyond-reference mandate; q131 family).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = _KMV_PROFILE_BUCKETS
+    s = _KMV_PROFILE_SCALE
+    specs = [
+        ("o_orderkey", "cast(o_orderkey as string)"),
+        ("o_custkey", "cast(o_custkey as string)"),
+        ("o_orderstatus", "o_orderstatus"),
+        (
+            "o_totalprice",
+            "cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)",
+        ),
+        # NTZ cannot cast straight to long; session TZ is UTC so the
+        # NTZ->TZ hop is identity and unix_seconds == DuckDB epoch()
+        (
+            "o_orderdate",
+            "cast(unix_seconds(cast(o_orderdate as timestamp)) as string)",
+        ),
+        ("o_orderpriority", "o_orderpriority"),
+    ]
+    aggs = []
+    for c, _r in specs:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c, _r in specs
+    )
+    base = wide.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(column_name, n_nulls, min_str, max_str)"
+        )
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.expr(r).alias("v"),
+            )
+            for c, r in specs
+        ]
+    )
+    # ONE hex parse per row (conv is the measured per-row cost: the
+    # two-conv split read 1.70 s at sf~1 vs 1.26 s for conv13 + int
+    # split; the r13 A/B ledger in PERF.md covers the rejected
+    # alternatives — string-min keys 2.35, ascii-arithmetic parse
+    # 2.82, fused single-int group key 1.39). w's low byte is the
+    # substream, the high 44 bits are the grid value; min(w) within a
+    # substream equals min(w div 256) shifted, since the low byte is
+    # constant inside the group.
+    hashed = (
+        orders.select(F.explode(pairs).alias("e"))
+        .select("e.column_name", F.md5("e.v").alias("h"))
+        .filter(F.col("h").isNotNull())  # COUNT(DISTINCT) ignores NULL
+        .select(
+            "column_name",
+            F.conv(F.substring("h", 1, 13), 16, 10).cast("long").alias("w"),
+        )
+    )
+    est = (
+        hashed.groupBy("column_name", (F.col("w") % m).alias("b"))
+        .agg(F.expr(f"min(w) div {m}L").alias("u_min"))
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.sum("u_min").alias("su"),
+        )
+        .select(
+            "column_name",
+            F.when(
+                F.col("f") < m,
+                F.floor(
+                    -F.lit(m)
+                    * F.log((F.lit(m) - F.col("f")) / F.lit(m))
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    f"{s}L * {m}L * {m}L div "
+                    f"(su + ({m}L - f) * {s}L) - {m}L"
+                )
+            )
+            .cast("bigint")
+            .alias("n_distinct_est"),
+        )
+    )
+    return (
+        base.join(F.broadcast(est), "column_name")
+        .select(
+            "column_name", "n_nulls", "n_distinct_est", "min_str", "max_str"
+        )
+        .orderBy("column_name")
+    )

@@ -5358,6 +5358,67 @@ SELECT column_name, n_nulls, min_str, max_str, approx_within_12pct FROM (
 ORDER BY column_name
 """
 
+# q131c: the hash-green production profile — nulls/min/max exactly as
+# q131, distinct counts from the DETERMINISTIC md5-substream sketch
+# (256 buckets, 44-bit grid; linear counting below saturation, int64
+# min-sum division at f=256). Canonical renderings (int cents, epoch
+# seconds) keep the md5 inputs byte-identical to the Spark side.
+ORACLE["q131c_table_profile_kmv"] = """
+WITH w AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c0n,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS c0mn, CAST(MAX(o_orderkey) AS VARCHAR) AS c0mx,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c1n,
+    CAST(MIN(o_custkey) AS VARCHAR) AS c1mn, CAST(MAX(o_custkey) AS VARCHAR) AS c1mx,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS c2n,
+    MIN(o_orderstatus) AS c2mn, MAX(o_orderstatus) AS c2mx,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS c3n,
+    CAST(MIN(o_totalprice) AS VARCHAR) AS c3mn, CAST(MAX(o_totalprice) AS VARCHAR) AS c3mx,
+    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS c4n,
+    CAST(MIN(o_orderdate) AS VARCHAR) AS c4mn, CAST(MAX(o_orderdate) AS VARCHAR) AS c4mx,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS c5n,
+    MIN(o_orderpriority) AS c5mn, MAX(o_orderpriority) AS c5mx
+  FROM orders
+), base AS (
+  SELECT 'o_orderkey' AS column_name, CAST(c0n AS BIGINT) AS n_nulls, c0mn AS min_str, c0mx AS max_str FROM w
+  UNION ALL SELECT 'o_custkey', CAST(c1n AS BIGINT), c1mn, c1mx FROM w
+  UNION ALL SELECT 'o_orderstatus', CAST(c2n AS BIGINT), c2mn, c2mx FROM w
+  UNION ALL SELECT 'o_totalprice', CAST(c3n AS BIGINT), c3mn, c3mx FROM w
+  UNION ALL SELECT 'o_orderdate', CAST(c4n AS BIGINT), c4mn, c4mx FROM w
+  UNION ALL SELECT 'o_orderpriority', CAST(c5n AS BIGINT), c5mn, c5mx FROM w
+), pairs AS (
+  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice',
+    CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate',
+    CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+), keyed AS (
+  SELECT column_name,
+         CAST('0x' || substr(md5(v), 1, 13) AS BIGINT) AS w
+  FROM pairs WHERE v IS NOT NULL
+), mins AS (
+  SELECT column_name, w % 256 AS b, MIN(w) // 256 AS u_min
+  FROM keyed GROUP BY column_name, w % 256
+), est AS (
+  SELECT column_name,
+         CASE WHEN COUNT(*) < 256 THEN
+           CAST(FLOOR(-256.0 * LN((256.0 - COUNT(*)) / 256.0) + 0.5) AS BIGINT)
+         ELSE
+           CAST(1152921504606846976 //
+                (SUM(u_min) + (256 - COUNT(*)) * 17592186044416)
+                - 256 AS BIGINT)
+         END AS n_distinct_est
+  FROM mins GROUP BY column_name
+)
+SELECT base.column_name AS column_name, n_nulls, n_distinct_est,
+       min_str, max_str
+FROM base JOIN est ON base.column_name = est.column_name
+ORDER BY base.column_name
+"""
+
 
 # q197: per-clip audio VAD — windows as VARCHAR substrings (ASCII
 # invariant), integer short-time energy via ord() squares, identical

@@ -1116,6 +1116,33 @@ def test_q131b_sketch_rides_single_scan_agg(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q131c_sketch_profile_no_exact_distinct_anywhere(spark):
+    """q131c (the hash-green production profile): NO exact-distinct
+    machinery in the plan at all — no Expand, no approx_count_distinct
+    (it is the DETERMINISTIC sketch, not HLL), no collect_list/
+    collect_set state; the only corpus-scale exchange is the
+    (column, substream)-keyed min aggregate whose partial combine
+    bounds the shuffle at <= 6 x 257 rows; the profile/estimate fusion
+    is a broadcast join on the 6-row column frame."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.sqlsurface import (
+        q131c_table_profile_kmv,
+    )
+
+    df = q131c_table_profile_kmv(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Expand" not in plan
+    assert "approx_count_distinct" not in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan  # all-JVM: md5/conv/min are builtin
+    # partial min before the substream exchange (map-side combine)
+    assert re.search(r"partial_min", plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q197_audio_vad_plan_shape(spark):
     """q197: exactly ONE Arrow boundary (the audio_energy stage —
     waveform bytes never travel past it), the segmentation windows
