@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 
 SCALE_DIR = "/tmp/spark_graft_scale/sf1"
 COPIES = 10
+# r13 growth spot-reads (VERDICT r12 item 5): a 30x tier to confirm
+# the sf~1 growth numbers are log-linear, not a hidden quadratic that
+# only costs 2x at 10x. Built on demand by --sf3.
+SCALE3_DIR = "/tmp/spark_graft_scale/sf3"
+COPIES3 = 30
 
 HEADLINE = [
     "q01_project_arith",
@@ -61,8 +66,8 @@ HEADLINE = [
 ]
 
 
-def build(spark) -> None:
-    """10 shifted copies of each sf0.1 table -> /tmp (sf≈1)."""
+def build(spark, scale_dir: str = SCALE_DIR, copies: int = COPIES) -> None:
+    """``copies`` shifted copies of each sf0.1 table -> /tmp."""
     from kinesis_logs_reader_spark.sources.tables import TABLE_NAMES, load_table
 
     src = "/root/testdata/sf0.1"
@@ -74,12 +79,12 @@ def build(spark) -> None:
         "events": ("event_id", 10_000_000),
     }
     for name in TABLE_NAMES:
-        out = os.path.join(SCALE_DIR, f"{name}.parquet")
+        out = os.path.join(scale_dir, f"{name}.parquet")
         base = load_table(spark, src, name)
         if name in key_shift:
             col, step = key_shift[name]
             parts = [
-                base.withColumn(col, F.col(col) + F.lit(i * step)) for i in range(COPIES)
+                base.withColumn(col, F.col(col) + F.lit(i * step)) for i in range(copies)
             ]
             df = parts[0]
             for p in parts[1:]:
@@ -293,7 +298,92 @@ def duckdb_soak(timeout_s: float = 600.0) -> None:
     print("\n_summary:", json.dumps(out["_summary"]))
 
 
+# r13 (VERDICT r12 item 5): the sf~1 soak's >1.7-growth rows, plus the
+# q131/q131c sketch-crossover pair and the q134 watch (item 6).
+SF3_KEYS = [
+    "q09_join_anti",
+    "q134_ngram_novelty",
+    "q178_stratified_eval_sample",
+    "q122_substring_dedup",
+    "q68_shipping_priority",
+    "q26c_math_funcs",
+    "q02_filter_predicates",
+    "q131_table_profile",
+    "q131c_table_profile_kmv",
+]
+
+
+def sf3_probe() -> None:
+    """--sf3: one 30x reading per suspect key, both engines, merged
+    into SCALE3.json. Healthy = t3/t1 <= ~3.5 on 3x the sf~1 data
+    (fixed overhead + linear term); a quadratic term that cost only
+    2x at 10x costs ~6x here and becomes unmissable."""
+    import json
+
+    from kinesis_logs_reader_spark import registry
+    from kinesis_logs_reader_spark.session import build_session
+
+    spark = build_session(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(SCALE3_DIR):
+        build(spark, SCALE3_DIR, COPIES3)
+    queries = registry.all_queries()
+    out = {}
+    try:
+        with open("/root/repo/SCALE3.json") as f:
+            out = json.load(f)
+    except Exception:
+        pass
+    for name in SF3_KEYS:
+        rec = out.get(name, {})
+        for key, d in (("t1", SCALE_DIR), ("t3", SCALE3_DIR)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            rec[key] = round(best, 3)
+        rec["growth_3x"] = round(rec["t3"] / rec["t1"], 2) if rec["t1"] else None
+        out[name] = rec
+        print(f"{name}: {rec}", flush=True)
+    spark.stop()
+
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SCALE3_DIR}/{t}.parquet/*.parquet')"
+        )
+    oracles = registry.all_oracle_sql()
+    for name in SF3_KEYS:
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name]["d3"] = round(best, 3)
+            out[name]["ratio_t3"] = round(out[name]["t3"] / best, 2)
+        except Exception as exc:
+            out[name]["d3_err"] = f"{type(exc).__name__}: {exc}"[:160]
+        print(f"{name}: d3={out[name].get('d3', out[name].get('d3_err'))}", flush=True)
+    con.close()
+    with open("/root/repo/SCALE3.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+
 def main() -> None:
+    if "--sf3" in sys.argv:
+        sf3_probe()
+        return
     if "--duckdb" in sys.argv:
         duckdb_soak()
         return
