@@ -44,3 +44,21 @@ def lru_persisted(
     df = build().persist()
     cache[key] = df
     return df
+
+
+def corpus_key(sf_dir: str, table: str) -> tuple:
+    """Content-fingerprint cache key for a corpus-derived frame:
+    (abspath, mtime_ns, size) of the table file the frame derives
+    from. The `_klrs_*` caches hold DATA (persisted frames / collected
+    batches), not just plans, so a bare sf_dir key silently serves
+    stale results after a table rewrite (ADVICE r12 on q119's query
+    batch — this is the same fix applied to every corpus-keyed data
+    cache). Loud on an unstatable path, never a silent stale hit; a
+    rewrite simply misses (the superseded entry ages out through each
+    site's existing eviction policy).
+    """
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    return (os.path.abspath(src), st.st_mtime_ns, st.st_size)

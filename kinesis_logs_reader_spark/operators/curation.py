@@ -32,6 +32,7 @@ from kinesis_logs_reader_spark.functions.generate import (
 )
 from kinesis_logs_reader_spark.functions.text import n_tokens, shingles, stopword_count, tokens
 from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
 def _md5_bucket(col: Column, mod: int = 100) -> Column:
@@ -464,10 +465,11 @@ def cached_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fusion reuse one index exactly as a production retriever
     would. Rows = docs hitting >= 1 term (query-bounded, small)."""
     cache = spark.__dict__.setdefault("_klrs_bm25_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
         docs = load_table(spark, sf_dir, "documents")
-        cache[sf_dir] = bm25_scored(docs, ("table", "spark", "key")).persist()
-    return cache[sf_dir]
+        cache[ck] = bm25_scored(docs, ("table", "spark", "key")).persist()
+    return cache[ck]
 
 
 def q98_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1609,7 +1611,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
     encoded stream — one training pass serves both (the stream is
     localCheckpoint()ed, so reuse costs nothing)."""
     cache = spark.__dict__.setdefault("_klrs_bpe_cache", {})
-    ckey = (sf_dir, n_merges)
+    ckey = (corpus_key(sf_dir, "documents"), n_merges)
     if ckey in cache:
         return cache[ckey]
     w_doc = Window.partitionBy("doc_id").orderBy("rn")

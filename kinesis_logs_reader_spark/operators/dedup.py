@@ -42,6 +42,7 @@ from kinesis_logs_reader_spark.functions.generate import (
     posexplode_nonempty,
 )
 from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
 def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,17 +74,18 @@ def _cached_slice_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~7x cold on q44 at sf0.1). 200 rows of string arrays per corpus.
     """
     cache = spark.__dict__.setdefault("_klrs_slice_shingles_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
         tokd = (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 200)
             .select("doc_id", tokens().alias("_toks"))
         )
-        cache[sf_dir] = tokd.select(
+        cache[ck] = tokd.select(
             "doc_id",
             F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("sh"),
         ).persist()
-    return cache[sf_dir]
+    return cache[ck]
 
 
 def shingle_pair_counts(
@@ -132,11 +134,12 @@ def _cached_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized candidate-pair table every scoring pass reads.
     """
     cache = spark.__dict__.setdefault("_klrs_pair_counts_cache", {})
-    if sf_dir not in cache:
-        cache[sf_dir] = shingle_pair_counts(
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
+        cache[ck] = shingle_pair_counts(
             sh_frame=_cached_slice_shingles(spark, sf_dir)
         ).persist()
-    return cache[sf_dir]
+    return cache[ck]
 
 
 def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,9 +228,10 @@ def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same role is played by a signatures side table written once.
     """
     cache = spark.__dict__.setdefault("_klrs_pairs_cache", {})
-    if sf_dir not in cache:
-        cache[sf_dir] = minhash_pairs(_planted_docs(spark, sf_dir)).persist()
-    return cache[sf_dir]
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
+        cache[ck] = minhash_pairs(_planted_docs(spark, sf_dir)).persist()
+    return cache[ck]
 
 
 def q46_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,9 +831,10 @@ def q122_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast bound; the fallback is a shuffled hash join on h —
     # still sort-free, still strictly cheaper than the window sort.
     cache = spark.__dict__.setdefault("_klrs_posgram_cache", {})
-    if sf_dir not in cache:
-        cache[sf_dir] = positional.persist()
-    positional = cache[sf_dir]
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
+        cache[ck] = positional.persist()
+    positional = cache[ck]
     dup_h = (
         positional.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -878,17 +883,18 @@ def q123_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times (measured 7.7 s -> 0.6 s at sf0.1). Persist once per
     # (session, corpus) — 200 rows of int arrays.
     cache = spark.__dict__.setdefault("_klrs_bases_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
         docs = (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 200)
             .select("doc_id", "text")
         )
         tok = docs.select("doc_id", token_base_hashes().alias("tb"))
-        cache[sf_dir] = tok.select(
+        cache[ck] = tok.select(
             "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
         ).persist()
-    based = cache[sf_dir]
+    based = cache[ck]
     sig = based.select("doc_id", *minhash_signature(F.col("bases"), num_hashes=8))
     sizes = based.select("doc_id", F.size("bases").alias("n_sh"))
     inv = based.select("doc_id", F.explode("bases").alias("b"))
@@ -1167,10 +1173,11 @@ def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides) and lambda shingling defeats Catalyst CSE
     # (the q44 finding), so persist it per session+corpus.
     cache = spark.__dict__.setdefault("_klrs_source_shingles_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "documents")
+    if ck not in cache:
         docs = load_table(spark, sf_dir, "documents")
         tok = docs.select("source", tokens().alias("_toks"))
-        cache[sf_dir] = (
+        cache[ck] = (
             tok.select(
                 "source",
                 F.explode(
@@ -1183,7 +1190,7 @@ def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist()
         )
-    ds = cache[sf_dir]
+    ds = cache[ck]
     sizes = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     shared = (

@@ -985,8 +985,10 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a recompute could place rows differently and corrupt the
     # offsets). Same bounded evict-on-insert cache as q152b: at most
     # one ranged frame pinned per session.
+    from kinesis_logs_reader_spark.functions.caching import corpus_key
+
     cache = spark.__dict__.setdefault("_klrs_q52_cache", {})
-    ckey = (sf_dir, nparts)
+    ckey = (corpus_key(sf_dir, "orders"), nparts)
     if ckey not in cache:
         for stale in list(cache):
             cache.pop(stale)[0].unpersist()

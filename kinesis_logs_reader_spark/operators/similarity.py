@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.functions.generate import explode_nonempty
 from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -761,17 +762,14 @@ def q119_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    import os
-
     emb = load_table(spark, sf_dir, "embeddings")
     # driver-side batch cache: the query matrix is tiny by contract and
-    # immutable per corpus CONTENT — keyed by (path, mtime_ns, size) of
-    # embeddings.parquet (ADVICE r12: unlike load_table's plan-only
+    # immutable per corpus CONTENT — keyed by the (path, mtime_ns,
+    # size) fingerprint (ADVICE r12: unlike load_table's plan-only
     # cache this caches DATA, so a rewritten table mid-session must
-    # miss; the q160/_phash_index_path fingerprint discipline).
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)  # loud if unstatable — never a silent stale hit
-    cache_key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    # miss; corpus_key is the same fix applied to every _klrs_* data
+    # cache in r13).
+    cache_key = corpus_key(sf_dir, "embeddings")
     qcache = spark.__dict__.setdefault("_klrs_q119_qbatch", {})
     if cache_key not in qcache:
         q_rows = (
@@ -1048,7 +1046,8 @@ def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> dict:
     cosine. Shared by q141 (single-query probe) and q167 (recall@k
     evaluation over a query set)."""
     cache = spark.__dict__.setdefault("_klrs_ivf_fixed_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "embeddings")
+    if ck not in cache:
         emb0 = load_table(spark, sf_dir, "embeddings")
         flat = emb0.select(
             "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
@@ -1086,11 +1085,11 @@ def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> dict:
             .filter(F.col("rn") == 1)
             .select("vec_id", "cell")
         )
-        cache[sf_dir] = {
+        cache[ck] = {
             "dist": dist.persist(),
             "assigned": assigned.persist(),
         }
-    return cache[sf_dir]
+    return cache[ck]
 
 
 def _ann_eval_frames(spark: SparkSession, sf_dir: str) -> dict:
@@ -1101,8 +1100,9 @@ def _ann_eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     k rows). Both metrics queries re-rank the SAME interpreted-cosine
     frames, so sharing halves the dominant fold cost (PERF.md r8)."""
     cache = spark.__dict__.setdefault("_klrs_ann_eval_cache", {})
-    if sf_dir in cache:
-        return cache[sf_dir]
+    ck = corpus_key(sf_dir, "embeddings")
+    if ck in cache:
+        return cache[ck]
     for stale in list(cache):
         old = cache.pop(stale)
         for df in old.values():
@@ -1167,12 +1167,12 @@ def _ann_eval_frames(spark: SparkSession, sf_dir: str) -> dict:
         .filter(F.col("erank") <= k)
         .select("qid", "vec_id", "erank")
     )
-    cache[sf_dir] = {
+    cache[ck] = {
         "cand": cand.persist(),
         "approx": approx.persist(),
         "exact": exact.persist(),
     }
-    return cache[sf_dir]
+    return cache[ck]
 
 
 def q167_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,15 +1266,16 @@ def q168_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MapInPandas stays visible in the pinned plan, unlike a
     # lineage-cutting checkpoint). One bounded entry per corpus.
     cache = spark.__dict__.setdefault("_klrs_mutual_nn_cache", {})
-    if sf_dir not in cache:
+    ck = corpus_key(sf_dir, "embeddings")
+    if ck not in cache:
         for stale in list(cache):
             cache.pop(stale).unpersist()
         best2, qn_handle = _mutual_best2(spark, sf_dir)
         best2 = best2.persist()
         best2.count()  # materialize the single pass, then drop the
         qn_handle.unpersist()  # quantized frame it consumed
-        cache[sf_dir] = best2
-    best2 = cache[sf_dir]
+        cache[ck] = best2
+    best2 = cache[ck]
     best_a = best2.filter(F.col("sid") % 2 == 0).select(
         F.col("sid").alias("a_id"),
         F.col("best").alias("b_id"),
