@@ -2221,7 +2221,12 @@ def _kmv_distinct_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    return lru_persisted(spark, "_klrs_kmv_sh_cache", sf_dir, docs.distinct)
+    return lru_persisted(
+        spark,
+        "_klrs_kmv_sh_cache",
+        corpus_key(sf_dir, "documents"),
+        docs.distinct,
+    )
 
 
 def _kmv_source_sketches(sh: DataFrame, k: int) -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 try:  # optional dependency: real image codec
     from PIL import Image as _PILImage
@@ -444,7 +445,7 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = lru_persisted(
         spark,
         "_klrs_phash_sig_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         lambda: perceptual_hashes(docs.unionByName(planted)),
     )
     bands = sig.select(
@@ -805,7 +806,7 @@ def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = lru_persisted(
         spark,
         "_klrs_phash_sig_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         lambda: perceptual_hashes(docs.unionByName(planted)),
     ).filter(F.col("doc_id") < PLANT_PHASH)
     qsig = sig.filter(F.col("doc_id") == 0).select(
@@ -982,7 +983,7 @@ def get_or_build_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         nat = lru_persisted(
             spark,
             "_klrs_phash_sig_cache",
-            sf_dir,
+            corpus_key(sf_dir, "documents"),
             lambda: perceptual_hashes(docs.unionByName(planted_q194)),
         ).filter(F.col("doc_id") < PLANT_PHASH)
         store_sigs = nat.filter(F.col("doc_id") % 10 != 3)
@@ -1101,7 +1102,7 @@ def q200_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = lru_persisted(
         spark,
         "_klrs_phash_sig_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         lambda: perceptual_hashes(docs.unionByName(planted_q194)),
     ).filter(F.col("doc_id") < PLANT_PHASH)
     inc_nat = nat.filter(F.col("doc_id") % 10 == 3)

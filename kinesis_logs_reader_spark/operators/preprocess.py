@@ -269,7 +269,10 @@ def cached_canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count,
     )
 
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     def _build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -282,7 +285,12 @@ def cached_canonical_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(normalize_text(F.col("text"))).alias("h"),
         )
 
-    return lru_persisted(spark, "_klrs_canon_digest_cache", sf_dir, _build)
+    return lru_persisted(
+        spark,
+        "_klrs_canon_digest_cache",
+        corpus_key(sf_dir, "documents"),
+        _build,
+    )
 
 
 def q78_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,13 +653,16 @@ def q192_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
     ranged = lru_persisted(
         spark,
         "_klrs_q192_cache",
-        (sf_dir, nparts),
+        (corpus_key(sf_dir, "documents"), nparts),
         lambda: docs.repartitionByRange(nparts, "k", "doc_id").withColumn(
             "_pid", F.spark_partition_id()
         ),

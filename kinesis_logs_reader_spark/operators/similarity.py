@@ -2195,7 +2195,7 @@ def q195_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top10 = lru_persisted(
         spark,
         "_klrs_q195_top10_cache",
-        sf_dir,
+        (corpus_key(sf_dir, "embeddings"), corpus_key(sf_dir, "documents")),
         lambda: _pq_rerank_top10(spark, sf_dir),
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

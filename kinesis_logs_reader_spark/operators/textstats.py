@@ -33,12 +33,15 @@ def cached_doc_tokens(spark: SparkSession, sf_dir: str):
     discipline as the shared MinHash/shingle frames (dedup.py). At
     100 TB the analog is a tokenized intermediate table, not a cache.
     """
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     return lru_persisted(
         spark,
         "_klrs_doc_tokens_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         # explode_nonempty: the inferred size()>0 filter re-runs the
         # split once per row (functions/generate.py) — this is the most
         # shared frame in the engine, so the extra corpus pass matters
@@ -377,7 +380,10 @@ def cached_unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     q152b, q178, q181-via-q178, q191). At 100 TB this is the scored
     intermediate a curation pipeline materializes once per corpus
     version; the oracles all recompute it from raw text."""
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     def _build():
         tok = cached_doc_tokens(spark, sf_dir).select("doc_id", "t")
@@ -414,7 +420,12 @@ def cached_unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return scored
 
-    return lru_persisted(spark, "_klrs_unigram_scored_cache", sf_dir, _build)
+    return lru_persisted(
+        spark,
+        "_klrs_unigram_scored_cache",
+        corpus_key(sf_dir, "documents"),
+        _build,
+    )
 
 
 def q121_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,7 +835,10 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc join; persisted once per session+corpus (same index-reuse
     # discipline as cached_doc_tokens — at 100 TB the analog is a
     # bigram intermediate table). Measured 1.42 -> 0.64 s at sf0.1.
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     # explode_nonempty, not explode (ADVICE r11): the inferred
     # size()>0 filter of a raw explode re-runs the shingle build once
@@ -836,7 +850,7 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = lru_persisted(
         spark,
         "_klrs_doc_bigrams_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         lambda: explode_nonempty(
             docs.select("doc_id", tokens().alias("_toks")),
             shingles_from_tokens(F.col("_toks"), k=2),
@@ -852,7 +866,7 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_counts = lru_persisted(
         spark,
         "_klrs_bigram_counts_cache",
-        sf_dir,
+        corpus_key(sf_dir, "documents"),
         lambda: big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg")),
     )
     ctx = bg_counts.select(
@@ -1013,12 +1027,15 @@ def q152b_perplexity_buckets_scalable(
     # frame ranged under a different partition count — and bounded by
     # the shared small-LRU (ADVICE r6 capped it at 1; ADVICE r10 raised
     # it so corpus-alternating workloads stop thrashing).
-    from kinesis_logs_reader_spark.functions.caching import lru_persisted
+    from kinesis_logs_reader_spark.functions.caching import (
+        corpus_key,
+        lru_persisted,
+    )
 
     ranged = lru_persisted(
         spark,
         "_klrs_q152b_cache",
-        (sf_dir, nparts),
+        (corpus_key(sf_dir, "documents"), nparts),
         lambda: scored.repartitionByRange(
             nparts, "avg_logprob", "doc_id"
         ).withColumn("_pid", F.spark_partition_id()),
