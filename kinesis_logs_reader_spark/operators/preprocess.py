@@ -700,3 +700,179 @@ def q192_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# q204 layout-advisor geometry: 64 files per candidate layout, a
+# Morton curve over 11-bit (user, hour) coordinates, and a probe box
+# RELATIVE to the corpus extents (second eighth of each range:
+# [max div 8, max div 4]) so the box is non-empty at every SF.
+_LAYOUT_FILES = 64
+_LAYOUT_BITS = 5
+
+
+def q204_zorder_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-layout advisor (r13, VERDICT r12 item 7b): which file
+    clustering should the events table be WRITTEN in so a 2-D box
+    predicate (user x time window — the canonical training-data slice)
+    skips the most files on min/max footer stats? Pairs
+    ``sources/layout.py``'s Z-order writer (``morton_z`` /
+    ``zorder_write``) with a declared, oracle-backed analysis: the
+    advisor simulates the three candidate layouts the writer supports
+    — ``sort_x`` (cluster by user), ``sort_y`` (cluster by hour),
+    ``zorder`` (Morton interleave, the 2-D compromise) — and reports,
+    per layout, the files an engine would have to READ for the probe
+    box. q192 plans the shard CONTENTS; this plans the shard ORDER.
+
+    Simulation semantics (exactly what parquet row-group skipping
+    does): each layout assigns every row to one of 64 equi-width files
+    along its clustering key (``key * 64 div (key_max + 1)`` — integer
+    division on broadcast scalar maxima, not a sampled range
+    partitioner, so the assignment is deterministic and the DuckDB
+    oracle replays it bit-for-bit); a file must be read iff its
+    per-file (min_x..max_x, min_y..max_y) bounding box intersects the
+    probe box ([max div 8, max div 4] of each coordinate — relative to
+    the corpus extents so the probe stays non-empty at every SF).
+    Coordinates: x = user_id, y = hour(ts) - min hour, each
+    equi-width-snapped to a dense 5-bit grid cell before the Morton
+    interleave (grid-snap-then-curve — see the inline note).
+
+    Output per layout (all integers): occupied files, files hit,
+    files_pruned_ppm, rows_scanned (sum over hit files), rows_matching
+    (true box selectivity — layout-invariant), read_amp_ppm
+    (rows_scanned vs rows_matching), and the advisor's pick
+    (recommended = minimal rows_scanned, ties to layout name). On this
+    corpus the Z-order layout wins by construction — a user-sorted
+    layout reads every file for a time-windowed slice, an hour-sorted
+    one reads every file for a user slice, the curve bounds both.
+
+    Scale shape: ONE corpus scan -> the (layout, file) assignment
+    EXPLODES 3 rows per event -> groupBy(layout, file) partial-
+    aggregates map-side into <= 3x64 groups, so the only corpus-scale
+    exchange carries <= 192 rows of int mins/maxes/counts; the scalar
+    maxima and the box-selectivity count broadcast (the sanctioned
+    one-row crossJoin idiom); the final intersect/recommend pass runs
+    on 3 rows. At 100 TB this is a metadata-cost planning query: the
+    corpus is read once, nothing corpus-sized shuffles.
+
+    Reference analog: none (beyond-reference mandate; the layout
+    family: sources/layout.py writers, q192 shard plan, q201 skew
+    advisor).
+    """
+    from kinesis_logs_reader_spark.sources.layout import morton_z
+
+    m, bits = _LAYOUT_FILES, _LAYOUT_BITS
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("x"),
+        F.expr("unix_seconds(cast(ts as timestamp)) div 3600").alias("hr"),
+    )
+    base = ev.groupBy().agg(F.min("hr").alias("hr0"))
+    pts = ev.join(F.broadcast(base)).select(
+        "x", (F.col("hr") - F.col("hr0")).alias("y")
+    )
+    maxes = pts.groupBy().agg(
+        F.max("x").alias("xm"), F.max("y").alias("ym")
+    )
+    # grid-snap-then-curve: equi-width-bucket each dimension to 2^bits
+    # DENSE cells first (0..2^bits-1 — on a uniform corpus this is the
+    # deterministic stand-in for the writer's range partitioner), then
+    # interleave; every curve position is populated, so the 64 file
+    # cuts are equi-height and each file covers a tight 2-D box. An
+    # equi-width cut of the RAW Morton domain was measured leaving
+    # 2/3 of the file slots empty (the interleave of <2^11-bounded
+    # coordinates occupies a sparse sub-lattice).
+    snapped = pts.join(F.broadcast(maxes)).select(
+        "x",
+        "y",
+        F.expr(f"x * {2 ** bits}L div (xm + 1L)").alias("xs"),
+        F.expr(f"y * {2 ** bits}L div (ym + 1L)").alias("ys"),
+    )
+    z_cells = (1 << (2 * bits))
+    assigned = snapped.withColumn(
+        "z", morton_z(F.col("xs"), F.col("ys"), bits=bits)
+    ).select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sort_x").alias("layout"),
+                    F.expr(f"xs * {m}L div {2 ** bits}L").alias("file"),
+                ),
+                F.struct(
+                    F.lit("sort_y").alias("layout"),
+                    F.expr(f"ys * {m}L div {2 ** bits}L").alias("file"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"z * {m}L div {z_cells}L").alias("file"),
+                ),
+            )
+        ).alias("lf"),
+    )
+    files = (
+        assigned.groupBy("lf.layout", "lf.file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+    box = [
+        F.expr("xm div 8").alias("x_lo"),
+        F.expr("xm div 4").alias("x_hi"),
+        F.expr("ym div 8").alias("y_lo"),
+        F.expr("ym div 4").alias("y_hi"),
+    ]
+    hit = (
+        (F.col("min_x") <= F.col("x_hi"))
+        & (F.col("max_x") >= F.col("x_lo"))
+        & (F.col("min_y") <= F.col("y_hi"))
+        & (F.col("max_y") >= F.col("y_lo"))
+    )
+    files = files.join(F.broadcast(maxes.select(*box)))
+    matching = (
+        pts.join(F.broadcast(maxes.select(*box)))
+        .filter(
+            (F.col("x") >= F.col("x_lo"))
+            & (F.col("x") <= F.col("x_hi"))
+            & (F.col("y") >= F.col("y_lo"))
+            & (F.col("y") <= F.col("y_hi"))
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("rows_matching"))
+    )
+    per_layout = (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit.cast("int")).alias("n_files_hit"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_scanned"
+            ),
+        )
+        .join(F.broadcast(matching))
+        .select(
+            "layout",
+            "n_files",
+            "n_files_hit",
+            F.expr(
+                f"(n_files - n_files_hit) * 1000000L div n_files"
+            ).alias("files_pruned_ppm"),
+            "rows_scanned",
+            "rows_matching",
+            F.expr(
+                "rows_scanned * 1000000L div greatest(rows_matching, 1L)"
+            ).alias("read_amp_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("rows_scanned", "layout")
+    return (
+        per_layout.withColumn(
+            "recommended", (F.row_number().over(w) == 1)
+        )
+        .orderBy("layout")
+    )

@@ -5758,3 +5758,67 @@ SELECT source, n_added, n_removed, n_changed, n_unchanged,
 FROM per
 ORDER BY source
 """
+
+
+# q204: Z-order layout advisor — grid-snap-then-curve file simulation,
+# per-layout footer-stats skipping for a corpus-relative probe box,
+# all integer arithmetic (the Morton interleave is the same literal
+# shift expression layout.py::morton_z compiles to).
+ORACLE["q204_zorder_layout_advisor"] = """
+WITH ev AS (
+  SELECT user_id AS x,
+         CAST(epoch(ts) AS BIGINT) // 3600 AS hr
+  FROM events
+), base AS (
+  SELECT MIN(hr) AS hr0 FROM ev
+), pts AS (
+  SELECT x, hr - hr0 AS y FROM ev, base
+), maxes AS (
+  SELECT MAX(x) AS xm, MAX(y) AS ym FROM pts
+), snapped AS (
+  SELECT x, y,
+         x * 32 // (xm + 1) AS xs,
+         y * 32 // (ym + 1) AS ys
+  FROM pts, maxes
+), zc AS (
+  SELECT x, y, xs, ys, (((xs >> 0) & 1) << 0) + (((ys >> 0) & 1) << 1) + (((xs >> 1) & 1) << 2) + (((ys >> 1) & 1) << 3) + (((xs >> 2) & 1) << 4) + (((ys >> 2) & 1) << 5) + (((xs >> 3) & 1) << 6) + (((ys >> 3) & 1) << 7) + (((xs >> 4) & 1) << 8) + (((ys >> 4) & 1) << 9) AS z FROM snapped
+), assigned AS (
+  SELECT x, y, 'sort_x' AS layout, xs * 64 // 32 AS f FROM zc
+  UNION ALL
+  SELECT x, y, 'sort_y', ys * 64 // 32 FROM zc
+  UNION ALL
+  SELECT x, y, 'zorder', z * 64 // 1024 FROM zc
+), files AS (
+  SELECT layout, f, COUNT(*) AS n_rows,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y
+  FROM assigned GROUP BY layout, f
+), box AS (
+  SELECT xm // 8 AS x_lo, xm // 4 AS x_hi,
+         ym // 8 AS y_lo, ym // 4 AS y_hi
+  FROM maxes
+), matching AS (
+  SELECT COUNT(*) AS rows_matching FROM pts, box
+  WHERE x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi
+), per AS (
+  SELECT layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN min_x <= x_hi AND max_x >= x_lo
+                        AND min_y <= y_hi AND max_y >= y_lo
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+         CAST(SUM(CASE WHEN min_x <= x_hi AND max_x >= x_lo
+                        AND min_y <= y_hi AND max_y >= y_lo
+                  THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM files, box GROUP BY layout
+)
+SELECT layout, n_files, n_files_hit,
+       CAST((n_files - n_files_hit) * 1000000 // n_files AS BIGINT)
+         AS files_pruned_ppm,
+       rows_scanned,
+       CAST(rows_matching AS BIGINT) AS rows_matching,
+       CAST(rows_scanned * 1000000 // GREATEST(rows_matching, 1) AS BIGINT)
+         AS read_amp_ppm,
+       ROW_NUMBER() OVER (ORDER BY rows_scanned, layout) = 1 AS recommended
+FROM per, matching
+ORDER BY layout
+"""

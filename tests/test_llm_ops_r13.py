@@ -114,3 +114,143 @@ def test_q131c_estimator_recomputed_in_python(spark, tmp_path):
     # the constant columns have exactly 1 distinct value -> LC gives 1
     for c in ("o_orderstatus", "o_totalprice", "o_orderdate"):
         assert got[c].n_distinct_est == 1, c
+
+
+def _write_events(path, rows):
+    """rows: (event_id, ts_us_epoch, user_id)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            },
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                    ("props", pa.string()),
+                ]
+            ),
+        ),
+        path + "/events.parquet",
+    )
+
+
+def _advisor_replay(points, m=64, bits=5):
+    """Pure-Python replay of the q204 simulation: points = [(x, y)]."""
+    xm, ym = max(p[0] for p in points), max(p[1] for p in points)
+    box = (xm // 8, xm // 4, ym // 8, ym // 4)
+
+    def morton(xs, ys):
+        z = 0
+        for i in range(bits):
+            z |= ((xs >> i) & 1) << (2 * i)
+            z |= ((ys >> i) & 1) << (2 * i + 1)
+        return z
+
+    files = {}
+    for x, y in points:
+        xs, ys = x * (1 << bits) // (xm + 1), y * (1 << bits) // (ym + 1)
+        for layout, f in (
+            ("sort_x", xs * m // (1 << bits)),
+            ("sort_y", ys * m // (1 << bits)),
+            ("zorder", morton(xs, ys) * m // (1 << (2 * bits))),
+        ):
+            st = files.setdefault((layout, f), [0, 10**9, -1, 10**9, -1])
+            st[0] += 1
+            st[1], st[2] = min(st[1], x), max(st[2], x)
+            st[3], st[4] = min(st[3], y), max(st[4], y)
+    x_lo, x_hi, y_lo, y_hi = box
+    matching = sum(
+        1 for x, y in points if x_lo <= x <= x_hi and y_lo <= y <= y_hi
+    )
+    out = {}
+    for layout in ("sort_x", "sort_y", "zorder"):
+        fl = {k: v for k, v in files.items() if k[0] == layout}
+        hit = [
+            v
+            for v in fl.values()
+            if v[1] <= x_hi and v[2] >= x_lo and v[3] <= y_hi and v[4] >= y_lo
+        ]
+        out[layout] = {
+            "n_files": len(fl),
+            "n_files_hit": len(hit),
+            "rows_scanned": sum(v[0] for v in hit),
+            "rows_matching": matching,
+        }
+    return out
+
+
+def test_q204_full_python_replay_on_planted_grid(spark, tmp_path):
+    """A complete 32x32 (user, hour) grid: the advisor's every integer
+    must equal the pure-Python replay of the simulation, and Z-order
+    must be the recommendation (a user-sorted layout reads ~1/4 of
+    files for the quarter-range box, the curve reads only the corner
+    tiles)."""
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        q204_zorder_layout_advisor,
+    )
+
+    base_us = 1_700_000_000 * 1_000_000
+    rows, eid = [], 0
+    points = [(x, y) for x in range(32) for y in range(32)]
+    for x, y in points:
+        rows.append((eid, base_us + y * 3600 * 1_000_000, x))
+        eid += 1
+    _write_events(str(tmp_path), rows)
+    got = {
+        r.layout: r
+        for r in q204_zorder_layout_advisor(spark, str(tmp_path)).collect()
+    }
+    want = _advisor_replay(points)
+    for layout, w in want.items():
+        g = got[layout]
+        assert (
+            g.n_files,
+            g.n_files_hit,
+            g.rows_scanned,
+            g.rows_matching,
+        ) == (
+            w["n_files"],
+            w["n_files_hit"],
+            w["rows_scanned"],
+            w["rows_matching"],
+        ), layout
+    assert got["zorder"].recommended
+    assert not got["sort_x"].recommended and not got["sort_y"].recommended
+    # scanning a superset of the matching rows is a simulation invariant
+    for r in got.values():
+        assert r.rows_scanned >= r.rows_matching
+
+
+def test_q204_plan_shape(spark):
+    """q204's plan: ONE corpus-scale exchange (the <=3x64-group
+    (layout, file) aggregate, partial-combined map-side), scalar
+    maxima/box/selectivity ride broadcast one-row joins (the
+    sanctioned idiom — BNLJ allowed, never a CartesianProduct or
+    SMJ), exactly one Generate (the 3-layout explode), no Python."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.preprocess import (
+        q204_zorder_layout_advisor,
+    )
+    from tests.conftest import SF_DIR
+    from tests.test_plans import explain
+
+    plan = explain.formatted_plan(q204_zorder_layout_advisor(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    nodes = set(re.findall(r"\(\d+\) Generate", plan))
+    assert len(nodes) == 1, plan
+    assert "partial_min" in plan or "partial_count" in plan
