@@ -2468,3 +2468,158 @@ def q203_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_added + n_removed + n_changed + n_unchanged)"
         ).alias("churn_ppm"),
     ).orderBy("source")
+
+
+# q205 decision thresholds (integer ppm): retrain a source when at
+# least a fifth of its keyspace churned OR its length distribution
+# moved by >= 0.15 total variation x2 (L1 on ppm shares).
+_RETRAIN_CHURN_PPM = 200_000
+_RETRAIN_DRIFT_PPM = 150_000
+
+
+def q205_retrain_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retrain decision (r13, VERDICT r12 item 7a): the
+    query a pipeline runs after a snapshot diff to decide WHICH
+    sources deserve an incremental re-train — combining a q203-style
+    churn ledger (how much of the keyspace changed) with a
+    distribution-drift signal (how much the content SHAPE moved, the
+    q137/q183 monitoring family) into one thresholded verdict. Churn
+    without drift = routine refresh; drift without churn (or below
+    the churn bar) = the incoming slice looks different; both =
+    retrain unconditionally.
+
+    Snapshot construction: q203's even/odd split degenerates here —
+    the generator assigns source = f(doc_id mod 20), so doc-id parity
+    splits SOURCES, not documents. Instead v0 = the corpus keyed by
+    doc_id and v1 plants one deterministic scenario per source class:
+    sources 3/13 mutate every text SAME-LENGTH ('Z' swap — churn with
+    exactly zero drift), sources 9/19 disappear (churn and drift both
+    saturate), sources 7/17 gain a fifth more documents padded to
+    1024 chars (bucket-15 exclusive: length drift ~333k ppm while
+    churn stays at 166,666 < the 200k bar — the pure-drift class),
+    everything else is byte-identical (exact zeros). All four verdict
+    classes are hit by construction at sf0.01+ (pinned).
+
+    Signals, all integer ppm: churn_ppm = (added + removed + changed)
+    * 1e6 div key-union (the q203 ledger arithmetic, md5(coalesce(
+    text, '')) digests); drift_ppm = L1 distance between the two
+    versions' 64-char-bucket length histograms (cap 15; shares as
+    cnt * 1e6 div version-total, GREATEST(total, 1) guarded).
+
+    Scale shape: the churn side is two digest-frame scans + ONE
+    key-keyed co-partitioned full-outer join (16-byte digests move,
+    text never does — the only corpus-scale exchange); the drift side
+    collapses map-side into <= |sources| x 16 x 2 count cells; the
+    verdict join is |sources|-bounded and broadcast.
+
+    Reference analog: none (beyond-reference mandate; monitoring
+    family q136/q137/q183 x snapshot family q203).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    cls = F.col("doc_id") % 20
+    mutated = cls.isin(3, 13)
+    removed = cls.isin(9, 19)
+    added_src = cls.isin(7, 17) & (F.expr("(doc_id div 20) % 5") == 0)
+
+    v1_kept = docs.filter(~removed).select(
+        F.col("doc_id").alias("key"),
+        "source",
+        F.when(
+            mutated, F.concat(F.lit("Z"), F.substring("text", 2, 1 << 30))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v1_added = docs.filter(added_src).select(
+        (F.col("doc_id") + 1_000_000_000).alias("key"),
+        "source",
+        F.rpad("text", 1024, "x").alias("text"),
+    )
+    v0 = docs.select(F.col("doc_id").alias("key"), "source", "text")
+    v1 = v1_kept.unionByName(v1_added)
+
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            "key",
+            F.col("source").alias(f"src_{side}"),
+            F.md5("text").alias(f"dig_{side}"),
+        )
+
+    joined = digests(v0, "v0").join(digests(v1, "v1"), "key", "full")
+    status = (
+        F.when(F.col("dig_v0").isNull(), F.lit("added"))
+        .when(F.col("dig_v1").isNull(), F.lit("removed"))
+        .when(F.col("dig_v0") == F.col("dig_v1"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    churn = (
+        joined.select(
+            F.coalesce("src_v1", "src_v0").alias("source"),
+            status.alias("_st"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_st") != "unchanged", 1).otherwise(0)).alias(
+                "n_delta"
+            ),
+            F.count(F.lit(1)).alias("n_union"),
+        )
+        .select(
+            "source",
+            F.expr("n_delta * 1000000L div n_union").alias("churn_ppm"),
+        )
+    )
+
+    def hist(df: DataFrame, n_col: str) -> DataFrame:
+        return (
+            df.select(
+                "source",
+                F.least(F.length("text") / F.lit(64), F.lit(15))
+                .cast("int")
+                .alias("lb"),
+            )
+            .groupBy("source", "lb")
+            .agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    cells = hist(v0, "n0").join(hist(v1, "n1"), ["source", "lb"], "full")
+    cells = cells.select(
+        "source",
+        F.coalesce("n0", F.lit(0)).alias("n0"),
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+    )
+    totals = cells.groupBy("source").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    drift = (
+        cells.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.abs(
+                F.expr("n0 * 1000000L div greatest(t0, 1L)")
+                - F.expr("n1 * 1000000L div greatest(t1, 1L)")
+            ).alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").alias("drift_ppm"))
+    )
+    c, d = _RETRAIN_CHURN_PPM, _RETRAIN_DRIFT_PPM
+    hit_c = F.col("churn_ppm") >= c
+    hit_d = F.col("drift_ppm") >= d
+    return (
+        churn.join(drift, "source")
+        .select(
+            "source",
+            "churn_ppm",
+            "drift_ppm",
+            F.when(hit_c & hit_d, F.lit("both"))
+            .when(hit_c, F.lit("churn"))
+            .when(hit_d, F.lit("drift"))
+            .otherwise(F.lit("none"))
+            .alias("trigger"),
+            (hit_c | hit_d).alias("retrain"),
+        )
+        .orderBy("source")
+    )

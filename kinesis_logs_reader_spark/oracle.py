@@ -5822,3 +5822,61 @@ SELECT layout, n_files, n_files_hit,
 FROM per, matching
 ORDER BY layout
 """
+
+
+# q205: retrain trigger — the q203 churn arithmetic over a four-class
+# planted snapshot pair (same-length mutation / removal / padded
+# additions / identity) joined with the 64-char-bucket length-drift
+# L1, thresholded at 200k/150k ppm.
+ORACLE["q205_retrain_trigger"] = """
+WITH docs AS (
+  SELECT doc_id, source, COALESCE(text, '') AS text FROM documents
+), v0 AS (
+  SELECT doc_id AS key, source, text FROM docs
+), v1 AS (
+  SELECT doc_id AS key, source,
+         CASE WHEN doc_id % 20 IN (3, 13)
+              THEN 'Z' || substr(text, 2) ELSE text END AS text
+  FROM docs WHERE doc_id % 20 NOT IN (9, 19)
+  UNION ALL
+  SELECT doc_id + 1000000000, source, rpad(text, 1024, 'x')
+  FROM docs WHERE doc_id % 20 IN (7, 17) AND (doc_id // 20) % 5 = 0
+), j AS (
+  SELECT COALESCE(b.source, a.source) AS source,
+         CASE WHEN a.key IS NULL OR b.key IS NULL
+                OR md5(a.text) <> md5(b.text)
+              THEN 1 ELSE 0 END AS delta
+  FROM v0 a FULL OUTER JOIN v1 b ON a.key = b.key
+), churn AS (
+  SELECT source,
+         CAST(SUM(delta) * 1000000 // COUNT(*) AS BIGINT) AS churn_ppm
+  FROM j GROUP BY source
+), h0 AS (
+  SELECT source, LEAST(length(text) // 64, 15) AS lb, COUNT(*) AS n0
+  FROM v0 GROUP BY 1, 2
+), h1 AS (
+  SELECT source, LEAST(length(text) // 64, 15) AS lb, COUNT(*) AS n1
+  FROM v1 GROUP BY 1, 2
+), cells AS (
+  SELECT COALESCE(h0.source, h1.source) AS source,
+         COALESCE(n0, 0) AS n0, COALESCE(n1, 0) AS n1
+  FROM h0 FULL OUTER JOIN h1
+    ON h0.source = h1.source AND h0.lb = h1.lb
+), totals AS (
+  SELECT source, SUM(n0) AS t0, SUM(n1) AS t1 FROM cells GROUP BY source
+), drift AS (
+  SELECT c.source,
+         CAST(SUM(ABS(n0 * 1000000 // GREATEST(t0, 1)
+                      - n1 * 1000000 // GREATEST(t1, 1))) AS BIGINT)
+           AS drift_ppm
+  FROM cells c JOIN totals t ON c.source = t.source GROUP BY c.source
+)
+SELECT churn.source AS source, churn_ppm, drift_ppm,
+       CASE WHEN churn_ppm >= 200000 AND drift_ppm >= 150000 THEN 'both'
+            WHEN churn_ppm >= 200000 THEN 'churn'
+            WHEN drift_ppm >= 150000 THEN 'drift'
+            ELSE 'none' END AS trigger,
+       (churn_ppm >= 200000 OR drift_ppm >= 150000) AS retrain
+FROM churn JOIN drift ON churn.source = drift.source
+ORDER BY source
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 215  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 216  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +46,7 @@ N_QUERIES = 215  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 215  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 216  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -70,7 +70,9 @@ N_ORACLES = 215  # all r7-r10 additions are fully oracle-backed
 #                  r13: +q131c deterministic-sketch table profile (the
 #                       hash-green production half of the q131 family),
 #                      +q204 Z-order layout advisor (grid-snap-then-curve
-#                       file-skipping simulation over layout.py's writers)
+#                       file-skipping simulation over layout.py's writers),
+#                      +q205 per-source retrain trigger (q203 churn x
+#                       length-histogram drift, four-class verdict)
 
 _OPERATOR_MODULES = (
     "analytics",
@@ -569,6 +571,7 @@ DRIVER_WINDOW: list[str] = [
     # (0) new this round
     "q131c_table_profile_kmv",
     "q204_zorder_layout_advisor",
+    "q205_retrain_trigger",
     # (1) changed kernels this round (r12 ADVICE fixes)
     "q103_approx_percentile",
     "q119_knn_join",
@@ -619,7 +622,6 @@ DRIVER_WINDOW: list[str] = [
     "q67_stats_agg",
     "q68_shipping_priority",
     "q69_local_supplier_volume",
-    "q70_returned_items",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -631,6 +633,7 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # 6-round policy ceiling at r15 — running them in r14 keeps slack.
 # Changed/new r14 kernels still jump this queue.
 DRIVER_WINDOW_R14_STAGED: list[str] = [
+    "q70_returned_items",  # displaced when q205 entered as a new key
     "q71_large_volume_customer",  # displaced when q204 entered as a new key
     "q72_inactive_rich_customers",  # displaced when q131c entered as a new key
     "q73_cheapest_lineitem_per_part",

@@ -254,3 +254,50 @@ def test_q204_plan_shape(spark):
     nodes = set(re.findall(r"\(\d+\) Generate", plan))
     assert len(nodes) == 1, plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_q205_verdict_classes_by_construction(spark):
+    """The planted scenario hits every verdict class on the real
+    corpus: same-length mutation sources trigger churn with EXACTLY
+    zero drift, vanished sources saturate both signals, the padded-
+    addition sources sit below the churn bar (166,666 < 200,000) but
+    above the drift bar, and untouched sources read exact zeros."""
+    from kinesis_logs_reader_spark.operators.dedup import q205_retrain_trigger
+
+    rows = {r.source: r for r in q205_retrain_trigger(spark, SF_DIR).collect()}
+    assert len(rows) == 20
+    for s in ("src3", "src13"):
+        assert (rows[s].trigger, rows[s].churn_ppm, rows[s].drift_ppm) == (
+            "churn",
+            1_000_000,
+            0,
+        ), s
+    for s in ("src9", "src19"):
+        assert (rows[s].trigger, rows[s].churn_ppm, rows[s].drift_ppm) == (
+            "both",
+            1_000_000,
+            1_000_000,
+        ), s
+    for s in ("src7", "src17"):
+        r = rows[s]
+        assert r.trigger == "drift" and r.retrain, s
+        assert r.churn_ppm == 166_666  # 1/6 of the key union, floor-div
+        assert r.drift_ppm >= 150_000
+    for s in ("src0", "src2", "src4"):
+        assert (rows[s].trigger, rows[s].retrain, rows[s].churn_ppm,
+                rows[s].drift_ppm) == ("none", False, 0, 0), s
+
+
+def test_q205_plan_shape(spark):
+    """q205: the churn side's key-keyed full-outer digest join is the
+    only corpus-scale exchange family (full outer cannot broadcast —
+    SMJ is expected there, the q199 lesson); the drift side partial-
+    aggregates into <= |sources| x 16 cells; no Python, no cartesian;
+    text moves as 16-byte md5 digests through the join, never raw."""
+    from kinesis_logs_reader_spark.operators.dedup import q205_retrain_trigger
+    from tests.test_plans import explain
+
+    plan = explain.formatted_plan(q205_retrain_trigger(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
