@@ -310,6 +310,10 @@ SF3_KEYS = [
     "q02_filter_predicates",
     "q131_table_profile",
     "q131c_table_profile_kmv",
+    # r13 closing: 30x receipts for the round's new/changed kernels
+    "q163_srp_banded_pairs",
+    "q204_zorder_layout_advisor",
+    "q205_retrain_trigger",
 ]
 
 
