@@ -1044,3 +1044,184 @@ def run_phash_admission_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_retrain_monitor_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str
+) -> None:
+    """One micro-batch of the retrain-monitor sink (the streaming twin
+    of ``dedup.q205_retrain_trigger``, VERDICT r12 item 7a): compare
+    the incoming documents against the cumulative snapshot STORE and
+    emit a per-source churn/drift verdict row for this batch, then
+    fold the batch into the store.
+
+    Semantics on an append stream (vs the batch q205 snapshot diff):
+    'removed' is not observable in an incoming feed, so churn counts
+    added (key unseen in the store) + changed (key present, digest
+    differs) over the BATCH's keys per source; drift is the L1
+    distance between the batch's 64-char-bucket length histogram and
+    the store's CURRENT per-source histogram (no baseline -> drift 0
+    on a source's first batch, never a spurious trigger). Thresholds
+    are the q205 module constants, so the batch and streaming
+    verdicts can't drift apart.
+
+    Store rows: (key, source, dig, lb, batch_id) in ``batch_id=<id>``
+    hive partitions with per-partition overwrite — the established
+    replay-idempotence discipline (a checkpoint replay overwrites the
+    same partitions; the store read excludes this batch's own
+    partition, and a re-keyed document takes its LATEST store row by
+    max batch_id). Per batch the store is scanned once for the join
+    and once for the histogram — the same O(store-scan) contract as
+    the other admission sinks; at scale both sides are digest/
+    source-bucketed side tables.
+    """
+    import os
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _RETRAIN_CHURN_PPM,
+        _RETRAIN_DRIFT_PPM,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.select(
+        F.col("doc_id").alias("key"),
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("dig"),
+        F.least(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / F.lit(64),
+            F.lit(15),
+        )
+        .cast("int")
+        .alias("lb"),
+    )
+    if _store_has_batches(store_dir):
+        store = spark.read.parquet(store_dir)
+        if "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") != batch_id)
+    else:
+        store = spark.createDataFrame(
+            [], "key long, source string, dig string, lb int, batch_id long"
+        )
+
+    # churn: batch keys vs the store's LATEST row per key (a re-keyed
+    # doc must compare against its newest admitted digest)
+    hits = batch.join(
+        store.select("key", F.col("dig").alias("dig_old"), "batch_id"),
+        "key",
+        "left",
+    )
+    latest = (
+        hits.groupBy("key", "source", "dig")
+        .agg(F.max_by("dig_old", F.coalesce("batch_id", F.lit(-1))).alias("dig_old"))
+    )
+    status = (
+        F.when(F.col("dig_old").isNull(), F.lit("added"))
+        .when(F.col("dig_old") != F.col("dig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    churn = (
+        latest.select("source", status.alias("_st"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_st") == "added", 1).otherwise(0)).alias(
+                "n_added"
+            ),
+            F.sum(F.when(F.col("_st") == "changed", 1).otherwise(0)).alias(
+                "n_changed"
+            ),
+            F.sum(
+                F.when(F.col("_st") == "unchanged", 1).otherwise(0)
+            ).alias("n_unchanged"),
+            F.count(F.lit(1)).alias("n_batch"),
+        )
+        .select(
+            "source",
+            "n_added",
+            "n_changed",
+            "n_unchanged",
+            F.expr(
+                "(n_added + n_changed) * 1000000L div n_batch"
+            ).alias("churn_ppm"),
+        )
+    )
+
+    # drift: batch histogram vs the store's current per-source histogram
+    h_new = batch.groupBy("source", "lb").agg(F.count(F.lit(1)).alias("n1"))
+    h_old = store.groupBy("source", "lb").agg(F.count(F.lit(1)).alias("n0"))
+    cells = (
+        h_new.join(h_old, ["source", "lb"], "full")
+        .select(
+            "source",
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+        )
+    )
+    totals = cells.groupBy("source").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    drift = (
+        cells.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            F.when(F.col("t0") == 0, F.lit(0))  # no baseline -> no signal
+            .otherwise(
+                F.abs(
+                    F.expr("n0 * 1000000L div greatest(t0, 1L)")
+                    - F.expr("n1 * 1000000L div greatest(t1, 1L)")
+                )
+            )
+            .alias("d"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d").alias("drift_ppm"))
+    )
+    c, d = _RETRAIN_CHURN_PPM, _RETRAIN_DRIFT_PPM
+    hit_c = F.col("churn_ppm") >= c
+    hit_d = F.col("drift_ppm") >= d
+    verdicts = (
+        churn.join(drift, "source", "left")
+        .select(
+            "source",
+            "n_added",
+            "n_changed",
+            "n_unchanged",
+            "churn_ppm",
+            F.coalesce("drift_ppm", F.lit(0)).alias("drift_ppm"),
+        )
+        .select(
+            "*",
+            F.when(hit_c & hit_d, F.lit("both"))
+            .when(hit_c, F.lit("churn"))
+            .when(hit_d, F.lit("drift"))
+            .otherwise(F.lit("none"))
+            .alias("trigger"),
+        )
+    )
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+    batch.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_retrain_monitor_sink(
+    docs_stream: DataFrame, checkpoint: str, store_dir: str, out_dir: str
+):
+    """Continuous retrain monitoring (streaming q205): per micro-batch,
+    score the incoming documents' churn and length-distribution drift
+    against the cumulative snapshot store and emit per-source verdict
+    rows. foreachBatch because the baseline is an unbounded external
+    snapshot store (digest + one histogram bucket per doc), not a
+    watermark-boundable aggregation — the q160/q200 admission-sink
+    contract applied to the monitoring family."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_retrain_monitor_batch(batch_df, batch_id, store_dir, out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1126,3 +1126,112 @@ def test_phash_admission_sink_survives_session_restart(spark, tmp_path):
     if verdicts[11] == "novel":
         assert sig.filter(F.col("doc_id") == 11).count() == 5
     assert sig.filter(F.col("doc_id") == 10).count() == 0
+
+
+def test_retrain_monitor_sink_streaming_q205_twin(spark, tmp_path):
+    """Retrain-monitor sink (streaming q205): wave 1 establishes the
+    baseline (all added, drift suppressed — no baseline), wave 2
+    carries one unchanged doc, one same-length mutation, and one new
+    long doc per source; the verdicts must match the hand-computed
+    churn/drift arithmetic, and a checkpoint-style replay of wave 2
+    must be idempotent (identical verdicts, identical store)."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_retrain_monitor_batch,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    t = "some reasonably sized document text for the monitor baseline!!"
+    assert len(t) < 64  # bucket 0 by construction
+    wave1 = [(1, t, "a"), (2, t, "a"), (3, t, "b"), (4, t, "b")]
+    b1 = spark.createDataFrame(wave1, "doc_id long, text string, source string")
+    apply_retrain_monitor_batch(b1, 0, store, out)
+    v1 = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=0")).collect()
+    }
+    for s in ("a", "b"):
+        assert (v1[s].n_added, v1[s].churn_ppm, v1[s].drift_ppm) == (
+            2,
+            1_000_000,
+            0,  # no baseline -> drift suppressed
+        ), s
+        assert v1[s].trigger == "churn"
+
+    # wave 2: source a = 1 unchanged + 1 same-length mutation (churn
+    # 500000, drift 0 vs the all-bucket-0 baseline); source b = 1
+    # unchanged + 1 NEW long doc (churn 500000, drift = |1e6/2 - 0| +
+    # |1e6/2 - 1e6| = 1e6 over the {0, 15} buckets... store hist is
+    # all bucket 0: |2*1e6/2 - 1*1e6/2|? computed below by replay)
+    wave2 = [
+        (1, t, "a"),  # unchanged
+        (2, "Z" + t[1:], "a"),  # same-length mutation
+        (3, t, "b"),  # unchanged
+        (9, "x" * 1024, "b"),  # new long doc -> bucket 15
+    ]
+    b2 = spark.createDataFrame(wave2, "doc_id long, text string, source string")
+    apply_retrain_monitor_batch(b2, 1, store, out)
+    v2 = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    a, b = v2["a"], v2["b"]
+    assert (a.n_added, a.n_changed, a.n_unchanged) == (0, 1, 1)
+    assert a.churn_ppm == 500_000
+    # batch hist == store hist (both 100% bucket 0) -> drift exactly 0
+    assert a.drift_ppm == 0 and a.trigger == "churn"
+    assert (b.n_added, b.n_changed, b.n_unchanged) == (1, 0, 1)
+    assert b.churn_ppm == 500_000
+    # store(b): 2 docs bucket 0; batch(b): 1 bucket 0 + 1 bucket 15
+    # L1 = |1e6 - 5e5| + |0 - 5e5| = 1e6
+    assert b.drift_ppm == 1_000_000 and b.trigger == "both"
+
+    # replay wave 2 (same batch_id): verdicts and store identical
+    before = sorted(
+        map(tuple, spark.read.parquet(store).drop("batch_id").collect())
+    )
+    apply_retrain_monitor_batch(b2, 1, store, out)
+    v2r = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    assert {s: tuple(r) for s, r in v2.items()} == {
+        s: tuple(r) for s, r in v2r.items()
+    }
+    after = sorted(
+        map(tuple, spark.read.parquet(store).drop("batch_id").collect())
+    )
+    assert before == after
+
+
+def test_retrain_monitor_sink_end_to_end(spark, tmp_path):
+    """run_retrain_monitor_sink drains a file-source replay under
+    AvailableNow and lands one verdict partition per micro-batch."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        run_retrain_monitor_sink,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    docs = [(i, f"document number {i} with some text", "s") for i in range(8)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(src / "w1"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src) + "/*")
+    q = run_retrain_monitor_sink(
+        stream,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 1
+    assert rows[0].source == "s" and rows[0].n_added == 8
+    assert rows[0].churn_ppm == 1_000_000 and rows[0].drift_ppm == 0
