@@ -301,3 +301,54 @@ def test_q205_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q131c_minsum_branch_recomputed_in_python(spark, tmp_path):
+    """The f=M estimator branch (every substream hit — the branch the
+    500-key LC test never reaches): 20k distinct keys saturate all 256
+    substreams whp; the query's estimate must equal the pure-Python
+    integer min-sum replay exactly, and the replay must confirm f=M
+    actually held (else the fixture, not the engine, is wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.sqlsurface import (
+        q131c_table_profile_kmv,
+    )
+
+    n = 20_000
+    keys = list(range(1, n + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": keys,
+                "o_custkey": [k % 7 for k in keys],
+                "o_orderstatus": ["O"] * n,
+                "o_totalprice": [100.25] * n,
+                "o_orderdate": [1_700_000_000_000_000] * n,
+                "o_orderpriority": ["1-URGENT"] * n,
+            },
+            schema=pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_orderstatus", pa.string()),
+                    ("o_totalprice", pa.float64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ),
+        ),
+        tmp_path / "orders.parquet",
+    )
+    M, S = 256, 1 << 44
+    mins: dict[int, int] = {}
+    for k in keys:
+        w = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+        mins[w % M] = min(mins.get(w % M, S), w // M)
+    assert len(mins) == M, "fixture must saturate every substream"
+    expected = (S * M * M) // sum(mins.values()) - M
+    got = _rows(q131c_table_profile_kmv(spark, str(tmp_path)))
+    assert got["o_orderkey"].n_distinct_est == expected
+    # and the estimate is within the documented budget of the truth
+    assert abs(expected - n) <= 0.25 * n
