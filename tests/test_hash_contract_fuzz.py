@@ -595,3 +595,41 @@ def test_centroid_floor_division_shared_ieee(spark):
         ).fetchall()
     ]
     assert [r.c for r in got] == want
+
+
+def test_hex_prefix_to_int_agrees(spark):
+    """q131c's hex-parse idiom: Spark ``conv(substr(h,1,13), 16, 10)``
+    and DuckDB ``CAST('0x' || substr(h,1,13) AS BIGINT)`` must agree
+    bit-for-bit on adversarial 13-char prefixes — leading zeros, all
+    'f's (the 52-bit max), all '9's (decimal-lookalike), and real md5
+    prefixes — plus the substream/grid split arithmetic (w % 256,
+    w // 256) downstream of the parse."""
+    prefixes = [
+        "0000000000000",
+        "fffffffffffff",
+        "9999999999999",
+        "00000000000ff",
+        "a00000000000b",
+        "123456789abcd",
+    ]
+    import hashlib
+
+    prefixes += [
+        hashlib.md5(s.encode()).hexdigest()[:13]
+        for s in ("", "x", "hello world", "12345")
+    ]
+    got = (
+        spark.createDataFrame([(p,) for p in prefixes], "h string")
+        .select(
+            F.conv("h", 16, 10).cast("long").alias("w"),
+        )
+        .select("w", (F.col("w") % 256).alias("b"), F.expr("w div 256").alias("u"))
+        .collect()
+    )
+    want = duckdb.sql(
+        "SELECT CAST('0x' || h AS BIGINT) AS w, "
+        "CAST('0x' || h AS BIGINT) % 256 AS b, "
+        "CAST('0x' || h AS BIGINT) // 256 AS u "
+        "FROM (VALUES " + ",".join(f"('{p}')" for p in prefixes) + ") t(h)"
+    ).fetchall()
+    assert [(r.w, r.b, r.u) for r in got] == [tuple(r) for r in want]
