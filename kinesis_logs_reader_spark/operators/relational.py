@@ -635,15 +635,27 @@ def q21_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global rank column freezes the NULL placement into values so
     the order-insensitive hash still checks ordering semantics.
+
+    r13 rewrite: the birth form ranked with a PARTITION-BY-less window
+    — ``Exchange SinglePartition`` over all of orders, one thread
+    sorting the whole table (growth 5.71 at sf~1, the worst in the
+    soak; a guaranteed stall at 100 TB). Now uses
+    :func:`~kinesis_logs_reader_spark.operators.rank.global_row_number`
+    — parallel range exchange + local sorts + broadcast per-partition
+    offsets — which produces bit-identical ranks (the order is total:
+    o_orderkey tie-break) with no single-partition stage over the
+    data. Plan pin: tests/test_plans.py asserts the only remaining
+    SinglePartition exchange feeds the #partitions-row offsets frame.
     """
+    from kinesis_logs_reader_spark.operators.rank import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri")
-    w = Window.orderBy(F.col("pri").desc_nulls_last(), F.col("o_orderkey"))
-    return (
-        orders.select("o_orderkey", pri)
-        .withColumn("rnk", F.row_number().over(w))
-        .orderBy("rnk")
-    )
+    return global_row_number(
+        orders.select("o_orderkey", pri),
+        [F.col("pri").desc_nulls_last(), F.col("o_orderkey")],
+        out_col="rnk",
+    ).orderBy("rnk")
 
 
 def q22_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5880,3 +5880,27 @@ SELECT churn.source AS source, churn_ppm, drift_ppm,
 FROM churn JOIN drift ON churn.source = drift.source
 ORDER BY source
 """
+
+# q206: scalable rank suite — DuckDB's NATIVE window functions are the
+# oracle for rank.py's two-phase kernel: ROW_NUMBER/NTILE come straight
+# from the engine; percent_rank/cume_dist are pinned in exact integer
+# ppm ((rnk-1)*1e6 // (total-1)) because the order is total (doc_id
+# tie-break), where RANK == ROW_NUMBER and the closed forms are exact.
+ORACLE["q206_scalable_rank_suite"] = """
+WITH ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER w AS rnk,
+         NTILE(16) OVER w AS bucket,
+         COUNT(*) OVER () AS total
+  FROM (SELECT doc_id, LENGTH(COALESCE(text, '')) AS _len FROM documents)
+  WINDOW w AS (ORDER BY _len DESC, doc_id)
+)
+SELECT doc_id,
+       CAST(rnk AS INTEGER) AS rnk,
+       CAST(bucket AS INTEGER) AS bucket,
+       (rnk - 1) * 1000000 // (total - 1) AS pr_ppm,
+       rnk * 1000000 // total AS cd_ppm
+FROM ranked
+WHERE doc_id % 13 = 0
+ORDER BY doc_id
+"""

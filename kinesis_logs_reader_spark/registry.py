@@ -25,7 +25,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 216  # r7: +q161 epoch shuffle, +q162 graded eval containment,
+N_QUERIES = 217  # r13 late: +q206 scalable rank suite (rank.py oracle cert)
+#                  r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q163 SRP-banded cosine pairs (q50's scale twin),
 #                      +q164 dup-cluster-safe train/val/test split,
 #                      +q165 hard-negative mining (contrastive pairs)
@@ -46,7 +47,7 @@ N_QUERIES = 216  # r7: +q161 epoch shuffle, +q162 graded eval containment,
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 216  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 217  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -88,6 +89,7 @@ _OPERATOR_MODULES = (
     "udfs",
     "asof",
     "skew",
+    "rank",
 )
 
 
@@ -569,14 +571,17 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
 # Exactly 50 entries — asserted below, no silent [:50] trim.
 DRIVER_WINDOW: list[str] = [
     # (0) new this round
+    "q206_scalable_rank_suite",
     "q131c_table_profile_kmv",
     "q204_zorder_layout_advisor",
     "q205_retrain_trigger",
-    # (1) changed kernels this round (r12 ADVICE fixes)
+    # (1) changed kernels this round (r12 ADVICE fixes + the q21
+    #     two-phase global-rank rewrite, late-r13)
     "q103_approx_percentile",
     "q119_knn_join",
     "q200_phash_admission",
     "q203_snapshot_delta",
+    "q21_sort_nulls",
     # (2) the 29 r8-era keys staged as DRIVER_WINDOW_R13_STAGED
     "q110b_rrf_topk",
     "q123_minhash_accuracy",
@@ -620,8 +625,6 @@ DRIVER_WINDOW: list[str] = [
     "q65_grouping_sets",
     "q66_array_agg",
     "q67_stats_agg",
-    "q68_shipping_priority",
-    "q69_local_supplier_volume",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -633,6 +636,8 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # 6-round policy ceiling at r15 — running them in r14 keeps slack.
 # Changed/new r14 kernels still jump this queue.
 DRIVER_WINDOW_R14_STAGED: list[str] = [
+    "q68_shipping_priority",  # displaced when q206 entered as a new key
+    "q69_local_supplier_volume",  # displaced when q21's rewrite jumped the queue
     "q70_returned_items",  # displaced when q205 entered as a new key
     "q71_large_volume_customer",  # displaced when q204 entered as a new key
     "q72_inactive_rich_customers",  # displaced when q131c entered as a new key

@@ -1382,3 +1382,21 @@ def test_q203_single_copartitioned_digest_join(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     n_joins = len(re.findall(r"\(\d+\) \w*Join", plan))
     assert n_joins == 1
+
+
+def test_q21_global_rank_no_single_partition_window(spark):
+    """r13 rewrite: q21's rank must come from the two-phase kernel
+    (rank.py), not a PARTITION-BY-less window — the birth form moved
+    all of orders through Exchange SinglePartition onto one thread
+    (growth 5.71 at sf~1, the r13 soak's worst row). Pin: orders rides
+    rangepartitioning; exactly one Window (the offsets cumsum) and one
+    SinglePartition exchange (the #partitions-row offsets frame);
+    offsets attach via broadcast."""
+    import re
+
+    df = relational.q21_sort_nulls(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("SinglePartition") == 1
+    assert "rangepartitioning" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "BroadcastHashJoin" in plan
