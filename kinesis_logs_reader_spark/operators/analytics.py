@@ -304,3 +304,139 @@ def q39_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def q207_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjoint brand/size/quantity
+    bands, OR'd together — the disjunctive-pushdown showcase.
+
+    The WHERE is an OR of per-branch conjunctions mixing lineitem and
+    part columns. Catalyst splits it: the OR of each side's own
+    conjuncts is pushed to THAT scan (lineitem gets the quantity-range
+    OR, part gets the brand+size OR — both visible as PushedFilters),
+    while the full cross-table predicate evaluates after the join. At
+    100 TB that pre-join pruning is the difference between joining
+    every lineitem and joining ~2% of them. Branches are brand-disjoint
+    so the per-branch report needs no overlap accounting.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & qty.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & qty.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(1, 15)
+        & qty.between(20, 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money(F.sum(_rev4()), 4).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q208_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders —
+    lineitems of one brand's small parts whose quantity is below 20% of
+    that part's average quantity.
+
+    The correlated ``l_quantity < 0.2 * (SELECT AVG(l_quantity) WHERE
+    same part)`` decorrelates into ONE per-part aggregate joined back
+    on l_partkey. Unlike q102's langs-sized broadcast, the threshold
+    side here scales with |part| — the join-back is CO-PARTITIONED on
+    the group key (AQE may still broadcast it at toy SF; at 100 TB it
+    is the classic agg-then-shuffle-join). The filtered part dim (one
+    brand, sizes 1-5) broadcasts. The threshold compares in exact
+    cross-multiplied integers — ``qty * 5 * n > sum_qty`` flipped to
+    keep rows strictly below 20% of the average — so no float average
+    can flip a boundary row between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 5)
+    )
+    qty_l = F.col("l_quantity").cast("bigint")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qty_l).alias("_sum_qty"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part._pk)
+        .filter(qty_l * 5 * F.col("_n") < F.col("_sum_qty"))
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money(F.sum(_c2("l_extendedprice")), 2).alias("lost_revenue"),
+        )
+        .orderBy("p_size")
+    )
+
+
+def q209_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order ("kept orders waiting"). Late =
+    shipped more than 90 days after the order date (this schema has no
+    commit/receipt dates).
+
+    The textbook form is lineitem EXISTS-joined to itself twice
+    (another supplier exists; no OTHER late supplier exists) — two
+    fact-fact self-joins. Re-expressed for a cluster: collapse to the
+    distinct (order, supplier, was_late) grain with ONE exchange, then
+    stack the per-order counts (suppliers, late suppliers) as WINDOWS
+    over l_orderkey on a second — NOT a groupBy joined back to the
+    grain, which would consume the unpersisted grain twice and
+    re-execute the whole fact join per consumer (the q83 lineage
+    lesson; the join-back form measured 5 scans, this one 3). The
+    verdict — supplier is late AND n_late_supp == 1 AND n_supp > 1 —
+    is then a filter, and supplier names attach by broadcast on the
+    counted (small) frame. Zero self-joins, no count-distinct Expand
+    (the distinct grain makes the counts plain), two data-sized
+    exchanges. Plan pinned in tests/test_plans.py.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    grain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        grain.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("_n_late", F.sum("_late").over(w))
+        .filter(
+            (F.col("_late") == 1)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -5904,3 +5904,61 @@ FROM ranked
 WHERE doc_id % 13 = 0
 ORDER BY doc_id
 """
+
+# q207-q209: the remaining classic TPC-H optimizer showcases (Q19
+# disjunctive pushdown, Q17 correlated-avg decorrelation, Q21
+# multi-EXISTS collapsed to one aggregate grain). The oracles state the
+# same decorrelated forms: DuckDB's optimizer handles either, and the
+# decorrelated SQL doubles as the semantic spec for the Spark plans.
+ORACLE["q207_disjunctive_promo_revenue"] = f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+ORACLE["q208_small_quantity_revenue"] = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_size, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS lost_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 5
+  AND CAST(l_quantity AS BIGINT) * 5 * n < sum_qty
+GROUP BY p_size
+ORDER BY p_size
+"""
+
+ORACLE["q209_waiting_suppliers"] = """
+WITH grain AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey AS ok, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM grain GROUP BY l_orderkey
+)
+SELECT s_name, numwait
+FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM grain JOIN per_order ON l_orderkey = ok
+  WHERE late = 1 AND n_supp > 1 AND n_late = 1
+  GROUP BY l_suppkey
+) w JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""

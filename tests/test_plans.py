@@ -1400,3 +1400,62 @@ def test_q21_global_rank_no_single_partition_window(spark):
     assert "rangepartitioning" in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_q207_disjunction_pushed_to_both_scans(spark):
+    """Q19 shape: the OR-of-conjunctions must split per side and reach
+    BOTH parquet scans as a pushed Or(...) filter — pre-join pruning is
+    the entire point of the query. Two scans, one join, no cartesian."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q207_disjunctive_promo_revenue,
+    )
+
+    df = q207_disjunctive_promo_revenue(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert len([p for p in pushed if "Or(" in p]) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q208_decorrelates_to_agg_then_join(spark):
+    """Q17 shape: the correlated per-part average must appear as ONE
+    partial+final aggregate joined back on the group key — no window
+    over raw lineitem, no Expand, and the brand/size filter pushed to
+    the part scan."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q208_small_quantity_revenue,
+    )
+
+    df = q208_small_quantity_revenue(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "Expand" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "EqualTo(p_brand,Brand#23)" in plan  # pushed to the part scan
+    # per-part threshold agg: partial + final HashAggregate pair exists
+    assert "partial_sum" in plan or "Partial" in plan
+
+
+def test_q209_single_lineage_no_self_join(spark):
+    """Q21 shape: the per-order supplier counts must stack as windows
+    over the ONE (order, supplier) grain — the groupBy-join-back form
+    consumed the unpersisted grain twice and re-executed the fact join
+    per consumer (5 scans measured; q83's lineage lesson). Pin: exactly
+    3 scans (lineitem, orders, supplier), one window, no Expand, no
+    cartesian."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q209_waiting_suppliers,
+    )
+
+    df = q209_waiting_suppliers(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
