@@ -314,6 +314,14 @@ SF3_KEYS = [
     "q163_srp_banded_pairs",
     "q204_zorder_layout_advisor",
     "q205_retrain_trigger",
+    # late-r13: the two-phase rank kernel + TPC-H trio, and the three
+    # ~3x-growth-at-10x composed audits (q164/q181/q191) whose linear
+    # vs quadratic character only a 30x reading separates
+    "q21_sort_nulls",
+    "q209_waiting_suppliers",
+    "q164_cluster_safe_split",
+    "q181_eval_sample_audit",
+    "q191_eval_split_regen",
 ]
 
 
