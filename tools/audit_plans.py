@@ -22,6 +22,19 @@ Two scans (r11, PERF.md "InferFiltersFromGenerate re-inline trap"):
    this list is the cue to check whether a frame needs the
    lru_persisted barrier.
 
+3. **Single-partition data exchanges** (late-r13, the q21 class) — a
+   PARTITION-BY-less window / global row_number plans ``Exchange
+   SinglePartition`` over the full frame: one thread sorts everything
+   (q21 read growth 5.71 at 10x before the rank.py rewrite).
+   Fingerprint: an ``Exchange SinglePartition`` whose subtree reaches a
+   FileScan with no Aggregate/Limit boundary in between. Aggregated
+   frames (scalar crossJoin broadcasts, the rank kernel's
+   #partitions-row offsets) are fine and not flagged. CAVEAT: like
+   scan 1, subtrees behind lru_persisted show as InMemoryTableScan and
+   are treated as a boundary — a global window over a persisted
+   corpus-scale frame is invisible here (q152's documented ntile is
+   exactly that; its scale path is q152b).
+
 Usage: python tools/audit_plans.py [sf_dir]
 """
 
@@ -36,6 +49,39 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+_BOUNDARY = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|CollectLimit|"
+    r"GlobalLimit|LocalLimit|TakeOrderedAndProject|WindowGroupLimit|"
+    r"InMemoryTableScan|ReusedExchange"
+)
+
+
+def _depth(line: str) -> int:
+    """Indentation depth in a Spark plan tree string."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _single_partition_data(plan: str) -> list[str]:
+    """Scan 3 (the q21 class): ``Exchange SinglePartition`` nodes whose
+    subtree reaches a FileScan with no aggregate/limit/cache boundary —
+    i.e. the whole data frame is being funneled onto one thread."""
+    hits: list[str] = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _depth(line)
+        for sub in lines[i + 1 :]:
+            if sub.strip() and _depth(sub) <= d:
+                break  # left the subtree
+            if _BOUNDARY.search(sub):
+                break  # aggregated / bounded / cached below: fine
+            if "FileScan" in sub or "Scan parquet" in sub:
+                hits.append(line.strip()[:120])
+                break
+    return hits
+
+
 def main() -> None:
     from kinesis_logs_reader_spark.registry import all_queries
     from kinesis_logs_reader_spark.session import build_session
@@ -45,6 +91,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     infer_hits: list[tuple[str, str]] = []
+    sp_hits: list[tuple[str, str]] = []
     census: list[tuple[int, int, str]] = []
     errs: list[str] = []
     for name, fn in sorted(all_queries().items()):
@@ -68,16 +115,21 @@ def main() -> None:
                 infer_hits.append((name, frag[:160]))
                 break
         census.append((plan.count("md5"), plan.count("transform("), name))
+        sp_hits.extend((name, frag) for frag in _single_partition_data(plan))
 
     print("== inferred computed-array filters (expect: none) ==")
     for name, frag in infer_hits:
         print(f"HIT {name}: {frag}")
     print(f"{len(infer_hits)} hits / {len(census)} plans / {len(errs)} errors")
+    print("\n== single-partition exchanges over unaggregated scans (expect: none) ==")
+    for name, frag in sp_hits:
+        print(f"HIT {name}: {frag}")
+    print(f"{len(sp_hits)} hits")
     print("\n== expression-reuse census (top 15 by md5 count) ==")
     for n_md5, n_tr, name in sorted(census, reverse=True)[:15]:
         print(f"md5={n_md5:3d} transform={n_tr:3d} {name}")
     spark.stop()
-    if infer_hits:
+    if infer_hits or sp_hits:
         sys.exit(1)
 
 
