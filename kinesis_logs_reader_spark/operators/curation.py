@@ -638,6 +638,18 @@ def q110_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     them: ranks come from the ROUNDED scores (bm25 @4, cosine @4) with
     doc_id tie-breaks, which makes the rank integers — and therefore
     the rrf doubles — bit-identical across engines.
+
+    Late-r13 note: audit_plans.py scan 3 flags this query's global
+    windows (whitelisted there with this rationale). A rank-kernel
+    rewrite (operators/rank.py) was built, measured, and REVERTED:
+    bit-identical ranks, but 3-4x slower at every measured SF (the
+    ranked frames are (doc_id, score) pairs — 4.8k-50k rows — where
+    one-thread sorts are instant and the kernel's extra stages are
+    pure floor). q110 exists as the exact full-corpus-rank twin;
+    q110b is the declared production path (per-retriever TakeOrdered
+    top-K, never a global rank), and rank.py is the kernel to reach
+    for when an exact corpus-scale global rank is genuinely required
+    (q21, q206).
     """
     from kinesis_logs_reader_spark.operators.similarity import cosine
 

@@ -647,14 +647,28 @@ def q21_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Plan pin: tests/test_plans.py asserts the only remaining
     SinglePartition exchange feeds the #partitions-row offsets frame.
     """
-    from kinesis_logs_reader_spark.operators.rank import global_row_number
+    from kinesis_logs_reader_spark.operators.rank import (
+        global_row_number,
+        string_order_key,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri")
+    # Value-class mode: pri has 5 distinct values + NULL, so equi-width
+    # range bucketing would put each value's whole cohort in one bucket
+    # (one-thread sorts again, just 6 of them). The class IS the bucket
+    # — negated byte-prefix encoding, NULLs to a sentinel past +2^32
+    # (they sort last) — and o_orderkey (the tie-break) spreads each
+    # class across 4x-shuffle-partitions balanced sub-buckets.
+    bucket_by = F.when(
+        F.col("pri").isNull(), F.lit(2**33).cast("bigint")
+    ).otherwise(-string_order_key(F.col("pri")))
     return global_row_number(
         orders.select("o_orderkey", pri),
         [F.col("pri").desc_nulls_last(), F.col("o_orderkey")],
+        bucket_by=bucket_by,
         out_col="rnk",
+        spread_by=F.col("o_orderkey"),
     ).orderBy("rnk")
 
 

@@ -1388,17 +1388,29 @@ def test_q21_global_rank_no_single_partition_window(spark):
     """r13 rewrite: q21's rank must come from the two-phase kernel
     (rank.py), not a PARTITION-BY-less window — the birth form moved
     all of orders through Exchange SinglePartition onto one thread
-    (growth 5.71 at sf~1, the r13 soak's worst row). Pin: orders rides
-    rangepartitioning; exactly one Window (the offsets cumsum) and one
-    SinglePartition exchange (the #partitions-row offsets frame);
-    offsets attach via broadcast."""
-    import re
-
+    (growth 5.71 at sf~1, the r13 soak's worst row). Pin: every
+    SinglePartition exchange sits above an aggregate (scalar min/max,
+    offsets cumsum — partial rows only); the data rides the bucketed
+    hash exchange; offsets attach via broadcast. Same walk as
+    tools/audit_plans.py scan 3."""
     df = relational.q21_sort_nulls(spark, SF_DIR)
-    plan = explain.formatted_plan(df)
-    assert plan.count("SinglePartition") == 1
-    assert "rangepartitioning" in plan
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    def depth(line):
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for sub in lines[i + 1 :]:
+            if sub.strip() and depth(sub) <= d:
+                break
+            if "Aggregate" in sub:
+                break
+            assert "Scan" not in sub, f"data-sized SinglePartition: {line.strip()}"
+    assert ("hashpartitioning(_bkt" in plan) or ("hashpartitioning(_sub" in plan)
     assert "BroadcastHashJoin" in plan
 
 

@@ -49,6 +49,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+# Scan-3 whitelist: queries whose global window is a MEASURED-negative
+# rank-kernel candidate, with the rationale in their docstring. q110:
+# the ranked frames are (doc_id, score) pairs where the one-thread sort
+# is instant and the kernel's extra stages were pure floor (3-4x slower
+# at every SF); its production path is q110b's per-retriever top-K.
+SP_WHITELIST = {"q110_rrf_hybrid"}
+
 _BOUNDARY = re.compile(
     r"HashAggregate|SortAggregate|ObjectHashAggregate|CollectLimit|"
     r"GlobalLimit|LocalLimit|TakeOrderedAndProject|WindowGroupLimit|"
@@ -115,7 +122,10 @@ def main() -> None:
                 infer_hits.append((name, frag[:160]))
                 break
         census.append((plan.count("md5"), plan.count("transform("), name))
-        sp_hits.extend((name, frag) for frag in _single_partition_data(plan))
+        if name not in SP_WHITELIST:
+            sp_hits.extend(
+                (name, frag) for frag in _single_partition_data(plan)
+            )
 
     print("== inferred computed-array filters (expect: none) ==")
     for name, frag in infer_hits:
