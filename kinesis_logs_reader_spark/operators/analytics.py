@@ -440,3 +440,107 @@ def q209_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+def cached_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted weighted bipartite purchase graph for q210:
+    one edge per (customer, supplier) pair that ever traded, weight =
+    lineitem count, with both endpoints' total out-weights carried on
+    the edge (wc, ws). Built once per corpus fingerprint — the three
+    PageRank iterations then ride the InMemoryTableScan instead of
+    re-executing the fact-fact join per iteration (the q83 lineage
+    lesson applied at design time)."""
+    from kinesis_logs_reader_spark.functions.caching import corpus_key
+
+    cache = spark.__dict__.setdefault("_klrs_purchase_graph_cache", {})
+    ck = (corpus_key(sf_dir, "lineitem"), corpus_key(sf_dir, "orders"))
+    if ck not in cache:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        # endpoint out-weights as STACKED WINDOWS over the one edge
+        # frame — a groupBy-join-back here would consume the
+        # unpersisted edges three times inside the cache build and
+        # re-execute the fact join per consumer (measured 6 parquet
+        # scans; the q83/q209 lineage lesson inside a cache builder)
+        cache[ck] = (
+            edges.withColumn(
+                "wc", F.sum("w").over(Window.partitionBy("c"))
+            )
+            .withColumn("ws", F.sum("w").over(Window.partitionBy("s")))
+            .persist()
+        )
+    return cache[ck]
+
+
+def q210_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bipartite PageRank over the customer-supplier purchase
+    graph — iterative link analysis (the family beyond q159's
+    degree-based dup-graph authority and q75's k-means fixpoint): who
+    are the structurally central suppliers when rank mass flows
+    through purchase relationships, not just raw order counts?
+
+    Three damped iterations (d = 0.85) of the co-HITS random walk:
+    every active customer starts at 1e6 micro-units; suppliers collect
+    d * sum over in-edges of (rank * w) div w_out(customer), plus the
+    (1-d) base of 150000; customers symmetrically from suppliers. ALL
+    arithmetic is int64 with floor division applied per-edge BEFORE
+    the sum — written identically in the DuckDB oracle, so ranks are
+    bit-identical. (Overflow envelope: rank mass is bounded by
+    |active customers| x 1e6; rank * w stays under int64 through
+    ~1e14 node-mass x weight — beyond any tested SF; a 100 TB run
+    re-normalizes per iteration, same plan shape.)
+
+    Scale shape: the graph (edge + endpoint out-weights) is built once
+    and session-persisted (cached_purchase_graph); each iteration is
+    one co-partitioned |edges|-sized join against the previous
+    |nodes|-sized rank frame plus a map-side-combinable aggregate —
+    a linear chain, every intermediate consumed exactly once, no
+    lineage re-execution, no collects. Iteration 1 folds the uniform
+    init into the expression (no join). Output: top-20 suppliers,
+    names attached by broadcast on the counted frame.
+    """
+    e = cached_purchase_graph(spark, sf_dir)
+    base = F.lit(150_000).cast("bigint")
+
+    def sup_round(c_ranks: DataFrame | None) -> DataFrame:
+        if c_ranks is None:
+            contrib = F.expr("(1000000L * w) div wc")
+            src = e
+        else:
+            contrib = F.expr("(_cr * w) div wc")
+            src = e.join(c_ranks, "c")
+        agg = src.groupBy("s").agg(F.sum(contrib).alias("_m"))
+        return agg.select(
+            "s", (base + F.expr("(85 * _m) div 100")).alias("_sr")
+        )
+
+    def cust_round(s_ranks: DataFrame) -> DataFrame:
+        src = e.join(s_ranks, "s")
+        agg = src.groupBy("c").agg(
+            F.sum(F.expr("(_sr * w) div ws")).alias("_m")
+        )
+        return agg.select(
+            "c", (base + F.expr("(85 * _m) div 100")).alias("_cr")
+        )
+
+    s_ranks = sup_round(None)
+    for _ in range(2):
+        s_ranks = sup_round(cust_round(s_ranks))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        s_ranks.join(F.broadcast(supplier), s_ranks.s == supplier.s_suppkey)
+        .select("s_name", F.col("_sr").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), "s_name")
+        .limit(20)
+    )

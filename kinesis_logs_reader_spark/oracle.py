@@ -5962,3 +5962,39 @@ FROM (
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """
+
+# q210: weighted bipartite PageRank, 3 damped co-HITS iterations in
+# exact int64 micro-units. Floor division applied per-edge BEFORE each
+# sum, parenthesized identically in both engines, so ranks are
+# bit-identical. The oracle unrolls the iterations as CTEs.
+ORACLE["q210_supplier_pagerank"] = """
+WITH edges AS (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), wc AS (SELECT c, SUM(w) AS wc FROM edges GROUP BY c),
+   ws AS (SELECT s, SUM(w) AS ws FROM edges GROUP BY s),
+   e AS (
+  SELECT edges.c, edges.s, edges.w, wc.wc, ws.ws
+  FROM edges JOIN wc USING (c) JOIN ws USING (s)
+), s1 AS (
+  SELECT s, 150000 + ((85 * SUM((1000000 * w) // wc)) // 100) AS r
+  FROM e GROUP BY s
+), c1 AS (
+  SELECT c, 150000 + ((85 * SUM((s1.r * w) // ws)) // 100) AS r
+  FROM e JOIN s1 USING (s) GROUP BY c
+), s2 AS (
+  SELECT s, 150000 + ((85 * SUM((c1.r * w) // wc)) // 100) AS r
+  FROM e JOIN c1 USING (c) GROUP BY s
+), c2 AS (
+  SELECT c, 150000 + ((85 * SUM((s2.r * w) // ws)) // 100) AS r
+  FROM e JOIN s2 USING (s) GROUP BY c
+), s3 AS (
+  SELECT s, 150000 + ((85 * SUM((c2.r * w) // wc)) // 100) AS r
+  FROM e JOIN c2 USING (c) GROUP BY s
+)
+SELECT s_name, r AS rank_micro
+FROM s3 JOIN supplier ON s = s_suppkey
+ORDER BY rank_micro DESC, s_name
+LIMIT 20
+"""

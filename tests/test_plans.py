@@ -1471,3 +1471,26 @@ def test_q209_single_lineage_no_self_join(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q210_iterations_ride_persisted_graph(spark):
+    """Late-r13: the three PageRank iterations must consume the
+    session-persisted purchase graph (InMemoryTableScan), never
+    re-execute the orders x lineitem fact join per iteration — the only
+    parquet scan in the final plan is the supplier name attach. Linear
+    chain: every rank frame is consumed exactly once, no cartesian."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q210_supplier_pagerank,
+    )
+
+    df = q210_supplier_pagerank(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    # 3 = lineitem + orders exactly ONCE (inside the printed
+    # InMemoryRelation build subtree — materialized a single time) +
+    # the supplier name attach. The groupBy-join-back cache build read
+    # 7 here (edges consumed 3x inside its own build).
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
