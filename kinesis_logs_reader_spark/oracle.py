@@ -5998,3 +5998,25 @@ FROM s3 JOIN supplier ON s = s_suppkey
 ORDER BY rank_micro DESC, s_name
 LIMIT 20
 """
+
+# q211: TPC-H Q7 shape — dual-role nation dimension (supplier's and
+# customer's nation under separate aliases), either-direction pair.
+ORACLE["q211_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

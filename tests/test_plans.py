@@ -1494,3 +1494,26 @@ def test_q210_iterations_ride_persisted_graph(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q211_dual_role_nation_broadcasts(spark):
+    """Q7 shape: nation participates TWICE under different roles — two
+    separate scans, each with the two-nation filter pushed, each
+    broadcast; no cartesian; the fact chain stays lineitem-orders-
+    customer with supplier broadcast."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q211_volume_shipping,
+    )
+
+    df = q211_volume_shipping(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    nation_scans = [
+        m
+        for m in re.finditer(r"Location: InMemoryFileIndex[^\n]*nation", plan)
+    ]
+    assert len(nation_scans) == 2
+    assert plan.count("In(n_name") == 2 or plan.count("n_name IN") >= 2
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 3
