@@ -619,3 +619,34 @@ def q211_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def q212_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution — for
+    each order count c, how many customers placed exactly c qualifying
+    orders (non-urgent here; the spec excludes a comment pattern this
+    schema lacks). The distinctive semantics the suite lacked: a LEFT
+    OUTER join that PRESERVES zero-order customers, COUNT(col)'s
+    null-skipping (unmatched rows count 0, never 1), and a
+    count-of-counts re-aggregation.
+
+    Plan: one co-partitioned left join (customer x filtered orders,
+    both scale with SF — no broadcast assumption), a per-customer
+    count that partial-aggregates map-side on the join key it already
+    shares (no extra exchange), then a <=|distinct counts|-row second
+    aggregate. The final frame is tiny at any SF.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

@@ -6020,3 +6020,16 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+# q212: TPC-H Q13 shape — zero-preserving left join + count-of-counts.
+ORACLE["q212_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

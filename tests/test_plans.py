@@ -1517,3 +1517,27 @@ def test_q211_dual_role_nation_broadcasts(spark):
     assert plan.count("In(n_name") == 2 or plan.count("n_name IN") >= 2
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 3
+
+
+def test_q212_zero_preserving_left_join_reaggregation(spark):
+    """Q13 shape: the per-customer count must ride the left join's own
+    custkey partitioning (no exchange between the join and the first
+    aggregate), the join must stay LEFT OUTER (zero-order customers
+    preserved), and the priority exclusion must push to the orders
+    scan."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        q212_customer_distribution,
+    )
+
+    df = q212_customer_distribution(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    # priority exclusion pushed (Not(EqualTo(...))) to the orders scan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    # exchanges: join (2 sides at most) + final tiny re-agg + output
+    # sort; the per-customer count must NOT add its own exchange
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 4
