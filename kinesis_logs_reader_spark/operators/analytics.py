@@ -483,6 +483,42 @@ def cached_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[ck]
 
 
+def pagerank_supplier_ranks(e: DataFrame) -> DataFrame:
+    """The q210 iteration arithmetic over an edge frame
+    (c, s, w, wc, ws): 3 damped co-HITS rounds in exact int64
+    micro-units, returning (s, _sr). Shared by the batch query and the
+    streaming refresh sink (streaming/jobs.py) — one definition, so
+    the two surfaces cannot drift apart (the q205 shared-constants
+    discipline applied to an iteration kernel)."""
+    base = F.lit(150_000).cast("bigint")
+
+    def sup_round(c_ranks: DataFrame | None) -> DataFrame:
+        if c_ranks is None:
+            contrib = F.expr("(1000000L * w) div wc")
+            src = e
+        else:
+            contrib = F.expr("(_cr * w) div wc")
+            src = e.join(c_ranks, "c")
+        agg = src.groupBy("s").agg(F.sum(contrib).alias("_m"))
+        return agg.select(
+            "s", (base + F.expr("(85 * _m) div 100")).alias("_sr")
+        )
+
+    def cust_round(s_ranks: DataFrame) -> DataFrame:
+        src = e.join(s_ranks, "s")
+        agg = src.groupBy("c").agg(
+            F.sum(F.expr("(_sr * w) div ws")).alias("_m")
+        )
+        return agg.select(
+            "c", (base + F.expr("(85 * _m) div 100")).alias("_cr")
+        )
+
+    s_ranks = sup_round(None)
+    for _ in range(2):
+        s_ranks = sup_round(cust_round(s_ranks))
+    return s_ranks
+
+
 def q210_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted bipartite PageRank over the customer-supplier purchase
     graph — iterative link analysis (the family beyond q159's
@@ -511,32 +547,7 @@ def q210_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     names attached by broadcast on the counted frame.
     """
     e = cached_purchase_graph(spark, sf_dir)
-    base = F.lit(150_000).cast("bigint")
-
-    def sup_round(c_ranks: DataFrame | None) -> DataFrame:
-        if c_ranks is None:
-            contrib = F.expr("(1000000L * w) div wc")
-            src = e
-        else:
-            contrib = F.expr("(_cr * w) div wc")
-            src = e.join(c_ranks, "c")
-        agg = src.groupBy("s").agg(F.sum(contrib).alias("_m"))
-        return agg.select(
-            "s", (base + F.expr("(85 * _m) div 100")).alias("_sr")
-        )
-
-    def cust_round(s_ranks: DataFrame) -> DataFrame:
-        src = e.join(s_ranks, "s")
-        agg = src.groupBy("c").agg(
-            F.sum(F.expr("(_sr * w) div ws")).alias("_m")
-        )
-        return agg.select(
-            "c", (base + F.expr("(85 * _m) div 100")).alias("_cr")
-        )
-
-    s_ranks = sup_round(None)
-    for _ in range(2):
-        s_ranks = sup_round(cust_round(s_ranks))
+    s_ranks = pagerank_supplier_ranks(e)
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         s_ranks.join(F.broadcast(supplier), s_ranks.s == supplier.s_suppkey)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
@@ -1221,6 +1222,97 @@ def run_retrain_monitor_sink(
 
     return (
         docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def apply_pagerank_refresh_batch(
+    batch_df: DataFrame, batch_id: int, store_dir: str, out_dir: str
+) -> None:
+    """One micro-batch of the PageRank refresh sink (the streaming
+    maintenance twin of ``analytics.q210_supplier_pagerank``): fold the
+    batch's purchase events into the cumulative EDGE store, then
+    re-derive the top-20 supplier ranks over the whole store with the
+    SAME shared iteration kernel the batch query uses
+    (``analytics.pagerank_supplier_ranks`` — one definition, the two
+    surfaces cannot drift apart).
+
+    Contract, stated honestly: this is a PERIODIC-REFRESH design, not
+    incremental rank maintenance — each batch pays one rank recompute
+    over the cumulative AGGREGATED edge store (one row per traded
+    (customer, supplier) pair per batch, never raw events), because
+    damped PageRank has no exact bounded-state decomposition over an
+    append stream. What IS incremental is the store fold: the batch
+    aggregates map-side to its own (c, s, w) rows and lands in a
+    ``batch_id=<id>`` partition with per-partition overwrite — the
+    established replay-idempotence discipline (a checkpoint replay
+    overwrites the same partition bit-for-bit, so store AND emitted
+    ranks are identical on re-apply; pinned in test_streaming).
+
+    Batch rows: (c bigint, s bigint) — one row per purchased lineitem,
+    i.e. the stream the q210 fact join would produce.
+    """
+    from kinesis_logs_reader_spark.operators.analytics import (
+        pagerank_supplier_ranks,
+    )
+
+    import os
+
+    spark = batch_df.sparkSession
+    batch_edges = (
+        batch_df.groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    (
+        batch_edges.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+    )
+    # cumulative edges: sum the per-batch weights per pair (this
+    # batch's own partition INCLUDED — ranks reflect post-ingest state)
+    cum = (
+        spark.read.parquet(store_dir)
+        .groupBy("c", "s")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_c = Window.partitionBy("c")
+    w_s = Window.partitionBy("s")
+    e = cum.withColumn("wc", F.sum("w").over(w_c)).withColumn(
+        "ws", F.sum("w").over(w_s)
+    )
+    top = (
+        pagerank_supplier_ranks(e)
+        .orderBy(F.col("_sr").desc(), "s")
+        .limit(20)
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.col("_sr").alias("rank_micro"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+    )
+    top.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_pagerank_refresh_sink(
+    events_stream: DataFrame, checkpoint: str, store_dir: str, out_dir: str
+):
+    """Continuous PageRank maintenance (streaming q210): per
+    micro-batch, fold purchase events into the cumulative edge store
+    and refresh the supplier rank top-20. foreachBatch because the
+    rank is a whole-graph fixpoint over an unbounded external edge
+    store, not a watermark-boundable aggregation — the q160/q200/q205
+    admission-sink contract applied to the iterative family."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_pagerank_refresh_batch(batch_df, batch_id, store_dir, out_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

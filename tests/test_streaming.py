@@ -1235,3 +1235,106 @@ def test_retrain_monitor_sink_end_to_end(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].source == "s" and rows[0].n_added == 8
     assert rows[0].churn_ppm == 1_000_000 and rows[0].drift_ppm == 0
+
+
+def test_pagerank_refresh_sink_streaming_q210_twin(spark, tmp_path):
+    """PageRank refresh sink (streaming q210): each batch folds into
+    the cumulative edge store and the emitted ranks must equal the
+    BATCH kernel (pagerank_supplier_ranks) run over the cumulative
+    edges — the shared-kernel guarantee. Replay of a batch must be
+    idempotent (identical store, identical ranks)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        pagerank_supplier_ranks,
+    )
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        apply_pagerank_refresh_batch,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    def expected_ranks(pairs):
+        edges = spark.createDataFrame(pairs, "c long, s long").groupBy(
+            "c", "s"
+        ).agg(F.count(F.lit(1)).alias("w"))
+        e = edges.withColumn(
+            "wc", F.sum("w").over(Window.partitionBy("c"))
+        ).withColumn("ws", F.sum("w").over(Window.partitionBy("s")))
+        return {
+            r.s: r._sr for r in pagerank_supplier_ranks(e).collect()
+        }
+
+    wave1 = [(1, 10), (1, 10), (2, 10), (2, 20), (3, 20)]
+    b1 = spark.createDataFrame(wave1, "c long, s long")
+    apply_pagerank_refresh_batch(b1, 0, store, out)
+    got1 = {
+        r.s_suppkey: r.rank_micro
+        for r in spark.read.parquet(os.path.join(out, "batch_id=0")).collect()
+    }
+    assert got1 == expected_ranks(wave1)
+
+    # wave 2: reinforce supplier 20, introduce supplier 30
+    wave2 = [(1, 20), (3, 20), (3, 30), (4, 30)]
+    b2 = spark.createDataFrame(wave2, "c long, s long")
+    apply_pagerank_refresh_batch(b2, 1, store, out)
+    got2 = {
+        r.s_suppkey: r.rank_micro
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    assert got2 == expected_ranks(wave1 + wave2)  # cumulative, not batch-only
+
+    # replay wave 2: store and emitted ranks bit-identical
+    before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    apply_pagerank_refresh_batch(b2, 1, store, out)
+    after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    assert before == after
+    got2r = {
+        r.s_suppkey: r.rank_micro
+        for r in spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    }
+    assert got2 == got2r
+
+
+def test_pagerank_refresh_sink_end_to_end(spark, tmp_path):
+    """run_pagerank_refresh_sink drains a file-source replay under
+    AvailableNow and lands one rank partition per micro-batch."""
+    import os
+
+    from kinesis_logs_reader_spark.streaming.jobs import (
+        run_pagerank_refresh_sink,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20)], "c long, s long"
+    ).coalesce(1).write.parquet(str(src / "w1"))
+    spark.createDataFrame(
+        [(3, 20), (3, 30)], "c long, s long"
+    ).coalesce(1).write.parquet(str(src / "w2"))
+    stream = (
+        spark.readStream.schema("c long, s long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = run_pagerank_refresh_sink(
+        stream,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+    )
+    q.awaitTermination(120)
+    parts = sorted(
+        d for d in os.listdir(tmp_path / "out") if d.startswith("batch_id=")
+    )
+    assert len(parts) >= 1
+    ranks = spark.read.parquet(
+        str(tmp_path / "out" / parts[-1])
+    ).collect()
+    assert 1 <= len(ranks) <= 20
+    assert all(r.rank_micro > 0 for r in ranks)
