@@ -322,6 +322,12 @@ SF3_KEYS = [
     "q164_cluster_safe_split",
     "q181_eval_sample_audit",
     "q191_eval_split_regen",
+    # every late-r13 kernel gets a 30x receipt
+    "q206_scalable_rank_suite",
+    "q207_disjunctive_promo_revenue",
+    "q208_small_quantity_revenue",
+    "q211_volume_shipping",
+    "q212_customer_distribution",
 ]
 
 
