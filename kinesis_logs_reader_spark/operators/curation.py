@@ -2229,3 +2229,85 @@ def q193_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q213_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE-level boilerplate removal — the C4 /
+    RefinedWeb rule the suite lacked: a line that repeats across many
+    DOCUMENTS (nav menus, cookie banners, newsletter prompts) is
+    boilerplate and is dropped from every document, however clean each
+    individual occurrence looks. Distinct from q148 (whole-document
+    template skeletons) and q92 (repetition WITHIN one document): the
+    unit is the line, the evidence is cross-document frequency.
+
+    The corpus has no newlines, so lines are deterministic 10-token
+    chunks (q112's regex-chunker family) and two banner lines are
+    planted in-query (the q148/q205 planted-structure discipline):
+    every doc_id % 3 == 0 carries a newsletter banner, every % 5 == 0
+    a cookie banner — so the boilerplate detector must fire on ~1/3
+    and ~1/5 of the corpus while organic chunks (tiny shared vocab,
+    but a 10-token sequence space far larger than the corpus) and the
+    generator's planted exact-dup families (doc_freq 2-3) stay under
+    the >= 30-docs threshold.
+
+    Scale shape: ONE line-keyed exchange (the distinct (line, doc)
+    grain then a per-line count — no count-distinct Expand), the tiny
+    flagged-line set broadcast back over the line stream, and a
+    map-side-combinable per-source report. Exactly the q40/q122 digest
+    -exchange budget; retention in exact integer ppm.
+    """
+    from kinesis_logs_reader_spark.functions.generate import explode_nonempty
+
+    docs = load_table(spark, sf_dir, "documents")
+    banner1 = "please subscribe to our site newsletter for updates today"
+    banner2 = "this site uses cookies by continuing you accept the policy"
+    # organic 10-token chunks with group 0 EXPLICIT — Spark's
+    # regexp_extract_all defaults to group 1 where DuckDB extracts the
+    # full match (an engine divergence that silently extracted 2-token
+    # fragments on first write); the banners join as STANDALONE line
+    # elements, because appending them to the text would misalign with
+    # every doc's chunk boundaries and never repeat verbatim.
+    chunks = F.expr(
+        r"regexp_extract_all(coalesce(text, ''), '\\S+( \\S+){0,9}', 0)"
+    )
+    empty = F.array().cast("array<string>")
+    lines_arr = F.concat(
+        chunks,
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(banner1))).otherwise(
+            empty
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.lit(banner2))).otherwise(
+            empty
+        ),
+    )
+    staged = docs.select("doc_id", "source", lines_arr.alias("_la"))
+    lines = explode_nonempty(staged, F.col("_la"), "line", "doc_id", "source")
+    # one distinct (line, doc) grain -> per-line doc frequency (no
+    # Expand); the flagged set is tiny by construction and broadcasts
+    boiler = (
+        lines.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 30)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler.withColumn("_boiler", F.lit(1))), "line", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("_boiler"), F.lit(0))).alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_lines",
+            "n_removed",
+            F.expr(
+                "((n_lines - n_removed) * 1000000L) div n_lines"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -6033,3 +6033,39 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+# q213: C4/RefinedWeb line-level boilerplate — lines (10-token chunks +
+# planted banners) repeating across >= 30 distinct docs are dropped;
+# per-source retention in exact integer ppm.
+ORACLE["q213_line_boilerplate"] = """
+WITH staged AS (
+  SELECT doc_id, source,
+         list_concat(list_concat(
+           regexp_extract_all(COALESCE(text, ''), '\\S+( \\S+){0,9}'),
+           CASE WHEN doc_id % 3 = 0
+                THEN ['please subscribe to our site newsletter for updates today']
+                ELSE [] END),
+           CASE WHEN doc_id % 5 = 0
+                THEN ['this site uses cookies by continuing you accept the policy']
+                ELSE [] END) AS _la
+  FROM documents
+), lines AS (
+  SELECT doc_id, source, unnest(_la) AS line
+  FROM staged
+), boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(*) AS _df
+    FROM (SELECT DISTINCT line, doc_id FROM lines)
+    GROUP BY line
+  ) WHERE _df >= 30
+), scored AS (
+  SELECT l.source, COUNT(*) AS n_lines,
+         SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+  GROUP BY l.source
+)
+SELECT source, n_lines, n_removed,
+       ((n_lines - n_removed) * 1000000) // n_lines AS retention_ppm
+FROM scored
+ORDER BY source
+"""

@@ -1541,3 +1541,23 @@ def test_q212_zero_preserving_left_join_reaggregation(spark):
     # sort; the per-customer count must NOT add its own exchange
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 4
+
+
+def test_q213_line_boilerplate_shape(spark):
+    """C4-style line-level boilerplate: the doc-frequency count must
+    come from the distinct (line, doc) grain (no count-distinct
+    Expand), the tiny flagged set must broadcast back over the line
+    stream, and the whole query reads documents exactly twice (the
+    q203 two-scan budget)."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.curation import (
+        q213_line_boilerplate,
+    )
+
+    df = q213_line_boilerplate(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
