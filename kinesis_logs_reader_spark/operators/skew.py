@@ -200,3 +200,45 @@ def q201_skew_advisor(spark, sf_dir: str):
         )
         .orderBy("table_name", "key_name")
     )
+
+
+def q214_salted_rollup(spark, sf_dir: str) -> DataFrame:
+    """The skew machinery's own hash-green certification (q201 is the
+    ADVISOR that recommends it; this is the mitigation itself as a
+    declared, oracle-backed query): the per-event-type rollup computed
+    THROUGH ``salted_agg`` — phase 1 aggregates on (key, salt) so a
+    pathological hot key spreads over n_salts reducers, phase 2 merges
+    the per-salt partials on the key alone. Salting is value-neutral
+    for algebraic aggregates, so the oracle is the plain GROUP BY and
+    the hash certifies the salted path end-to-end.
+
+    Money is summed in exact integer cents through BOTH phases
+    (order-independent — a salted double sum would be nondeterministic
+    across salt assignments, let alone engines), rendered with the
+    standard ROUND(x/100, 2)::double. Plan pinned: the first exchange
+    carries the salt, the second only the key, no single-stage
+    aggregate over the raw skewed key.
+    """
+    from kinesis_logs_reader_spark.operators.relational import _c2, _money
+    from kinesis_logs_reader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", _c2("value").alias("_v2")
+    )
+    rolled = salted_agg(
+        ev,
+        "event_type",
+        {
+            "n_events": ("event_id", "count"),
+            "_sum2": ("_v2", "sum"),
+            "_min2": ("_v2", "min"),
+            "_max2": ("_v2", "max"),
+        },
+    )
+    return rolled.select(
+        "event_type",
+        "n_events",
+        _money(F.col("_sum2"), 2).alias("total_value"),
+        _money(F.col("_min2").cast("decimal(38,0)"), 2).alias("min_value"),
+        _money(F.col("_max2").cast("decimal(38,0)"), 2).alias("max_value"),
+    ).orderBy("event_type")

@@ -6069,3 +6069,17 @@ SELECT source, n_lines, n_removed,
 FROM scored
 ORDER BY source
 """
+
+# q214: the salted-aggregation certification — the oracle is the PLAIN
+# GROUP BY (salting is value-neutral for algebraic aggregates), so a
+# hash match certifies the two-phase salted path end-to-end.
+ORACLE["q214_salted_rollup"] = """
+SELECT event_type,
+       COUNT(event_id) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(ROUND(MIN(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS min_value,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

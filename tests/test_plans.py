@@ -1561,3 +1561,20 @@ def test_q213_line_boilerplate_shape(spark):
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q214_salted_agg_two_phase_shape(spark):
+    """The salted rollup must aggregate in two phases: the first
+    exchange carries (key, salt) — the hot key spreads over n_salts
+    reducers — the second only the key; no single-stage aggregate over
+    the raw skewed key, salt derived via xxhash64."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.skew import q214_salted_rollup
+
+    df = q214_salted_rollup(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "xxhash64" in plan
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in e for e in exchanges)
+    assert any(("event_type" in e) and ("_salt" not in e) for e in exchanges)
