@@ -2470,3 +2470,85 @@ def q202_retrieval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_hi")
     )
+
+
+def _assign_with_d2(emb: DataFrame, cents) -> DataFrame:
+    """One Arrow pass: (vec_id, cluster, d2) — argmin cell plus the
+    EXACT int64 squared distance to it. Same integer-grid arithmetic
+    as assign_clusters (every term an integer-valued double < 2^53,
+    so the float math is exact and cross-engine-stable); ties route to
+    the smaller cell in numpy (argmin = first min) and SQL alike."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = emb.sparkSession.sparkContext.broadcast(
+        np.asarray(cents, dtype=np.float64)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("d2", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        c = b.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            x = np.floor(
+                np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+                + 0.5
+            )
+            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c_sq
+            amin = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": amin.astype("int32"),
+                    "d2": d[np.arange(len(amin)), amin].astype("int64"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def q215_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-balanced diversity selection — the SemDeDup-adjacent
+    SAMPLING story: route every embedding to its trained k-means cell
+    (q75's persisted index, shared by fingerprint) and keep the 8 most
+    PROTOTYPICAL members per cell (smallest exact int64 distance to
+    the assigned centroid, vec_id tie-break), reporting each kept
+    row's in-cell rank and the cell's member count. This is the
+    coverage-preserving pick a pretraining mix uses when it wants one
+    exemplar neighborhood per mode of the distribution instead of
+    frequency-weighted sampling (cf. cluster-based pruning /
+    prototypicality selection).
+
+    Exactness: routing and distances ride the integer grid
+    (floor(v*1024+0.5); every arithmetic term an integer-valued
+    double < 2^53), so cell assignment, d2, and the rank are
+    bit-stable; the oracle RETRAINS the same quantizer in SQL
+    (_kmeans_cte) — a hash match certifies index, routing, and
+    selection together. Scale shape: one Arrow routing pass (the
+    centroid matrix broadcasts; never vectors x vectors), ONE
+    cell-keyed exchange for the rank+count windows, 128-row output.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = get_or_fit_kmeans(emb, f"emb_{sf_dir}", n_clusters=16)
+    routed = _assign_with_d2(emb, cents)
+    w_cell = Window.partitionBy("cluster")
+    ranked = (
+        routed.withColumn(
+            "rnk", F.row_number().over(w_cell.orderBy("d2", "vec_id"))
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w_cell))
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 8)
+        .select("cluster", "rnk", "vec_id", "d2", "n_members")
+        .orderBy("cluster", "rnk")
+    )

@@ -6083,3 +6083,27 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# q215: cluster-balanced selection — the oracle RETRAINS the k=16
+# quantizer in SQL (_kmeans_cte) and re-derives routing + per-cell
+# prototypical top-8, so index, routing, and selection are all
+# certified by one hash.
+ORACLE["q215_cluster_balanced_sample"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+{_kmeans_cte(16, 3)},
+member AS (
+  SELECT a.vec_id, a.cell, d.d2
+  FROM assigned a JOIN dist d ON a.vec_id = d.vec_id AND a.cell = d.cell
+), ranked AS (
+  SELECT cell, vec_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS INT) AS rnk,
+         COUNT(*) OVER (PARTITION BY cell) AS n_members
+  FROM member
+)
+SELECT CAST(cell AS INT) AS cluster, rnk, vec_id, d2, n_members
+FROM ranked
+WHERE rnk <= 8
+ORDER BY cluster, rnk
+"""

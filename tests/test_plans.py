@@ -1578,3 +1578,22 @@ def test_q214_salted_agg_two_phase_shape(spark):
     exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert any("_salt" in e for e in exchanges)
     assert any(("event_type" in e) and ("_salt" not in e) for e in exchanges)
+
+
+def test_q215_single_cell_exchange(spark):
+    """Cluster-balanced selection: one Arrow routing pass (MapInPandas
+    with the centroid matrix broadcast — never vectors x vectors),
+    then BOTH windows (prototypical rank + member count) share the ONE
+    cluster-keyed exchange; no cartesian."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q215_cluster_balanced_sample,
+    )
+
+    df = q215_cluster_balanced_sample(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert "MapInPandas" in plan
+    ex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1 and "cluster" in ex[0]
+    assert "CartesianProduct" not in plan
