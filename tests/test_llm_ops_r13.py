@@ -352,3 +352,106 @@ def test_q131c_minsum_branch_recomputed_in_python(spark, tmp_path):
     assert got["o_orderkey"].n_distinct_est == expected
     # and the estimate is within the documented budget of the truth
     assert abs(expected - n) <= 0.25 * n
+
+
+def test_q213_line_boilerplate_survives_adversarial_corpus(spark, tmp_path):
+    """Totality floor for the late-r13 line-boilerplate kernel: q213
+    must RUN with its invariants intact on empty docs, whitespace-only
+    docs, multi-byte unicode/emoji, NUL bytes, and a 100 KB monster —
+    the regexp chunker and the banner-planting array concat both touch
+    every byte. (The oracle legitimately assumes the generator corpus;
+    this pins the Spark side's totality, the r11 multimodal
+    discipline.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.curation import (
+        q213_line_boilerplate,
+    )
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "é ü ß 中文 🦆" * 3,
+        "x\x00y " * 40,
+        "z" * 100_000,
+        "normal prose with several tokens in it " * 4,
+        "  \t\n  ",
+        None,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["fuzz"] * len(texts),
+                "lang": ["xx"] * len(texts),
+                "n_chars": [len(t) if t else 0 for t in texts],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = q213_line_boilerplate(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # one source
+    r = rows[0]
+    assert r.n_lines >= 3  # banners planted on doc_id 0,3,6 (%3) + 0,5 (%5)
+    assert 0 <= r.n_removed <= r.n_lines
+    assert 0 <= r.retention_ppm <= 1_000_000
+    # 9 docs < 30-doc threshold: nothing (incl. the banners) may flag
+    assert r.n_removed == 0 and r.retention_ppm == 1_000_000
+
+
+def test_q213_flags_exactly_the_cross_doc_repeats(spark, tmp_path):
+    """Constructed-corpus semantics: with 90 docs, every third doc
+    (30 of them) carries the newsletter banner — exactly at the
+    >= 30-doc threshold, so the banner line must flag while every
+    organic line (unique per doc) and the cookie banner (18 docs,
+    under threshold) must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.curation import (
+        q213_line_boilerplate,
+    )
+
+    n = 90
+    texts = [f"unique organic line number {i} for this document only" for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(n)),
+                "text": texts,
+                "source": ["s"] * n,
+                "lang": ["xx"] * n,
+                "n_chars": [len(t) for t in texts],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = q213_line_boilerplate(spark, str(tmp_path)).collect()
+    r = rows[0]
+    # lines: 90 organic (one 10-token chunk each... the 9-word organic
+    # text is ONE chunk) + 30 newsletter + 18 cookie = 138; removed:
+    # exactly the 30 newsletter instances (cookie = 18 < 30 survives)
+    assert r.n_lines == 138
+    assert r.n_removed == 30
+    assert r.retention_ppm == ((138 - 30) * 1_000_000) // 138
