@@ -455,3 +455,66 @@ def test_q213_flags_exactly_the_cross_doc_repeats(spark, tmp_path):
     assert r.n_lines == 138
     assert r.n_removed == 30
     assert r.retention_ppm == ((138 - 30) * 1_000_000) // 138
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """Constructed-graph sanity for the shared PageRank kernel: a hub
+    supplier traded by every customer must out-rank a leaf supplier
+    with one customer, and splitting a customer's weight toward the
+    hub must raise the hub's rank — the 'PageRank-ness' the oracle's
+    arithmetic equality alone doesn't assert."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_logs_reader_spark.operators.analytics import (
+        pagerank_supplier_ranks,
+    )
+
+    def ranks(pairs):
+        edges = (
+            spark.createDataFrame(pairs, "c long, s long")
+            .groupBy("c", "s")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        e = edges.withColumn(
+            "wc", F.sum("w").over(Window.partitionBy("c"))
+        ).withColumn("ws", F.sum("w").over(Window.partitionBy("s")))
+        return {r.s: r._sr for r in pagerank_supplier_ranks(e).collect()}
+
+    # hub supplier 100 serves customers 1-6; leaf supplier 200 serves
+    # only customer 1 (which splits its weight hub/leaf)
+    star = [(c, 100) for c in range(1, 7)] + [(1, 200)]
+    r = ranks(star)
+    assert r[100] > r[200]
+    # doubling customer 1's hub edge weight shifts its split toward the
+    # hub: hub rank rises, leaf rank falls
+    star2 = star + [(1, 100)]
+    r2 = ranks(star2)
+    assert r2[100] > r[100]
+    assert r2[200] < r[200]
+
+
+def test_q215_selection_invariants_on_real_corpus(spark):
+    """q215's selection must be internally consistent on the real
+    corpus: per cluster at most 8 rows, ranks contiguous from 1,
+    monotone non-decreasing d2 along the rank, and n_members >= the
+    number selected; total selected == sum over clusters."""
+    from collections import defaultdict
+
+    from kinesis_logs_reader_spark.operators.similarity import (
+        q215_cluster_balanced_sample,
+    )
+
+    from tests.conftest import SF_DIR
+
+    rows = q215_cluster_balanced_sample(spark, SF_DIR).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster].append(r)
+    for cl, rs in by_cluster.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 8
+        d2s = [r.d2 for r in rs]
+        assert d2s == sorted(d2s)
+        assert all(r.n_members >= len(rs) for r in rs)
