@@ -2623,3 +2623,47 @@ def q205_retrain_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q216_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph — distributed
+    motif counting, the graph-analytics staple the surface lacked
+    (q151 reads degrees, q74 components, q159 authority; none sees
+    CLOSED structure). A document in many triangles sits in a densely
+    self-similar template family — mutually-supporting near-dup
+    evidence — where a high-degree document with NO triangles is a
+    hub of pairwise-only collisions (the shingle-collision false-pos
+    smell). Per-document triangle membership, top-20.
+
+    Plan: the classic ordered two-join triangle enumeration over the
+    session-persisted candidate pair frame (every edge stored once as
+    ida < idb, so each triangle a<b<c materializes exactly once:
+    e1=(a,b) joins e2=(b,c) on the shared middle vertex, e3=(a,c)
+    closes the wedge) — two joins riding the InMemoryTableScan, never
+    the corpus; membership via one explode of the (a,b,c) struct. At
+    100 TB the pair frame IS the bounded materialized artifact
+    (banded candidates, never all-pairs), and the wedge join's
+    degeneracy ordering keeps the intermediate at wedge count, the
+    standard distributed-triangle bound.
+    """
+    e = _cached_pair_counts(spark, sf_dir).select("ida", "idb")
+    e1 = e.select(F.col("ida").alias("a"), F.col("idb").alias("b"))
+    e2 = e.select(F.col("ida").alias("b2"), F.col("idb").alias("c"))
+    e3 = e.select(F.col("ida").alias("a3"), F.col("idb").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    member = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return (
+        member.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "doc_id")
+        .limit(20)
+    )

