@@ -215,3 +215,78 @@ def q137_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q217_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly-series autocorrelation at lag 1 and lag
+    24 — the seasonality diagnostic the temporal family lacked (q173
+    resamples, q137 drifts, q205 triggers; none measures the series'
+    own structure): lag-1 says how bursty the stream is, lag-24 vs
+    lag-1 says whether a diurnal cycle dominates short-range
+    correlation — the statistic that decides windowing and watermark
+    widths for the streaming jobs.
+
+    Exactness: counts densify onto the fixed January-2024 720-slot
+    spine (q173's grid idiom; missing hours are real zeros), and
+    deviations are cross-multiplied integers d = n*x - S (never a
+    float mean), so numerators and the denominator are EXACT int64
+    sums; the only float op is the final two divisions, identical
+    IEEE on identical int inputs in both engines (overflow envelope:
+    |d| <= n*max_x ~ 1e7 at sf~1, d*d summed over 720 slots ~ 4e17 —
+    int64-safe through ~30x). All four window passes (count, sum,
+    lag 1, lag 24) stack over ONE event_type-keyed exchange of the
+    |types| x 720 series — the q83 stacked-window discipline; the
+    corpus-scale work is just the (type, hour) pre-aggregate, map-side
+    combinable on the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hc = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    types = hc.select("event_type").distinct()
+    spine = types.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp_ntz"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("h"),
+    )
+    series = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w_t = Window.partitionBy("event_type")
+    w_o = w_t.orderBy("h")
+    dev = (
+        series.withColumn("_n", F.count(F.lit(1)).over(w_t))
+        .withColumn("_s", F.sum("x").over(w_t))
+        .withColumn("d", F.col("_n") * F.col("x") - F.col("_s"))
+    )
+    lagged = dev.withColumn("d1", F.lag("d", 1).over(w_o)).withColumn(
+        "d24", F.lag("d", 24).over(w_o)
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("d") * F.col("d")).alias("_den"),
+            F.sum(F.col("d") * F.col("d1")).alias("_num1"),
+            F.sum(F.col("d") * F.col("d24")).alias("_num24"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(
+                F.col("_num1").cast("double") / F.col("_den").cast("double"),
+                6,
+            ).cast("double").alias("acf_lag1"),
+            F.round(
+                F.col("_num24").cast("double") / F.col("_den").cast("double"),
+                6,
+            ).cast("double").alias("acf_lag24"),
+            (F.col("_num24") > F.col("_num1")).alias("diurnal"),
+        )
+        .orderBy("event_type")
+    )

@@ -6135,3 +6135,46 @@ GROUP BY doc_id
 ORDER BY n_triangles DESC, doc_id
 LIMIT 20
 """
+
+# q217: hourly autocorrelation (lag 1 / lag 24) per event type —
+# cross-multiplied integer deviations d = n*x - S, exact int64 sums,
+# one final IEEE division per ratio (identical on identical ints).
+ORACLE["q217_hourly_autocorrelation"] = """
+WITH hc AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+  FROM types
+), series AS (
+  SELECT s.event_type, s.h, COALESCE(hc.x, 0) AS x
+  FROM spine s LEFT JOIN hc ON s.event_type = hc.event_type AND s.h = hc.h
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx
+  FROM series GROUP BY event_type
+), dev AS (
+  SELECT se.event_type, se.h, (st.n * se.x - st.sx) AS d,
+         LAG(st.n * se.x - st.sx, 1) OVER w AS d1,
+         LAG(st.n * se.x - st.sx, 24) OVER w AS d24
+  FROM series se JOIN stats st USING (event_type)
+  WINDOW w AS (PARTITION BY se.event_type ORDER BY se.h)
+), agg AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         SUM(d * d) AS den, SUM(d * d1) AS num1, SUM(d * d24) AS num24
+  FROM dev GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       CAST(ROUND(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE)
+         AS acf_lag1,
+       CAST(ROUND(CAST(num24 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE)
+         AS acf_lag24,
+       (num24 > num1) AS diurnal
+FROM agg
+ORDER BY event_type
+"""

@@ -25,7 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Declared surface (SURVEY.md §2.2): counts asserted on every assembly so a
 # vanished module or renamed function cannot silently shrink the inventory.
-N_QUERIES = 227  # r13 late: +q206 scalable rank suite (rank.py oracle cert),
+N_QUERIES = 228  # r13 late: +q206 scalable rank suite (rank.py oracle cert),
 #                      +q207/q208/q209 TPC-H Q19/Q17/Q21 optimizer showcases,
 #                      +q210 weighted bipartite PageRank (iterative link analysis)
 #                  r7: +q161 epoch shuffle, +q162 graded eval containment,
@@ -49,7 +49,7 @@ N_QUERIES = 227  # r13 late: +q206 scalable rank suite (rank.py oracle cert),
 #                      +q180 RAG context assembly audit (budgeted top-k pack),
 #                      +q181 eval-sample placement audit (q178 x q164),
 #                      +q182 last-touch attribution (asof struct-carry)
-N_ORACLES = 227  # all r7-r10 additions are fully oracle-backed
+N_ORACLES = 228  # all r7-r10 additions are fully oracle-backed
 #                  r9: +q183 vocabulary drift monitor (version halves),
 #                      +q184 ANN index-drift monitor (frozen-codebook routing),
 #                      +q185 product-quantization ADC top-k (4 per-subspace
@@ -343,7 +343,6 @@ DRIVER_WINDOW_R7: list[str] = [
     "q115_unigram_lm",
     "q119_knn_join",
     "q122_substring_dedup",
-    "q131_table_profile",
 ]
 
 # Round-8 window (STAGED — swap DRIVER_WINDOW to this after the r7
@@ -579,6 +578,7 @@ DRIVER_WINDOW: list[str] = [
     "q214_salted_rollup",
     "q215_cluster_balanced_sample",
     "q216_triangle_census",
+    "q217_hourly_autocorrelation",
     "q207_disjunctive_promo_revenue",
     "q208_small_quantity_revenue",
     "q209_waiting_suppliers",
@@ -624,7 +624,6 @@ DRIVER_WINDOW: list[str] = [
     "q182_last_touch_attribution",
     # (3) r9-era fill: audit targets first, then low query numbers
     "q122_substring_dedup",
-    "q131_table_profile",
 ]
 assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
     "DRIVER_WINDOW must hold exactly 50 unique keys "
@@ -636,6 +635,7 @@ assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
 # 6-round policy ceiling at r15 — running them in r14 keeps slack.
 # Changed/new r14 kernels still jump this queue.
 DRIVER_WINDOW_R14_STAGED: list[str] = [
+    "q131_table_profile",  # displaced when q217 entered as a new key (r13 audit row already fresh this round)
     "q02_filter_predicates",  # displaced when q216 entered as a new key
     "q14_count_distinct",  # displaced when q215 entered as a new key
     "q17_global_agg",  # displaced when q214 entered as a new key

@@ -1612,3 +1612,24 @@ def test_q216_triangle_join_rides_cached_pairs(spark):
     plan = explain.formatted_plan(df)
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q217_windows_share_one_type_exchange(spark):
+    """Hourly ACF: all four window passes (count, sum, lag 1, lag 24)
+    must stack over ONE event_type-keyed exchange of the |types| x 720
+    series — the q83 stacked-window discipline; the corpus-scale work
+    is only the (type, hour) pre-aggregate on the scan."""
+    import re
+
+    from kinesis_logs_reader_spark.operators.events import (
+        q217_hourly_autocorrelation,
+    )
+
+    df = q217_hourly_autocorrelation(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = re.findall(r"hashpartitioning\((event_type[^)]*)\)", plan)
+    # exactly ONE type-only exchange feeds all the windows; the only
+    # other exchange is the (type, hour) pre-aggregate on the scan
+    type_only = [e for e in ex if "h#" not in e]
+    assert len(type_only) == 1
+    assert "CartesianProduct" not in plan
