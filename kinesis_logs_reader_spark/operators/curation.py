@@ -31,7 +31,7 @@ from kinesis_logs_reader_spark.functions.generate import (
     posexplode_nonempty,
 )
 from kinesis_logs_reader_spark.functions.text import n_tokens, shingles, stopword_count, tokens
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
@@ -100,7 +100,11 @@ def q92_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (doc_id, token) partially aggregates map-side, so the one
     shuffle moves (doc, distinct-token) pairs, not token instances.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # spread_scan (r14): the tokenize/bigram chain and the token
+    # explode below both ran on the scan's single task (guide §2.5)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    )
     # tokens, then bigrams, materialized stage by stage: the inline
     # shingles(text) form re-splits the text per bigram element (see
     # functions/text.py) and this expression uses the array twice
@@ -247,8 +251,11 @@ def q95_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # N as a lazy 1-row broadcast (no eager .count() on the driver)
     n_tbl = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # spread_scan (r14): the full-corpus distinct-token explode ran on
+    # the scan's single task (guide §2.5)
     df_tbl = (
-        docs.select(F.explode(F.array_distinct(tokens())).alias("t"))
+        spread_scan(docs)
+        .select(F.explode(F.array_distinct(tokens())).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_tbl))
@@ -894,7 +901,9 @@ def q120_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    tokd = docs.select(tokens().alias("_toks"))
+    # spread_scan (r14): parallelize the pair explode off the
+    # single-task scan (guide §2.5)
+    tokd = spread_scan(docs).select(tokens().alias("_toks"))
     # explode_nonempty: the inferred filter would re-inline the pair
     # lambda over _toks per element (functions/generate.py)
     pairs = explode_nonempty(
@@ -1149,7 +1158,9 @@ def q139_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_logs_reader_spark.functions.text import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    tokd = docs.select(tokens().alias("_toks"))
+    # spread_scan (r14): the tokenize+bigram explode feeds two
+    # aggregates off the single-task scan (guide §2.5)
+    tokd = spread_scan(docs).select(tokens().alias("_toks"))
     uni = (
         explode_nonempty(tokd, F.col("_toks"), "t")
         .groupBy("t")
@@ -1319,7 +1330,9 @@ def q149_source_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|-bounded after map-side combine; the final top-3 window
     runs over a |sources| x vocab frame, never corpus rows.
     """
-    tok = load_table(spark, sf_dir, "documents").select(
+    # spread_scan (r14): parallelize the tokenize+explode off the
+    # single-task scan (guide §2.5)
+    tok = spread_scan(load_table(spark, sf_dir, "documents")).select(
         "source", F.explode(tokens()).alias("t")
     )
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
@@ -1503,7 +1516,12 @@ def q165_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    corpus = docs.unionByName(planted)
+    # spread_scan (r14): the md5+shingle explode chain below is
+    # evaluated twice at full corpus width (df_tbl and scored) and was
+    # pinned to the one-row-group scan's single task (guide §2.5);
+    # the gated exchange parallelizes both evaluations and disappears
+    # on a many-split table (sources/tables.py).
+    corpus = spread_scan(docs.unionByName(planted))
     stats = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
     from kinesis_logs_reader_spark.functions.text import (
         token_base_hashes,

@@ -41,7 +41,7 @@ from kinesis_logs_reader_spark.functions.generate import (
     explode_nonempty,
     posexplode_nonempty,
 )
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
@@ -76,9 +76,15 @@ def _cached_slice_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = spark.__dict__.setdefault("_klrs_slice_shingles_cache", {})
     ck = corpus_key(sf_dir, "documents")
     if ck not in cache:
+        # spread_scan (r14): parallelize the shingle chain and persist
+        # the frame multi-partition (guide §2.5) — downstream explodes
+        # and self-joins inherit the persisted partitioning
         tokd = (
-            load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 200)
+            spread_scan(
+                load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") < 200
+                )
+            )
             .select("doc_id", tokens().alias("_toks"))
         )
         cache[ck] = tokd.select(
@@ -213,7 +219,10 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    return docs.unionByName(planted)
+    # spread_scan (r14): the shingle->signature chain minhash_pairs
+    # stacks on this frame is per-row-heavy and otherwise single-task
+    # over the one-row-group scan (guide §2.5)
+    return spread_scan(docs.unionByName(planted))
 
 
 def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,8 +446,14 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     found by banding the 64-bit sketch into 4x16-bit sub-keys.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r14): the Arrow-batched simhash UDF inherited the
+    # one-row-group scan's single task, so ONE Python worker hashed
+    # the whole corpus regardless of cores; the gated exchange fans
+    # the batches across workers and is a no-op on a many-split table
+    # (guide §2.5 + §4.1 — the boundary cost itself parallelizes).
     return (
-        docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+        spread_scan(docs.select("doc_id", "text"))
+        .select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
         .orderBy("doc_id")
     )
 
@@ -462,7 +477,13 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic (measured 4.4s -> 1.0s at sf0.001 on this exact
     # query). At 100 TB the same barrier is an intermediate parquet
     # write or one repartition, not a cluster-wide cache.
-    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
+    # spread_scan (r14): the cached token-hash frame otherwise
+    # materializes on the scan's single task (guide §2.5)
+    tok = (
+        spread_scan(docs)
+        .select("doc_id", token_base_hashes().alias("tb"))
+        .cache()
+    )
     sh = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("sh"))
     # explode_nonempty: even with the cache barrier the inferred filter
     # re-runs the shingle transform over cached tb per row
@@ -602,7 +623,11 @@ def q101_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum per doc so the oracle pins the exact fingerprint SET.
     """
     w = 4
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # spread_scan (r14): the per-row md5+window-min chain ran on the
+    # scan's single task (guide §2.5)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    )
     tok = docs.select("doc_id", token_base_hashes().alias("tb"))
     # materialize the positional shingle-hash sequence before windowing
     # (same anti-inlining rule as q89: lambdas defeat CSE)
@@ -662,7 +687,14 @@ def q112_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         # explode_nonempty: the inferred size()>0 filter would re-run
         # the regex chunker once more per row (functions/generate.py)
-        explode_nonempty(docs.filter(F.length("text") > 0), chunks, "chunk", "doc_id")
+        explode_nonempty(
+            # spread_scan (r14): the regex chunker + md5 ran on the
+            # scan's single task (guide §2.5)
+            spread_scan(docs.filter(F.length("text") > 0)),
+            chunks,
+            "chunk",
+            "doc_id",
+        )
         .select("doc_id", F.md5("chunk").alias("h"))
     )
     # Global occurrence count as a window over the digest: ONE shuffle
@@ -812,7 +844,11 @@ def q122_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 3000000).alias("doc_id"), "text"
     )
-    tokd = docs.unionByName(planted).select(
+    # spread_scan (r14): the tokenize+positional-shingle+md5 chain is
+    # the expensive half of this query and persists below — without
+    # the gated exchange it builds AND persists on the scan's single
+    # task (guide §2.5)
+    tokd = spread_scan(docs.unionByName(planted)).select(
         "doc_id", tokens().alias("_toks")
     )
     # posexplode_nonempty: the inferred filter would re-inline the
@@ -885,7 +921,9 @@ def q123_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = spark.__dict__.setdefault("_klrs_bases_cache", {})
     ck = corpus_key(sf_dir, "documents")
     if ck not in cache:
-        docs = (
+        # spread_scan (r14): parallelize the md5+shingle chain below
+        # the persist (guide §2.5)
+        docs = spread_scan(
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 200)
             .select("doc_id", "text")
@@ -1056,7 +1094,13 @@ def q130_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
+    # spread_scan (r14): the cached token-hash frame otherwise
+    # materializes on the scan's single task (guide §2.5)
+    tok = (
+        spread_scan(docs)
+        .select("doc_id", token_base_hashes().alias("tb"))
+        .cache()
+    )
     possh = tok.select(
         "doc_id",
         token_shingle_hashes(F.col("tb"), distinct=False).alias("sh"),
@@ -1120,7 +1164,9 @@ def q134_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_scan (r14): the md5 shingle build ran on the scan's
+    # single task (guide §2.5)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", tokens().alias("_toks"))
     sh = tok.select(
         "doc_id",
@@ -1175,7 +1221,9 @@ def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = spark.__dict__.setdefault("_klrs_source_shingles_cache", {})
     ck = corpus_key(sf_dir, "documents")
     if ck not in cache:
-        docs = load_table(spark, sf_dir, "documents")
+        # spread_scan (r14): parallelize the shingle chain below the
+        # persist (guide §2.5)
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
         tok = docs.select("source", tokens().alias("_toks"))
         cache[ck] = (
             tok.select(
@@ -1344,7 +1392,9 @@ def q154_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    seams = base.select(
+    # spread_scan (r14): the re-tokenize of the unioned corpus was
+    # single-task (guide §2.5)
+    seams = spread_scan(base).select(
         "doc_id",
         tokens().alias("_toks"),
     ).select(
@@ -1401,7 +1451,8 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    corpus = docs.unionByName(trunc)
+    # spread_scan (r14): parallelize the signature chain (guide §2.5)
+    corpus = spread_scan(docs.unionByName(trunc))
     tok = corpus.select("doc_id", token_base_hashes().alias("tb"))
     based = tok.select(
         "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
@@ -2064,7 +2115,14 @@ def q174_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach(seed, node, depth) AS (
           SELECT src, src, 0 FROM seeds
           UNION ALL
-          SELECT r.seed, e.dst, r.depth + 1
+          -- BROADCAST the static edge side (r14): the candidate-pair
+          -- frame is near-dups only (bounded, session-persisted);
+          -- without the hint every recursion step shuffles BOTH the
+          -- frontier and the edge list (3 iterations x 2 exchanges).
+          -- Broadcasting turns each step into a map-only hash join of
+          -- the frontier against the same broadcast relation
+          -- (guide §3.1).
+          SELECT /*+ BROADCAST(e) */ r.seed, e.dst, r.depth + 1
           FROM reach r JOIN dup_edges_q174 e ON e.src = r.node
           WHERE r.depth < 3
         )
@@ -2215,7 +2273,7 @@ def _kmv_distinct_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     52-bit int (the (k-1)*2^52 numerator stays in int64)."""
     from kinesis_logs_reader_spark.functions.caching import lru_persisted
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select(
         "source",
         F.conv(F.substring(F.md5("text"), 1, 13), 16, 10)
         .cast("bigint")
@@ -2515,8 +2573,13 @@ def q205_retrain_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; monitoring
     family q136/q137/q183 x snapshot family q203).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+    # spread_scan (r14): four per-row md5/length passes (v0/v1 digests
+    # + both histograms) each ran on the scan's single task (guide
+    # §2.5)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+        )
     )
     cls = F.col("doc_id") % 20
     mutated = cls.isin(3, 13)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 try:  # optional dependency: real image codec
@@ -236,7 +236,12 @@ def resize_images(
 def sample_frames(
     df: DataFrame, n_frames: int, payload_col: str = "payload"
 ) -> DataFrame:
-    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    # spread_scan (r14): fan the Arrow frame-sample stage across
+    # Python workers when the input is an unsplittable scan (guide
+    # §2.5/§4.1); no-op on many-split or synthetic inputs
+    src = spread_scan(
+        df.select("doc_id", F.col(payload_col).alias("payload"))
+    )
     return src.mapInPandas(sample_frames_batch(n_frames), FRAMES_SCHEMA)
 
 
@@ -387,10 +392,24 @@ def dhash_batch(codec: str = "fake"):
 
 
 def perceptual_hashes(
-    df: DataFrame, payload_col: str = "payload", codec: str = "fake"
+    df: DataFrame,
+    payload_col: str = "payload",
+    codec: str = "fake",
+    spread: bool = True,
 ) -> DataFrame:
-    """(doc_id, payload) -> (doc_id, b0..b3): the dHash stage."""
+    """(doc_id, payload) -> (doc_id, b0..b3): the dHash stage.
+
+    spread_scan (r14): the Arrow decode+hash stage inherits its input's
+    partitioning, and every corpus caller feeds it a one-row-group scan
+    — ONE Python worker decoded every image regardless of cores (guide
+    §2.5/§4.1). The gated exchange fans batches across workers; no-op
+    for many-split inputs and for synthetic test frames. Pass
+    ``spread=False`` for frames a filter already bounds to a handful of
+    rows — fanning those across workers costs more scheduling than the
+    decode it parallelizes (measured: q200's 21-row planted batch)."""
     src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    if spread:
+        src = spread_scan(src)
     return src.mapInPandas(dhash_batch(codec), PHASH_SCHEMA)
 
 
@@ -446,7 +465,9 @@ def q194_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "_klrs_phash_sig_cache",
         corpus_key(sf_dir, "documents"),
-        lambda: perceptual_hashes(docs.unionByName(planted)),
+        lambda: perceptual_hashes(
+            docs.unionByName(planted), spread=False
+        ),
     )
     bands = sig.select(
         "doc_id",
@@ -549,11 +570,14 @@ def q196_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     frames = sample_frames(docs.unionByName(planted), n_frames=8)
+    # spread=False: frames is sample_frames output, already fanned
+    # across workers — a second exchange here is pure overhead
     sig = perceptual_hashes(
         frames.select(
             (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
             F.col("frame").alias("payload"),
-        )
+        ),
+        spread=False,
     ).select(
         F.expr("doc_id div 8").alias("doc_id"),
         F.expr("doc_id % 8").cast("int").alias("frame_idx"),
@@ -656,7 +680,10 @@ def audio_energy(
     df: DataFrame, win_bytes: int = 64, payload_col: str = "payload"
 ) -> DataFrame:
     """(doc_id, payload: binary) -> (doc_id, win_idx, energy) windows."""
-    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    # spread_scan (r14): same Python-worker fan-out as sample_frames
+    src = spread_scan(
+        df.select("doc_id", F.col(payload_col).alias("payload"))
+    )
     return src.mapInPandas(audio_energy_batch(win_bytes), AUDIO_WIN_SCHEMA)
 
 
@@ -807,7 +834,9 @@ def q199_crossmodal_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "_klrs_phash_sig_cache",
         corpus_key(sf_dir, "documents"),
-        lambda: perceptual_hashes(docs.unionByName(planted)),
+        lambda: perceptual_hashes(
+            docs.unionByName(planted), spread=False
+        ),
     ).filter(F.col("doc_id") < PLANT_PHASH)
     qsig = sig.filter(F.col("doc_id") == 0).select(
         *[F.col(f"b{i}").alias(f"q{i}") for i in range(4)]
@@ -984,7 +1013,9 @@ def get_or_build_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             "_klrs_phash_sig_cache",
             corpus_key(sf_dir, "documents"),
-            lambda: perceptual_hashes(docs.unionByName(planted_q194)),
+            lambda: perceptual_hashes(
+            docs.unionByName(planted_q194), spread=False
+        ),
         ).filter(F.col("doc_id") < PLANT_PHASH)
         store_sigs = nat.filter(F.col("doc_id") % 10 != 3)
         _write_index_bucketed(spark, phash_digest_rows(store_sigs), path)
@@ -1103,7 +1134,9 @@ def q200_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "_klrs_phash_sig_cache",
         corpus_key(sf_dir, "documents"),
-        lambda: perceptual_hashes(docs.unionByName(planted_q194)),
+        lambda: perceptual_hashes(
+            docs.unionByName(planted_q194), spread=False
+        ),
     ).filter(F.col("doc_id") < PLANT_PHASH)
     inc_nat = nat.filter(F.col("doc_id") % 10 == 3)
     inc_exact = (
@@ -1129,7 +1162,7 @@ def q200_phash_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the mutated row AND its +1e12 batch twin come out of ONE
     # Arrow pass: a second consumer of m_sigs would duplicate the whole
     # mapInPandas subtree (two Python-worker round trips per run)
-    m_both = perceptual_hashes(mutated).select(
+    m_both = perceptual_hashes(mutated, spread=False).select(
         F.explode(
             F.array(
                 F.col("doc_id"),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.plans.output import presentation_order
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 
 
 def _dec(c: str | Column, scale: int = 2) -> Column:
@@ -522,7 +522,15 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: global (no-group) aggregate over lineitem."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_scan (r14): the decimal conversions + count-distinct
+    # partial agg ran on the scan's single task; project to the three
+    # touched columns before the gated exchange (guide §2.3/§2.5).
+    # Measured A/B at sf0.1: 1.73 -> 1.49 s (contended session).
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_quantity"
+        )
+    )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -663,13 +671,17 @@ def q21_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_by = F.when(
         F.col("pri").isNull(), F.lit(2**33).cast("bigint")
     ).otherwise(-string_order_key(F.col("pri")))
+    # presentation_order (r14): the final ORDER BY rnk is pure
+    # presentation — strict mode keeps the global sort; scale mode
+    # drops the table-sized range exchange (the declared two-mode
+    # output contract, plans/output.py).
     return global_row_number(
         orders.select("o_orderkey", pri),
         [F.col("pri").desc_nulls_last(), F.col("o_orderkey")],
         bucket_by=bucket_by,
         out_col="rnk",
         spread_by=F.col("o_orderkey"),
-    ).orderBy("rnk")
+    ).transform(presentation_order, "rnk")
 
 
 def q22_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

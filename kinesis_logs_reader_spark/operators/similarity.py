@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.functions.generate import explode_nonempty
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
@@ -201,7 +201,10 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
                         outs.append(s)
             yield pd.DataFrame({"ida": outa, "idb": outb, "sim": outs})
 
-    return vecs.mapInPandas(compute, out_schema)
+    # spread_scan (r14): the BLAS matmul stage otherwise streams the
+    # whole query side through ONE Python worker when the input is an
+    # unsplittable scan (guide §2.5/§4.1); no-op on many-split inputs
+    return spread_scan(vecs).mapInPandas(compute, out_schema)
 
 
 # --- SRP-banded near-dup pairs (distributed scale path for q50) -----------
@@ -715,7 +718,13 @@ def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus with near-threshold semantic pairs would need the scaled-
     int idiom here.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    # spread_scan (r14): the Arrow routing pass ran on the scan's
+    # single task (guide §2.5/§4.1)
+    emb = spread_scan(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 2000
+        )
+    )
     planted = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
     )
@@ -857,7 +866,10 @@ def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan (r14): the posexplode fans 64x on the scan's single
+    # task and feeds two subtrees (centroid build + distance pass);
+    # the gated exchange parallelizes both (guide §2.5)
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     flat = emb.select(
         "vec_id",
         "label",
@@ -2301,7 +2313,9 @@ def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; similarity /
     curation family, SURVEY §2.2 I-extension).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_scan (r14): parallelize the 64x posexplode + partial
+    # aggregate off the single-task scan (guide §2.5)
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     x = emb.select(
         "label",
         F.posexplode("embedding").alias("d", "v"),

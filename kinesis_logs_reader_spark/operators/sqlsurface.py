@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 
 
 def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,8 +150,13 @@ def q131_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, _t in specs
         ]
     )
+    # spread_scan: the 6-way struct render + explode is per-row-heavy
+    # work pinned to the scan's single task by the one-row-group file
+    # layout (guide §2.5); the exchange is gated on scan splits vs
+    # cores, so at real scale it vanishes (sources/tables.py).
     dist = (
-        orders.select(F.explode(pairs).alias("e"))
+        spread_scan(orders)
+        .select(F.explode(pairs).alias("e"))
         .select("e.column_name", "e.v")
         .filter(F.col("v").isNotNull())  # COUNT(DISTINCT) ignores NULL
         .groupBy("column_name", "v")
@@ -220,8 +225,11 @@ def q131b_table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, _t in specs
         ]
     )
+    # spread_scan: same single-task-scan parallelization as q131 (the
+    # audit branch is the expensive half of this query by design)
     dist = (
-        orders.select(F.explode(pairs).alias("e"))
+        spread_scan(orders)
+        .select(F.explode(pairs).alias("e"))
         .select("e.column_name", "e.v")
         .filter(F.col("v").isNotNull())
         .groupBy("column_name", "v")
@@ -348,8 +356,14 @@ def q131c_table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substream, the high 44 bits are the grid value; min(w) within a
     # substream equals min(w div 256) shifted, since the low byte is
     # constant inside the group.
+    # spread_scan (r14): the md5-per-value sketch chain was pinned to
+    # the scan's single task (one-row-group file); measured 1.56 s ->
+    # 0.47 s at sf0.1 behind the gated round-robin exchange. The
+    # substream MIN aggregate is order-insensitive, so the result is
+    # partitioning-independent (guide §2.5).
     hashed = (
-        orders.select(F.explode(pairs).alias("e"))
+        spread_scan(orders)
+        .select(F.explode(pairs).alias("e"))
         .select("e.column_name", F.md5("e.v").alias("h"))
         .filter(F.col("h").isNotNull())  # COUNT(DISTINCT) ignores NULL
         .select(

@@ -21,7 +21,7 @@ from kinesis_logs_reader_spark.functions.text import (
     tokens,
 )
 from kinesis_logs_reader_spark.plans.output import presentation_order
-from kinesis_logs_reader_spark.sources.tables import load_table
+from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
 
 
 def cached_doc_tokens(spark: SparkSession, sf_dir: str):
@@ -44,9 +44,14 @@ def cached_doc_tokens(spark: SparkSession, sf_dir: str):
         corpus_key(sf_dir, "documents"),
         # explode_nonempty: the inferred size()>0 filter re-runs the
         # split once per row (functions/generate.py) — this is the most
-        # shared frame in the engine, so the extra corpus pass matters
+        # shared frame in the engine, so the extra corpus pass matters.
+        # spread_scan (r14): without it the one-row-group scan PERSISTS
+        # AS ONE PARTITION, so every consumer's partial aggregate over
+        # the token stream ran single-task for the whole session (guide
+        # §2.5); the gated exchange spreads the persisted frame and is
+        # a no-op on a many-split table.
         lambda: explode_nonempty(
-            load_table(spark, sf_dir, "documents"),
+            spread_scan(load_table(spark, sf_dir, "documents")),
             tokens(),
             "t",
             "doc_id",
@@ -179,7 +184,11 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas Arrow pass (_fingerprint_batches) — 3.4x at sf~1,
     value-identical (oracle unchanged, DuckDB recomputes the shingle
     min in SQL)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_scan (r14): one Python worker fingerprinted the whole
+    # corpus off the single-task scan (guide §2.5/§4.1)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     fp = docs.mapInPandas(
         _fingerprint_batches,
         "doc_id long, exact_fp string, shingle_fp string",
@@ -206,7 +215,10 @@ def q45b_fingerprint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     q45 — the twin's residual growth 2.43 was the interpreted
     per-shingle fold; 2.6x at sf~1 under the soak profile).
     """
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # spread_scan (r14): same Python-worker fan-out as q45
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     fp = docs.mapInPandas(
         _fingerprint_batches,
         "source string, exact_fp string, shingle_fp string",
@@ -238,7 +250,9 @@ def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = explode_nonempty(docs, tokens(), "t", "lang")
+    # spread_scan (r14): the profile pass tokenizes the full corpus on
+    # the scan's single task otherwise (guide §2.5)
+    tok = explode_nonempty(spread_scan(docs), tokens(), "t", "lang")
     counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
     w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t"))
     profile = (
@@ -301,7 +315,10 @@ def q61_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.col("text"), _src, _dst), _other, "s" * len(_other)
     )
     runs = F.regexp_replace(F.regexp_replace(collapsed, "a+", "a"), "0+", "0")
-    staged = docs.select(
+    # spread_scan (r14): the translate/regex lexer + md5 token hashes
+    # + rolling-hash fold all ran on the scan's single task (guide
+    # §2.5)
+    staged = spread_scan(docs).select(
         "doc_id",
         F.length(F.regexp_replace(runs, " ", ""))
         .cast("int")
@@ -537,7 +554,9 @@ def q138_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int64) before the slope division so both engines agree.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
+    # spread_scan (r14): parallelize the tokenize+explode off the
+    # single-task scan (guide §2.5)
+    tok = spread_scan(docs).select("doc_id", F.explode(tokens()).alias("t"))
     first = tok.groupBy("t").agg(F.min("doc_id").alias("fs"))
     per_doc = docs.select("doc_id", n_tokens().alias("nt"))
     spine = (
@@ -692,7 +711,9 @@ def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    staged = docs.mapInPandas(rle_batches, out_schema)
+    # spread_scan (r14): fan the Arrow RLE batches across Python
+    # workers instead of one (guide §2.5/§4.1)
+    staged = spread_scan(docs).mapInPandas(rle_batches, out_schema)
     return staged.select(
         "doc_id",
         "n_tokens",
@@ -851,8 +872,10 @@ def q147_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "_klrs_doc_bigrams_cache",
         corpus_key(sf_dir, "documents"),
+        # spread_scan (r14): the tokenize+bigram chain otherwise builds
+        # and PERSISTS on the scan's single task (guide §2.5)
         lambda: explode_nonempty(
-            docs.select("doc_id", tokens().alias("_toks")),
+            spread_scan(docs).select("doc_id", tokens().alias("_toks")),
             shingles_from_tokens(F.col("_toks"), k=2),
             "bg",
             "doc_id",

@@ -94,3 +94,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` queries."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread_scan(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Parallelize a per-row-HEAVY chain over an unsplittable scan.
+
+    The generated tables are single-row-group parquet files, so a scan
+    — and every narrow operator stacked on it (explode, md5, regex,
+    struct render) — executes as ONE task no matter how many cores
+    exist: the classic unsplittable-input skew (optimization guide
+    §2.5: "one huge unsplittable file ... repartition immediately
+    after the read"). Measured at sf0.1/local[32]: the q131c
+    hash-sketch chain 1.56 s single-task -> 0.47 s behind a
+    round-robin exchange; the shingle chain 0.55 -> 0.19 s.
+
+    SCALE-ADAPTIVE, not a local constant: the exchange exists only
+    when the scan's split count actually starves the configured
+    parallelism (``len(df.inputFiles()) < defaultParallelism // 2``).
+    A 100 TB table is thousands of splits, the gate fails, and this is
+    an exact no-op — no plan node added. Round-robin repartition is
+    retry-deterministic (sortBeforeRepartition stays on, guide §2.5),
+    and every call site feeds order-insensitive consumers (aggregates,
+    windows that re-establish their own partitioning), so results are
+    partitioning-independent.
+
+    Only worth it when per-row work dominates the shuffle of the rows
+    themselves — use on hash/explode/regex chains, never on plain
+    filter/project scans (their shuffle would cost more than the
+    single-task decode).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        nsplits = len(df.inputFiles())
+    except Exception:
+        return df  # non-file-backed frame: nothing to adapt to
+    if nsplits == 0 or nsplits >= max(2, cores // 2):
+        return df
+    return df.repartition(max(2, cores // 2))
