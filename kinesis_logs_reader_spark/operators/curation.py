@@ -251,10 +251,11 @@ def q95_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # N as a lazy 1-row broadcast (no eager .count() on the driver)
     n_tbl = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
-    # spread_scan (r14): the full-corpus distinct-token explode ran on
-    # the scan's single task (guide §2.5)
+    # spread_scan A/B (r14): OFF wins 0.31 vs 0.33 s — the explode
+    # feeds a combining (t) partial agg overlapping the scan.
+    # Measured-negative.
     df_tbl = (
-        spread_scan(docs)
+        docs
         .select(F.explode(F.array_distinct(tokens())).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -213,7 +213,9 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_docs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """documents plus exact copies of doc_id < 20 planted at id+1000000."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 20).select(
@@ -221,8 +223,12 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread_scan (r14): the shingle->signature chain minhash_pairs
     # stacks on this frame is per-row-heavy and otherwise single-task
-    # over the one-row-group scan (guide §2.5)
-    return spread_scan(docs.unionByName(planted))
+    # over the one-row-group scan (guide §2.5). q129 passes
+    # spread=False (A/B: OFF wins 0.62 vs 0.75 s — its first op is a
+    # combining md5-canon agg that overlaps the scan, and the minhash
+    # leg runs on post-exchange survivors anyway).
+    out = docs.unionByName(planted)
+    return spread_scan(out) if spread else out
 
 
 def _cached_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,13 +483,11 @@ def q89_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic (measured 4.4s -> 1.0s at sf0.001 on this exact
     # query). At 100 TB the same barrier is an intermediate parquet
     # write or one repartition, not a cluster-wide cache.
-    # spread_scan (r14): the cached token-hash frame otherwise
-    # materializes on the scan's single task (guide §2.5)
-    tok = (
-        spread_scan(docs)
-        .select("doc_id", token_base_hashes().alias("tb"))
-        .cache()
-    )
+    # spread_scan A/B (r14): OFF wins 0.19 vs 0.21 s — the 1-in-101
+    # eval slice downstream keeps the heavy work tiny; spreading the
+    # cached frame taxed its many small consumer stages.
+    # Measured-negative.
+    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
     sh = tok.select("doc_id", token_shingle_hashes(F.col("tb")).alias("sh"))
     # explode_nonempty: even with the cache barrier the inferred filter
     # re-runs the shingle transform over cached tb per row
@@ -1000,7 +1004,10 @@ def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_logs_reader_spark.functions.text import _base_hash
 
     pairs = _cached_minhash_pairs(spark, sf_dir)
-    docs = _planted_docs(spark, sf_dir)
+    # spread=False A/B (r14): OFF wins 0.19 vs 0.21 s — this frame
+    # only feeds the cheap split-bucket projection here; the heavy
+    # minhash work rides the shared pair cache.
+    docs = _planted_docs(spark, sf_dir, spread=False)
     bucket = _base_hash(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(bucket < 80, F.lit("train"))
@@ -1035,7 +1042,7 @@ def q129_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Duplicates are planted (exact copies at id+1000000 via the q46
     frame) so both stages provably remove something.
     """
-    docs = _planted_docs(spark, sf_dir)
+    docs = _planted_docs(spark, sf_dir, spread=False)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # planted ids carry their original's source for the report
     src_all = src.unionByName(
@@ -1094,13 +1101,9 @@ def q130_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # spread_scan (r14): the cached token-hash frame otherwise
-    # materializes on the scan's single task (guide §2.5)
-    tok = (
-        spread_scan(docs)
-        .select("doc_id", token_base_hashes().alias("tb"))
-        .cache()
-    )
+    # spread_scan A/B (r14): OFF wins 0.19 vs 0.24 s — same shape as
+    # q89 (1-in-101 slice dominates downstream). Measured-negative.
+    tok = docs.select("doc_id", token_base_hashes().alias("tb")).cache()
     possh = tok.select(
         "doc_id",
         token_shingle_hashes(F.col("tb"), distinct=False).alias("sh"),
@@ -1451,8 +1454,10 @@ def q155_lsh_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    # spread_scan (r14): parallelize the signature chain (guide §2.5)
-    corpus = spread_scan(docs.unionByName(trunc))
+    # spread_scan A/B (r14): OFF wins 0.27 vs 0.29 s on this 2k-row
+    # slice — too little data to amortize the exchange.
+    # Measured-negative.
+    corpus = docs.unionByName(trunc)
     tok = corpus.select("doc_id", token_base_hashes().alias("tb"))
     based = tok.select(
         "doc_id", token_shingle_hashes(F.col("tb")).alias("bases")
@@ -2573,13 +2578,13 @@ def q205_retrain_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; monitoring
     family q136/q137/q183 x snapshot family q203).
     """
-    # spread_scan (r14): four per-row md5/length passes (v0/v1 digests
-    # + both histograms) each ran on the scan's single task (guide
-    # §2.5)
-    docs = spread_scan(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
-        )
+    # spread_scan A/B (r14): OFF wins 0.54 vs 0.78 s — the four
+    # digest/histogram subtrees each re-read the exchange output, so
+    # spreading multiplied the shuffle-read cost 4x while each pass's
+    # partial agg already overlapped the shared scan.
+    # Measured-negative.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
     )
     cls = F.col("doc_id") % 20
     mutated = cls.isin(3, 13)

@@ -234,14 +234,18 @@ def resize_images(
 
 
 def sample_frames(
-    df: DataFrame, n_frames: int, payload_col: str = "payload"
+    df: DataFrame, n_frames: int, payload_col: str = "payload",
+    spread: bool = True,
 ) -> DataFrame:
     # spread_scan (r14): fan the Arrow frame-sample stage across
     # Python workers when the input is an unsplittable scan (guide
-    # §2.5/§4.1); no-op on many-split or synthetic inputs
-    src = spread_scan(
-        df.select("doc_id", F.col(payload_col).alias("payload"))
-    )
+    # §2.5/§4.1); no-op on many-split or synthetic inputs. Callers
+    # whose downstream is digest-light pass spread=False (q175 A/B:
+    # OFF wins 0.49 vs 0.53 s) while frame-pair-heavy consumers keep
+    # it (q196 A/B: spread wins 0.90 vs 1.29 s).
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
+    if spread:
+        src = spread_scan(src)
     return src.mapInPandas(sample_frames_batch(n_frames), FRAMES_SCHEMA)
 
 
@@ -291,7 +295,7 @@ def q175_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("text").cast("binary").alias("payload")
     )
-    frames = sample_frames(docs, n_frames=8)
+    frames = sample_frames(docs, n_frames=8, spread=False)
     fp = frames.select(
         "doc_id", F.md5(F.col("frame")).alias("fp")
     ).join(docs.select("doc_id", "source"), "doc_id")
@@ -679,11 +683,13 @@ def audio_energy_batch(win_bytes: int = 64):
 def audio_energy(
     df: DataFrame, win_bytes: int = 64, payload_col: str = "payload"
 ) -> DataFrame:
-    """(doc_id, payload: binary) -> (doc_id, win_idx, energy) windows."""
-    # spread_scan (r14): same Python-worker fan-out as sample_frames
-    src = spread_scan(
-        df.select("doc_id", F.col(payload_col).alias("payload"))
-    )
+    """(doc_id, payload: binary) -> (doc_id, win_idx, energy) windows.
+
+    spread_scan A/B (r14): OFF wins 0.61 vs 0.87 s (q197, the sole
+    caller) — the int64 energy sum is cheap per byte and the window
+    rows re-exchange into the VAD aggregate anyway. Measured-negative.
+    """
+    src = df.select("doc_id", F.col(payload_col).alias("payload"))
     return src.mapInPandas(audio_energy_batch(win_bytes), AUDIO_WIN_SCHEMA)
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from kinesis_logs_reader_spark.functions.text import _base_hash
 from kinesis_logs_reader_spark.operators.relational import _dec, _r2d
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import load_table
 
 
 def merge_upsert(
@@ -780,10 +780,11 @@ def q204_zorder_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-width cut of the RAW Morton domain was measured leaving
     # 2/3 of the file slots empty (the interleave of <2^11-bounded
     # coordinates occupies a sparse sub-lattice).
-    # spread_scan (r14): the snap+morton+3x-explode chain is the
-    # per-row-heavy pass of this query and ran on the scan's single
-    # task (guide §2.5)
-    snapped = spread_scan(pts.join(F.broadcast(maxes))).select(
+    # spread_scan A/B (r14): OFF wins 0.40 vs 0.52 s — the morton
+    # arithmetic is integer-cheap and the downstream cell aggregate
+    # combines map-side; the exchange was pure latency.
+    # Measured-negative.
+    snapped = pts.join(F.broadcast(maxes)).select(
         "x",
         "y",
         F.expr(f"x * {2 ** bits}L div (xm + 1L)").alias("xs"),

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.plans.output import presentation_order
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import load_table
 
 
 def _dec(c: str | Column, scale: int = 2) -> Column:
@@ -521,16 +521,14 @@ def q16_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D6: global (no-group) aggregate over lineitem."""
-    # spread_scan (r14): the decimal conversions + count-distinct
-    # partial agg ran on the scan's single task; project to the three
-    # touched columns before the gated exchange (guide §2.3/§2.5).
-    # Measured A/B at sf0.1: 1.73 -> 1.49 s (contended session).
-    li = spread_scan(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_quantity"
-        )
-    )
+    """D6: global (no-group) aggregate over lineitem.
+
+    spread_scan A/B (r14): OFF wins 0.57 vs 0.76 s — the full-row
+    exchange costs more than the parallel partial agg saves; the
+    count-distinct's own exchange already parallelizes phase 2.
+    Measured-negative, left single-task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),

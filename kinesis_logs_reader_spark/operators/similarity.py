@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from kinesis_logs_reader_spark.functions.generate import explode_nonempty
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import load_table
 from kinesis_logs_reader_spark.functions.caching import corpus_key
 
 
@@ -201,10 +201,10 @@ def cosine_pairs_blas(spark, vecs: DataFrame, threshold: float) -> DataFrame:
                         outs.append(s)
             yield pd.DataFrame({"ida": outa, "idb": outb, "sim": outs})
 
-    # spread_scan (r14): the BLAS matmul stage otherwise streams the
-    # whole query side through ONE Python worker when the input is an
-    # unsplittable scan (guide §2.5/§4.1); no-op on many-split inputs
-    return spread_scan(vecs).mapInPandas(compute, out_schema)
+    # spread_scan A/B (r14): OFF wins 0.50 vs 0.63 s (q50) — the
+    # broadcast side dominates; fanning the streamed side across
+    # Python workers added scheduling cost. Measured-negative.
+    return vecs.mapInPandas(compute, out_schema)
 
 
 # --- SRP-banded near-dup pairs (distributed scale path for q50) -----------
@@ -718,12 +718,11 @@ def q109_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus with near-threshold semantic pairs would need the scaled-
     int idiom here.
     """
-    # spread_scan (r14): the Arrow routing pass ran on the scan's
-    # single task (guide §2.5/§4.1)
-    emb = spread_scan(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") < 2000
-        )
+    # spread_scan A/B (r14): OFF wins 0.77 vs 0.86 s — the routing
+    # pass is cheap relative to the within-cell join that follows and
+    # re-exchanges anyway. Measured-negative.
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2000
     )
     planted = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
@@ -866,10 +865,10 @@ def q127_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    # spread_scan (r14): the posexplode fans 64x on the scan's single
-    # task and feeds two subtrees (centroid build + distance pass);
-    # the gated exchange parallelizes both (guide §2.5)
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    # spread_scan A/B (r14): OFF wins 0.33 vs 0.35 s — shuffling the
+    # embedding arrays costs what the parallel posexplode saves (the
+    # partial aggregate already overlaps the scan). Measured-negative.
+    emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id",
         "label",
@@ -2313,9 +2312,10 @@ def q198_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (beyond-reference mandate; similarity /
     curation family, SURVEY §2.2 I-extension).
     """
-    # spread_scan (r14): parallelize the 64x posexplode + partial
-    # aggregate off the single-task scan (guide §2.5)
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    # spread_scan A/B (r14): OFF wins 0.46 vs 0.50 s — the posexplode
+    # feeds a combining (label, dim) partial agg that overlaps the
+    # scan; the extra exchange is pure latency. Measured-negative.
+    emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
         "label",
         F.posexplode("embedding").alias("d", "v"),

@@ -250,9 +250,10 @@ def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # spread_scan (r14): the profile pass tokenizes the full corpus on
-    # the scan's single task otherwise (guide §2.5)
-    tok = explode_nonempty(spread_scan(docs), tokens(), "t", "lang")
+    # spread_scan A/B (r14): OFF wins 0.30 vs 0.34 s — the token
+    # explode feeds a combining (lang, t) partial agg that overlaps
+    # the scan; the exchange is pure latency. Measured-negative.
+    tok = explode_nonempty(docs, tokens(), "t", "lang")
     counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
     w_rank = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t"))
     profile = (
@@ -554,9 +555,9 @@ def q138_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int64) before the slope division so both engines agree.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # spread_scan (r14): parallelize the tokenize+explode off the
-    # single-task scan (guide §2.5)
-    tok = spread_scan(docs).select("doc_id", F.explode(tokens()).alias("t"))
+    # spread_scan A/B (r14): OFF wins 0.29 vs 0.33 s — same combining-
+    # agg overlap as q51. Measured-negative.
+    tok = docs.select("doc_id", F.explode(tokens()).alias("t"))
     first = tok.groupBy("t").agg(F.min("doc_id").alias("fs"))
     per_doc = docs.select("doc_id", n_tokens().alias("nt"))
     spine = (
@@ -711,9 +712,10 @@ def q143_repetition_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # spread_scan (r14): fan the Arrow RLE batches across Python
-    # workers instead of one (guide §2.5/§4.1)
-    staged = spread_scan(docs).mapInPandas(rle_batches, out_schema)
+    # spread_scan A/B (r14): OFF wins 0.45 vs 0.60 s — the numpy RLE
+    # kernel is cheap per row; shuffling full text bytes to fan it
+    # cost more than the kernel itself. Measured-negative.
+    staged = docs.mapInPandas(rle_batches, out_schema)
     return staged.select(
         "doc_id",
         "n_tokens",

@@ -123,6 +123,8 @@ def spread_scan(df: DataFrame, min_rows: int = 0) -> DataFrame:
     filter/project scans (their shuffle would cost more than the
     single-task decode).
     """
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df  # measurement kill-switch (tools/ab_probe.py A/Bs)
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     try:
