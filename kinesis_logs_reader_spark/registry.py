@@ -553,22 +553,10 @@ DRIVER_WINDOW_R10_ACTIVE: list[str] = [
     "q35b_median_native",
 ][:50]
 
-# ACTIVE window for this round's driver correctness gate (first 50).
-# r13 rotation (VERDICT r12 item 1). Freshness policy (codified in
-# COVERAGE.md): CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED
-# WITHIN <=6 ROUNDS.
-#   (1) keys whose kernel changed this round — the four r12 ADVICE
-#       fixes: q103 (null-safe branch join), q119 (fingerprint-keyed
-#       query cache), q200 (one-level store probe feeds its pipeline),
-#       q203 (NULL-text digest coalesce, oracle updated in lockstep);
-#   (2) the 29 r8-era keys staged last round (DRIVER_WINDOW_R13_STAGED,
-#       verbatim) — newest evidence r8, ceiling r14, run with slack;
-#   (3) r9-era fill: the two weak-row audit targets (q122, q131) first,
-#       then low query numbers. After this window the only keys older
-#       than r10 are the remaining r9 tier, staged below for r14
-#       (due r15).
-# Exactly 50 entries — asserted below, no silent [:50] trim.
-DRIVER_WINDOW: list[str] = [
+# Round-13 window (historical): ran 47/50 green (CORRECTNESS_r13; the
+# three reds are the never-green q210/q213/q215, kept at the head of
+# the r14 window below).
+DRIVER_WINDOW_R13: list[str] = [
     # (0) new this round
     "q206_scalable_rank_suite",
     "q210_supplier_pagerank",
@@ -625,15 +613,12 @@ DRIVER_WINDOW: list[str] = [
     # (3) r9-era fill: audit targets first, then low query numbers
     "q122_substring_dedup",
 ]
-assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
-    "DRIVER_WINDOW must hold exactly 50 unique keys "
-    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
-)
+assert len(DRIVER_WINDOW_R13) == 50 and len(set(DRIVER_WINDOW_R13)) == 50
 
-# Staged r14 rotation: the 25 remaining r9-era keys the r13 window
-# could not fit. Their newest driver evidence is r9, so they hit the
-# 6-round policy ceiling at r15 — running them in r14 keeps slack.
-# Changed/new r14 kernels still jump this queue.
+# Staged r14 rotation (CONSUMED by DRIVER_WINDOW below): the 41
+# remaining r9-era keys the r13 window could not fit. Their newest
+# driver evidence is r9, so they hit the 6-round policy ceiling at
+# r15 — running all of them in r14 keeps slack.
 DRIVER_WINDOW_R14_STAGED: list[str] = [
     "q131_table_profile",  # displaced when q217 entered as a new key (r13 audit row already fresh this round)
     "q02_filter_predicates",  # displaced when q216 entered as a new key
@@ -676,6 +661,91 @@ DRIVER_WINDOW_R14_STAGED: list[str] = [
     "q186_int8_recall",
     "q187_pq_distortion",
     "q188_pq_reranked",
+]
+
+# ACTIVE window for this round's driver correctness gate (first 50).
+# r14 rotation (VERDICT r13 items 1 and 3). Freshness policy
+# (COVERAGE.md): CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED
+# WITHIN <=6 ROUNDS.
+#   (0) the three never-driver-green keys stay at the head — VERDICT
+#       r13 item 1 (local parity + a full driver-protocol mirror pass;
+#       the divergence is driver-env-specific, so the driver row IS
+#       the experiment);
+#   (1) kernels with the largest r14 plan changes (the spread_scan
+#       rollout, adjudicated by tools/ab_probe.py interleaved A/B) —
+#       changed keys certify immediately; five of the six also carry
+#       r10-era evidence, retiring part of next round's due tier:
+#       q47 (-42% same-session), q61 (-75%), q112 (-28%),
+#       q120 (-46%), q139 (-43%), q151b (-64%);
+#   (2) the full 41-key r9-era tier staged last round
+#       (DRIVER_WINDOW_R14_STAGED, verbatim — due r15, run with
+#       slack). The other r14-changed kernels (q92, q101, q131) are
+#       already inside this tier.
+# Exactly 50 entries — asserted below, no silent [:50] trim.
+DRIVER_WINDOW: list[str] = (
+    [
+        # (0) never-green, head of window
+        "q210_supplier_pagerank",
+        "q213_line_boilerplate",
+        "q215_cluster_balanced_sample",
+        # (1) largest r14 plan changes (spread_scan keeps)
+        "q47_simhash",
+        "q61_token_regex",
+        "q112_chunk_dedup",
+        "q120_bpe_pair_counts",
+        "q139_pmi_collocations",
+        "q151b_candidate_volume",
+    ]
+    # (2) the whole r9-era tier, due r15
+    + DRIVER_WINDOW_R14_STAGED
+)
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
+    "DRIVER_WINDOW must hold exactly 50 unique keys "
+    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
+)
+
+# Staged r15 rotation: the r10-era keys (latest green row r10, policy
+# ceiling r16) not already re-certified by the r14 window above.
+# Changed/new r15 kernels still jump this queue.
+DRIVER_WINDOW_R15_STAGED: list[str] = [
+    "q05_join_inner",
+    "q07_join_left_outer",
+    "q100_scd2",
+    "q102_adaptive_length_filter",
+    "q110_rrf_hybrid",
+    "q111_embedding_quantize",
+    "q113_blocklist_filter",
+    "q114_mixture_weights",
+    "q115_unigram_lm",
+    "q116_containment_dup",
+    "q117_zipf_fit",
+    "q118_canonical_select",
+    "q121_lang_confusion",
+    "q124_reconstruct_chunks",
+    "q126_length_buckets",
+    "q127_centroid_classify",
+    "q12_join_self",
+    "q148_template_mining",
+    "q152_perplexity_buckets",
+    "q152b_perplexity_buckets_scalable",
+    "q181_eval_sample_audit",
+    "q190_opq_rotation",
+    "q192_shard_plan",
+    "q193_mixture_plan",
+    "q31_tumbling_window",
+    "q32_sliding_window",
+    "q33_session_window",
+    "q40_dedup_exact",
+    "q42_quality_score",
+    "q43_cosine_topk",
+    "q44_ngram_jaccard",
+    "q49_multimodal_binary",
+    "q50_cosine_dup_pairs",
+    "q51_lang_id",
+    "q78_normalize_dedup",
+    "q90_curation_pipeline",
+    "q97_quality_audit",
+    "q98_bm25",
 ]
 
 

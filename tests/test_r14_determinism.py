@@ -88,3 +88,32 @@ def test_spread_scan_gates_and_preserves_values(spark):
 
     synthetic = spark.range(10).select(F.col("id").alias("doc_id"))
     assert spread_scan(synthetic) is synthetic
+
+
+def test_cc_propagation_branch_stays_distributed(spark):
+    """The >threshold regime of connected_components (q74's 100-TB
+    path) must run as min-label propagation with NO driver collect:
+    its result plan reads the cached distributed edge frame, never a
+    LocalTableScan / Scan ExistingRDD that a collect-and-recreate
+    round-trip would leave behind. The union-find regime, by contrast,
+    IS driver-side — assert the plans differ exactly that way."""
+    from kinesis_logs_reader_spark.operators.dedup import (
+        _cached_minhash_pairs,
+        connected_components,
+    )
+
+    pairs = _cached_minhash_pairs(spark, SF_DIR)
+    dist = connected_components(pairs, driver_threshold=0)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, (
+        "propagation branch must not round-trip through the driver"
+    )
+
+    small = connected_components(pairs)  # under threshold -> union-find
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in small_plan or "ExistingRDD" in small_plan
+
+    # both regimes agree on the real pair graph
+    assert {(r.node, r.cluster_id) for r in dist.collect()} == {
+        (r.node, r.cluster_id) for r in small.collect()
+    }
