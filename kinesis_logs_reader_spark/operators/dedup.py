@@ -2120,14 +2120,17 @@ def q174_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach(seed, node, depth) AS (
           SELECT src, src, 0 FROM seeds
           UNION ALL
-          -- BROADCAST the static edge side (r14): the candidate-pair
-          -- frame is near-dups only (bounded, session-persisted);
-          -- without the hint every recursion step shuffles BOTH the
-          -- frontier and the edge list (3 iterations x 2 exchanges).
-          -- Broadcasting turns each step into a map-only hash join of
-          -- the frontier against the same broadcast relation
-          -- (guide §3.1).
-          SELECT /*+ BROADCAST(e) */ r.seed, e.dst, r.depth + 1
+          -- BROADCAST the FRONTIER side (r14): the recursive frame is
+          -- seeds-bounded (5 seeds x their <=3-hop neighborhoods), so
+          -- each UnionLoop step becomes a map-only hash join streaming
+          -- the edge side. Interleaved 3-arm A/B (one session,
+          -- best-of-3): sf0.1 1.789 s vs 1.972 BROADCAST(e) / 2.005
+          -- no-hint; sf~1 3.202 vs 3.635 / 3.484. BROADCAST(e) — the
+          -- first r14 attempt — re-broadcast the whole edge list every
+          -- iteration, which inverts at scale (the edge side GROWS
+          -- with data; the frontier does not): guide §3.1, broadcast
+          -- the side that fits, which at 100 TB is only the frontier.
+          SELECT /*+ BROADCAST(r) */ r.seed, e.dst, r.depth + 1
           FROM reach r JOIN dup_edges_q174 e ON e.src = r.node
           WHERE r.depth < 3
         )

@@ -84,7 +84,13 @@ def _with_rank(
     """Internal: df + ``out_col`` = 1-based global rank (bigint).
     ``bucket_by`` MUST be non-null, non-NaN, and monotone
     non-decreasing along ``order`` (equal order-keys may share a
-    value; a larger-ordered row must never have a smaller one).
+    value; a larger-ordered row must never have a smaller one), and —
+    because both modes cast it to double for the bucket cut — its
+    values MUST satisfy |value| < 2**53: integer keys past the double
+    mantissa silently lose monotonicity under the cast and would
+    produce duplicate/gapped ranks with no error (ADVICE r13; current
+    callers stay under 2**33 — string_order_key tops out at 2**32).
+    The same bound applies to ``spread_by``.
 
     Equi-width mode (``spread_by=None``) splits the bucket_by RANGE —
     right when the key is spread (scores, lengths). A low-cardinality

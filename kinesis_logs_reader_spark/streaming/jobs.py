@@ -1261,11 +1261,14 @@ def apply_pagerank_refresh_batch(
     import os
 
     spark = batch_df.sparkSession
-    batch_edges = (
-        batch_df.groupBy("c", "s")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-    )
+    # Store write carries batch_id ONLY as the hive partition directory
+    # (the convention every other sink's store follows): writing it as
+    # a data column too would make the root-level read depend on
+    # Spark's data/partition schema-overlap dedup, which other readers
+    # (DuckDB hive_partitioning, user-supplied schemas) reject as a
+    # duplicate column (ADVICE r13). The emitted ranks below keep the
+    # literal column because consumers read that leaf directly.
+    batch_edges = batch_df.groupBy("c", "s").agg(F.count(F.lit(1)).alias("w"))
     (
         batch_edges.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"batch_id={batch_id}")

@@ -1299,6 +1299,16 @@ def test_pagerank_refresh_sink_streaming_q210_twin(spark, tmp_path):
     }
     assert got2 == got2r
 
+    # ADVICE r13: batch_id lives ONLY in the store's partition dirs,
+    # never as a data column in the leaf files — readers that treat
+    # data/partition overlap as a duplicate-column error (DuckDB
+    # hive_partitioning, user-supplied schemas) must work on this
+    # store. Reading one leaf directly must yield exactly (c, s, w).
+    leaf = spark.read.parquet(os.path.join(store, "batch_id=0"))
+    assert set(leaf.columns) == {"c", "s", "w"}
+    # and the root-level hive read still surfaces batch_id, from dirs
+    assert "batch_id" in spark.read.parquet(store).columns
+
 
 def test_pagerank_refresh_sink_end_to_end(spark, tmp_path):
     """run_pagerank_refresh_sink drains a file-source replay under

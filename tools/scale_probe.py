@@ -146,7 +146,8 @@ def full_soak(spark, queries) -> None:
         suspects = [
             n for n, v in out.items()
             if not n.startswith("_") and isinstance(v, dict)
-            and "err" not in v and "t1" in v
+            and "err" not in v and "t1" in v and "t01" in v
+            and n in queries  # manual rows (e.g. forced-branch soaks) lack t01
             and (v["t1"] > 1.5 or (v.get("growth") or 0) > 3
                  or v.get("t01", 0) > 1.5)
         ]
