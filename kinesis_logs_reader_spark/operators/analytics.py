@@ -45,7 +45,7 @@ from kinesis_logs_reader_spark.operators.relational import (
     _rev4,
     _revenue,
 )
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import load_table
 
 
 def _ts(lit: str):

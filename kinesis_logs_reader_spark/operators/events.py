@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import load_table
 
 
 def funnel_counts(

@@ -399,18 +399,20 @@ def perceptual_hashes(
     df: DataFrame,
     payload_col: str = "payload",
     codec: str = "fake",
-    spread: bool = True,
+    spread: bool = False,
 ) -> DataFrame:
     """(doc_id, payload) -> (doc_id, b0..b3): the dHash stage.
 
-    spread_scan (r14): the Arrow decode+hash stage inherits its input's
-    partitioning, and every corpus caller feeds it a one-row-group scan
-    — ONE Python worker decoded every image regardless of cores (guide
-    §2.5/§4.1). The gated exchange fans batches across workers; no-op
-    for many-split inputs and for synthetic test frames. Pass
-    ``spread=False`` for frames a filter already bounds to a handful of
-    rows — fanning those across workers costs more scheduling than the
-    decode it parallelizes (measured: q200's 21-row planted batch)."""
+    ``spread`` defaults to False (ADVICE r14): every corpus caller in
+    this module feeds the stage from inside an lru_persisted builder or
+    a filter-bounded frame where the r14 A/Bs measured the fan-out
+    exchange neutral-to-negative (q200's many small consumer stages,
+    the 21-row planted batch), and the streaming micro-batch caller is
+    non-file-backed so spread_scan no-ops there regardless. Pass
+    ``spread=True`` only for a one-shot decode+hash pass over a
+    single-row-group corpus scan with no persisted reuse — the one
+    shape where the r14 measurements showed the exchange winning
+    (guide §2.5/§4.1)."""
     src = df.select("doc_id", F.col(payload_col).alias("payload"))
     if spread:
         src = spread_scan(src)

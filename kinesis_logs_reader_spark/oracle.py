@@ -5967,6 +5967,15 @@ LIMIT 20
 # exact int64 micro-units. Floor division applied per-edge BEFORE each
 # sum, parenthesized identically in both engines, so ranks are
 # bit-identical. The oracle unrolls the iterations as CTEs.
+# rank_micro is CAST to BIGINT (r15): DuckDB's SUM(BIGINT) widens to
+# HUGEINT (int128) — the ONLY three oracles in the suite whose result
+# carried a HUGEINT column were exactly the three driver hash-reds
+# (q210/q213/q215, two rounds running, rows+schema green), while every
+# value fits int64 (max ~1.2e7 at sf0.1). A typed canonicalization on
+# the driver side (e.g. Arrow/pandas, where HUGEINT converts unlike
+# BIGINT) hashes differently even though fetchall values are equal —
+# which is also why local parity (python ints) could never reproduce
+# it. Value-identical cast; Spark side is already bigint.
 ORACLE["q210_supplier_pagerank"] = """
 WITH edges AS (
   SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
@@ -5993,7 +6002,7 @@ WITH edges AS (
   SELECT s, 150000 + ((85 * SUM((c2.r * w) // wc)) // 100) AS r
   FROM e JOIN c2 USING (c) GROUP BY s
 )
-SELECT s_name, r AS rank_micro
+SELECT s_name, CAST(r AS BIGINT) AS rank_micro
 FROM s3 JOIN supplier ON s = s_suppkey
 ORDER BY rank_micro DESC, s_name
 LIMIT 20
@@ -6036,7 +6045,10 @@ ORDER BY custdist DESC, c_count DESC
 
 # q213: C4/RefinedWeb line-level boilerplate — lines (10-token chunks +
 # planted banners) repeating across >= 30 distinct docs are dropped;
-# per-source retention in exact integer ppm.
+# per-source retention in exact integer ppm. n_removed/retention_ppm
+# CAST to BIGINT (r15): SUM(int) is HUGEINT in DuckDB — see the q210
+# comment; the driver hash-red trio were the suite's only HUGEINT
+# outputs. Value-identical (ppm <= 1e6).
 ORACLE["q213_line_boilerplate"] = """
 WITH staged AS (
   SELECT doc_id, source,
@@ -6064,8 +6076,9 @@ WITH staged AS (
   FROM lines l LEFT JOIN boiler b ON l.line = b.line
   GROUP BY l.source
 )
-SELECT source, n_lines, n_removed,
-       ((n_lines - n_removed) * 1000000) // n_lines AS retention_ppm
+SELECT source, n_lines, CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(((n_lines - n_removed) * 1000000) // n_lines AS BIGINT)
+         AS retention_ppm
 FROM scored
 ORDER BY source
 """
@@ -6087,7 +6100,10 @@ ORDER BY event_type
 # q215: cluster-balanced selection — the oracle RETRAINS the k=16
 # quantizer in SQL (_kmeans_cte) and re-derives routing + per-cell
 # prototypical top-8, so index, routing, and selection are all
-# certified by one hash.
+# certified by one hash. d2 CAST to BIGINT (r15): the squared-distance
+# sum widens to HUGEINT in DuckDB — see the q210 comment; the driver
+# hash-red trio were the suite's only HUGEINT outputs. Value-identical
+# (max d2 ~9.4e5).
 ORACLE["q215_cluster_balanced_sample"] = f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
@@ -6102,7 +6118,8 @@ member AS (
          COUNT(*) OVER (PARTITION BY cell) AS n_members
   FROM member
 )
-SELECT CAST(cell AS INT) AS cluster, rnk, vec_id, d2, n_members
+SELECT CAST(cell AS INT) AS cluster, rnk, vec_id,
+       CAST(d2 AS BIGINT) AS d2, n_members
 FROM ranked
 WHERE rnk <= 8
 ORDER BY cluster, rnk

@@ -12,7 +12,9 @@ instead of degrading (VERDICT r2 "What's missing" #3).
 
 from __future__ import annotations
 
+import functools
 import importlib
+import os
 
 from collections.abc import Callable
 
@@ -779,8 +781,57 @@ def _window_first(items: dict) -> dict:
     return out
 
 
+# Canonical-row dump (VERDICT r14 item 1): the three driver hash-red
+# keys leave a diffable artifact EVERY time the exported query fn is
+# built — including inside the driver's own correctness run, which is
+# the one environment local mirrors cannot reproduce. Outputs are tiny
+# (20/20/128 rows); the collect adds one extra execution of a
+# sub-second plan. SPARK_GRAFT_DUMP_CANON=<dir> widens the dump to any
+# exported query and overrides the destination; SPARK_GRAFT_DUMP_CANON=0
+# disables it outright. Dump failures never fail the query.
+CANON_DUMP_KEYS = frozenset(
+    {
+        "q210_supplier_pagerank",
+        "q213_line_boilerplate",
+        "q215_cluster_balanced_sample",
+    }
+)
+_DEFAULT_CANON_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "canon"
+)
+
+
+def _with_canon_dump(exported: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        df = fn(spark, sf_dir)
+        env = os.environ.get("SPARK_GRAFT_DUMP_CANON")
+        if env == "0":
+            return df
+        dump_dir = env or (
+            _DEFAULT_CANON_DIR
+            if canonical_name(exported) in CANON_DUMP_KEYS
+            else None
+        )
+        if dump_dir:
+            try:
+                from kinesis_logs_reader_spark.functions.canon import (
+                    dump_canonical_rows,
+                )
+
+                dump_canonical_rows(df, exported, sf_dir, dump_dir)
+            except Exception:
+                pass  # diagnostics must never fail the query itself
+        return df
+
+    return wrapped
+
+
 def export_queries() -> dict[str, QueryFn]:
-    return _window_first(all_queries())
+    return {
+        k: _with_canon_dump(k, fn)
+        for k, fn in _window_first(all_queries()).items()
+    }
 
 
 def export_oracle_sql() -> dict[str, str]:

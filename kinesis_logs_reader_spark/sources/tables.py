@@ -96,7 +96,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-def spread_scan(df: DataFrame, min_rows: int = 0) -> DataFrame:
+def spread_scan(df: DataFrame) -> DataFrame:
     """Parallelize a per-row-HEAVY chain over an unsplittable scan.
 
     The generated tables are single-row-group parquet files, so a scan
@@ -126,11 +126,32 @@ def spread_scan(df: DataFrame, min_rows: int = 0) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
         return df  # measurement kill-switch (tools/ab_probe.py A/Bs)
     spark = df.sparkSession
+    # Retry determinism of the round-robin exchange rests on Spark
+    # sorting rows before repartition (SPARK-23207, default on). Assert
+    # once per session rather than silently rely: a conf drift here
+    # would make retried tasks reassign rows and could duplicate/lose
+    # them (guide §2.5). Latched — one py4j conf read per session, not
+    # per call site.
+    if not spark.__dict__.get("_klrs_sort_before_repart_ok"):
+        if (
+            spark.conf.get("spark.sql.execution.sortBeforeRepartition", "true")
+            != "true"
+        ):
+            raise RuntimeError(
+                "spread_scan requires "
+                "spark.sql.execution.sortBeforeRepartition=true for "
+                "retry-deterministic round-robin repartition"
+            )
+        spark.__dict__["_klrs_sort_before_repart_ok"] = True
     cores = spark.sparkContext.defaultParallelism
     try:
         nsplits = len(df.inputFiles())
     except Exception:
-        return df  # non-file-backed frame: nothing to adapt to
+        # Narrowed intent (ADVICE r14): inputFiles() raises only for
+        # non-file-backed frames (AnalysisException/Py4JJavaError via
+        # py4j); treat that as "nothing to adapt to". Anything else
+        # would surface at execution anyway.
+        return df
     if nsplits == 0 or nsplits >= max(2, cores // 2):
         return df
     return df.repartition(max(2, cores // 2))

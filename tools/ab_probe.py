@@ -52,11 +52,41 @@ def main() -> None:
     for _ in range(3):
         spark.range(1).write.format("noop").mode("overwrite").save()
 
+    def detach_session_caches() -> set[str]:
+        """Drop every _klrs_* DATA cache from the session (ADVICE r14,
+        medium): the OFF arm is constructed first, so any session-cached
+        subtree (pairs, doc tokens, lru_persisted frames...) would be
+        built spread-free and silently REUSED by the ON arm — for
+        cache-backed queries the probe would then time identical plans
+        on the heavy subtree and bias keep/revert toward OFF/neutral.
+
+        Detach WITHOUT unpersisting: an arm constructed earlier keeps
+        its persisted subtree alive through its own plan reference, and
+        the next arm rebuilds its own flavor. Memory is bounded by the
+        probe's short life. _klrs_table_cache stays (resolved scan
+        plans only — spread_scan is applied by callers, never inside
+        load_table) and so does the configure_runtime latch. Returns
+        the detached names so cache-backed queries are visible in the
+        probe output."""
+        detached = set()
+        for k in list(spark.__dict__):
+            if k.startswith("_klrs_") and k not in (
+                "_klrs_runtime_configured",
+                "_klrs_table_cache",
+            ):
+                del spark.__dict__[k]
+                detached.add(k)
+        return detached
+
     for name in args.queries:
+        detach_session_caches()
         os.environ["SPARK_GRAFT_NO_SPREAD"] = "1"
         df_off = queries[name](spark, args.sf)
         del os.environ["SPARK_GRAFT_NO_SPREAD"]
+        cache_backed = detach_session_caches()
         df_on = queries[name](spark, args.sf)
+        if cache_backed:
+            print(f"AB {name}: cache-backed via {sorted(cache_backed)}", flush=True)
         best = {"off": float("inf"), "on": float("inf")}
         # warm both forms once (cold codegen must not bias either arm)
         for tag, df in (("off", df_off), ("on", df_on)):

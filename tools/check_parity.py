@@ -11,15 +11,14 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import hashlib
-import math
 import sys
 import time
-from datetime import date, datetime
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+
+from kinesis_logs_reader_spark.functions.canon import canon_cell, table_hash
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -28,37 +27,8 @@ TABLES = (
 ).split()
 
 
-def canon_cell(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            v = 0.0  # collapse IEEE signed zero: -0.0 vs 0.0 is not a diff
-        # repr of float64 is exact round-trip; both engines produce float64
-        return repr(v)
-    if isinstance(v, (datetime, date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(
-        "\x1f".join(canon_cell(row[i]) for i in order) for row in rows
-    )
-    h = hashlib.sha256()
-    for r in canon_rows:
-        h.update(r.encode("utf-8"))
-        h.update(b"\x1e")
-    return h.hexdigest()
+# canon_cell / table_hash live in functions/canon.py, shared with the
+# in-driver canonical-row dump so the two can never diverge (r15).
 
 
 def main() -> int:
@@ -101,12 +71,30 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [d[0] for d in rel.description]
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failed.append(name)
             continue
         problems = []
+        # HUGEINT guard (r15): DuckDB widens SUM(BIGINT) to int128. The
+        # values compare equal through python ints (this gate), but any
+        # TYPED canonicalization (pandas float64 / arrow decimal128)
+        # hashes differently than Spark's int64 — the exact signature of
+        # the q210/q213/q215 driver hash-reds (rows+schema green, hash
+        # red, never reproducible locally). Enforce the cast convention.
+        exotic = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if t in ("HUGEINT", "UHUGEINT")
+        ]
+        if exotic:
+            problems.append(
+                "oracle emits int128 column(s) "
+                f"[{', '.join(exotic)}] — CAST to BIGINT (driver-side "
+                "typed hashing diverges from Spark's int64)"
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
