@@ -219,6 +219,37 @@ def main() -> None:
                 timings[name] = dt
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    # Honest-mode split for the two r14 presentation-order riders
+    # (VERDICT r14 item 5): q21/q37's r14 "speedups" came from scale
+    # mode swapping their final global ORDER BY for sortWithinPartitions
+    # while DuckDB keeps its ORDER BY. Measure BOTH modes for exactly
+    # those rows and publish the delta, so the mode contribution is
+    # separated from real plan wins. The `queries` map above keeps the
+    # scale-mode numbers (methodology unchanged); this ADDS fields.
+    STRICT_SPLIT = ("q21_sort_nulls", "q37_zscore")
+    strict_best: dict[str, float] = {}
+    if SCALE_MODE:
+        os.environ.pop("SPARK_GRAFT_SCALE_MODE", None)
+        try:
+            for name in STRICT_SPLIT:
+                if name not in queries:
+                    continue
+                df = queries[name](spark, SF_DIR)  # strict-mode plan
+                df.write.format("noop").mode("overwrite").save()  # warm
+                best = float("inf")
+                for _ in range(N_RUNS):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                strict_best[name] = round(best, 3)
+        finally:
+            os.environ["SPARK_GRAFT_SCALE_MODE"] = "1"
+    strict_sort_delta = {
+        k: round(v - timings[k], 3)
+        for k, v in strict_best.items()
+        if k in timings
+    }
+
     # DuckDB side of the ≤2×-BASELINE gate, measured in the same process
     # so the driver's one recorded line carries the ratio directly
     # (VERDICT r3 item 8) instead of needing a separate BENCH_COMPARE run.
@@ -379,6 +410,19 @@ def main() -> None:
                 "q200_index_build_sec": q200_index_sec,
                 "q200_index_prebuilt": phash_index_prebuilt,
                 "q160_index_prebuilt": index_prebuilt,
+                # strict-mode (global ORDER BY) best-of-N for the two
+                # r14 mode-riding rows and their delta vs the scale-mode
+                # numbers in `queries` — the honest split of VERDICT r14
+                # item 5: mode contribution is visible, not counted as a
+                # plan win
+                **(
+                    {
+                        "strict_sort_best": strict_best,
+                        "strict_sort_delta": strict_sort_delta,
+                    }
+                    if strict_best
+                    else {}
+                ),
                 # sf~1 soak headline (both engines), when available
                 **({"sf1_soak": sf1} if sf1 else {}),
                 "queries": slowest,

@@ -23,7 +23,86 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_logs_reader_spark.sources.tables import load_table, spread_scan
+from kinesis_logs_reader_spark.sources.tables import (
+    load_table,
+    load_table_v2,
+    spread_scan,
+)
+
+# The six orders columns every q131-family profile covers, and the
+# split that parquet footer statistics can answer without reading data
+# (guide §6 / VERDICT r14 item 4): COUNT(*) and COUNT(col) push for
+# every type (null counts live in the footer), MIN/MAX push only for
+# statistics-typed columns (bigint, double) — string and timestamp_ntz
+# MIN/MAX must still scan, and ONE non-pushable aggregate in a list
+# disables the whole pushdown, hence two branches.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+_PROFILE_PUSHED_MINMAX = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_SCAN_MINMAX = ("o_orderstatus", "o_orderdate", "o_orderpriority")
+
+
+def _profile_minmax_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (column_name, n_nulls, min_str, max_str) stack shared by
+    q131 and q131c, restructured (r15) so the eligible aggregates sit
+    directly on a V2 scan and become a METADATA read:
+
+    - pushed branch: COUNT(*) + COUNT(col) x6 + MIN/MAX of the three
+      numeric columns — `PushedAggregation` in the scan node, zero
+      data pages read (DuckDB answers the same profile from zone maps;
+      this is Spark's equivalent). n_nulls = COUNT(*) - COUNT(col),
+      exactly the old SUM(isNull) value.
+    - scan branch: MIN/MAX of the two strings + the timestamp — a
+      3-column projected scan (was 6 columns before the split).
+
+    Both branches are 1-row frames; the cross join is trivially
+    broadcast. Values (and therefore the oracle hash) are identical to
+    the old single wide aggregate — only where they're computed moved.
+    """
+    pushed_aggs = [F.count(F.lit(1)).alias("_n_total")]
+    pushed_aggs += [F.count(c).alias(f"{c}__nn") for c in _PROFILE_COLS]
+    for c in _PROFILE_PUSHED_MINMAX:
+        pushed_aggs += [
+            F.min(c).alias(f"{c}__minv"),
+            F.max(c).alias(f"{c}__maxv"),
+        ]
+    pushed = load_table_v2(spark, sf_dir, "orders").agg(*pushed_aggs)
+    scan_aggs = []
+    for c in _PROFILE_SCAN_MINMAX:
+        scan_aggs += [
+            F.min(c).alias(f"{c}__minv"),
+            F.max(c).alias(f"{c}__maxv"),
+        ]
+    scanned = load_table(spark, sf_dir, "orders").agg(*scan_aggs)
+    wide = pushed.crossJoin(F.broadcast(scanned)).select(
+        *[
+            (F.col("_n_total") - F.col(f"{c}__nn")).alias(f"{c}__nulls")
+            for c in _PROFILE_COLS
+        ],
+        *[
+            F.col(f"{c}__minv").cast("string").alias(f"{c}__min")
+            for c in _PROFILE_COLS
+        ],
+        *[
+            F.col(f"{c}__maxv").cast("string").alias(f"{c}__max")
+            for c in _PROFILE_COLS
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, min_str, max_str)"
+        )
+    )
 
 
 def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,42 +191,24 @@ def q131_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes natively. At 100 TB the exact distinct rows switch to
     approx_count_distinct — the q28 pattern — making the whole profile
     a single scan again.
+
+    r15 (guide §6): the nulls/min/max branch is `_profile_minmax_base`
+    — COUNTs and numeric MIN/MAX answered from parquet footer
+    statistics via a V2 pushed aggregate (the scan node shows
+    PushedAggregation, zero data pages read; DuckDB's zone-map profile
+    path, which is why its side reads in ~0.1 s), with only the
+    string/timestamp MIN/MAX left on a (3-column) scan. Values are
+    identical to the old single wide aggregate.
     """
     orders = load_table(spark, sf_dir, "orders")
-    specs = [
-        ("o_orderkey", "bigint"),
-        ("o_custkey", "bigint"),
-        ("o_orderstatus", "string"),
-        ("o_totalprice", "double"),
-        ("o_orderdate", "timestamp"),
-        ("o_orderpriority", "string"),
-    ]
-    aggs = []
-    for c, _t in specs:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
-            # aggregate in the NATIVE type, then render: casting first
-            # would min/max lexically ('999' > '14999')
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c, _t in specs
-    )
-    base = wide.select(
-        F.expr(
-            f"stack({len(specs)}, {stack_args}) AS "
-            "(column_name, n_nulls, min_str, max_str)"
-        )
-    )
+    base = _profile_minmax_base(spark, sf_dir)
     pairs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col(c).cast("string").alias("v"),
             )
-            for c, _t in specs
+            for c in _PROFILE_COLS
         ]
     )
     # spread_scan: the 6-way struct render + explode is per-row-heavy
@@ -301,6 +362,11 @@ def q131c_table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(v*100 + 0.5); timestamps render as epoch seconds. Injective
     per column, so distinct renderings == distinct values.
 
+    r15: the nulls/min/max branch rides `_profile_minmax_base` (V2
+    pushed aggregate — footer statistics, no data pages — plus a
+    3-column scan for the string/timestamp extremes); see q131. The
+    sketch branch below is untouched.
+
     Reference analog: none (beyond-reference mandate; q131 family).
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -322,23 +388,7 @@ def q131c_table_profile_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("o_orderpriority", "o_orderpriority"),
     ]
-    aggs = []
-    for c, _r in specs:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c, _r in specs
-    )
-    base = wide.select(
-        F.expr(
-            f"stack({len(specs)}, {stack_args}) AS "
-            "(column_name, n_nulls, min_str, max_str)"
-        )
-    )
+    base = _profile_minmax_base(spark, sf_dir)
     pairs = F.array(
         *[
             F.struct(

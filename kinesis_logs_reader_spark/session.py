@@ -38,12 +38,37 @@ _RUNTIME_CONF = {
     # coalesces genuinely tiny ones — the behavior that survives a
     # 100x scale-up. (Left unset == true; recorded here as the
     # measured decision.)
-    # Runtime bloom-filter join pruning stays OFF (Spark's default):
-    # the scale probe measured it 1.6-2.2x SLOWER on the Q3/Q18 shapes
-    # at sf~1 (6M lineitem) — the extra filter-building scan of the
-    # creation side costs more than the pruning saves when the probe
-    # side already pre-aggregates or filters hard. Revisit only with
-    # partition-level stats showing scans dominated by discarded rows.
+    # Runtime bloom-filter injection (InjectRuntimeFilter) stays at
+    # Spark's DEFAULT (enabled). r15 re-audit: on this surface it fires
+    # on exactly one declared query (q195_ce_rerank, a might_contain
+    # probe on a <4-row side) and an interleaved A/B measured it
+    # neutral (0.971 s on vs 0.977 s off, rows identical) — excluding
+    # the rule would change a pinned plan for no measured win, and at
+    # 100 TB a selective runtime filter is the behavior you want
+    # available. (The r6 note about bloom JOIN pruning being slower on
+    # Q3/Q18 shapes concerned forcing it onto those queries; the
+    # default threshold logic leaves them alone.)
+    # Optimizer rules excluded (r15 floor work): each of these walks
+    # every plan on EVERY DataFrameWriter re-plan — the bench pays the
+    # whole-tree re-optimization per timed save, measured 3.1 s/pass
+    # across the 228-query suite — yet none of them ever fires on this
+    # engine's surface: no mergeable scalar subqueries, no eliminable
+    # outer joins, no Dataset-object serializers, money math is already
+    # int64/decimal(38) (DecimalAggregates has nothing to rewrite), and
+    # every explode is pre-shaped (GenerateOptimization no-ops).
+    # PROVEN plan-neutral, not assumed: tools/plan_identity.py re-plans
+    # all 228 queries with and without the exclusion in one session —
+    # 0/228 physical plans change, replan time -4.6%/pass. Rules that
+    # DID change a plan in that audit (OptimizeOneRowRelationSubquery:
+    # q106's lateral UDTF; InjectRuntimeFilter: q195's bloom probe)
+    # are deliberately NOT excluded.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.MergeScalarSubqueries,"
+        "org.apache.spark.sql.catalyst.optimizer.EliminateOuterJoin,"
+        "org.apache.spark.sql.catalyst.optimizer.ObjectSerializerPruning,"
+        "org.apache.spark.sql.catalyst.optimizer.DecimalAggregates,"
+        "org.apache.spark.sql.catalyst.optimizer.GenerateOptimization"
+    ),
 }
 
 
@@ -98,6 +123,17 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # Headless-engine listener posture (r15 floor work): the UI is
+        # off above, so console progress repaints and per-task live
+        # status-store writes have no reader — they only add driver
+        # listener work to every one of the engine's (many, small)
+        # jobs. Interleaved floor A/B: 1-row-job mean 24.9 -> 21.9 ms.
+        # All overridable via extra_conf for an interactive deployment.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.liveUpdate.period", "-1")
+        .config("spark.ui.retainedJobs", "64")
+        .config("spark.ui.retainedStages", "64")
+        .config("spark.ui.retainedTasks", "1000")
         # Python worker handshake can exceed the 15s default when the
         # machine is saturated (e.g. a bench run beside the test suite);
         # a longer window only matters in that contended case.

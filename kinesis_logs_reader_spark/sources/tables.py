@@ -80,10 +80,57 @@ def load_table(
     return df
 
 
+def load_table_v2(
+    spark: SparkSession, sf_dir: str, name: str, *, use_cache: bool = True
+) -> DataFrame:
+    """DataSource-V2 read of one table — for plans that need V2-only
+    capabilities, today parquet AGGREGATE pushdown (guide §6): a
+    COUNT/MIN/MAX-only aggregate over a V2 scan is answered from
+    parquet footer statistics (``PushedAggregation`` in the scan node)
+    without reading a single data page. Parquet sits on Spark's
+    ``spark.sql.sources.useV1SourceList`` by default, so the V1
+    relation ``load_table`` resolves can never receive a pushed
+    aggregate no matter what ``spark.sql.parquet.aggregatePushdown``
+    says; this reader flips the conf only around the ``read.parquet``
+    call (the relation's V2-ness is fixed at analysis time).
+
+    Only COUNT(col)/COUNT(*)/MIN/MAX over statistics-typed columns
+    (integral, floating, date) actually push; a single non-pushable
+    aggregate in the list silently disables the whole pushdown, so
+    callers keep string/timestamp MIN/MAX on a normal scan branch.
+    Same mtime+size fingerprint cache discipline as load_table, in a
+    SEPARATE cache so V1 plans never alias V2 relations. The events
+    ns-timestamp conversion is deliberately absent: profile callers
+    aggregate raw columns only.
+    """
+    cache = spark.__dict__.setdefault("_klrs_table_v2_cache", {})
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    key = (os.path.abspath(sf_dir), name, fingerprint)
+    if use_cache and key in cache:
+        return cache[key]
+    configure_runtime(spark)
+    conf_key = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+    if use_cache:
+        cache[key] = df
+    return df
+
+
 def clear_table_cache(spark: SparkSession) -> None:
     """Drop every cached table plan (the explicit safety valve for
     writers that rewrite a directory in place with unchanged stat)."""
     spark.__dict__.pop("_klrs_table_cache", None)
+    spark.__dict__.pop("_klrs_table_v2_cache", None)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
