@@ -614,10 +614,22 @@ def q211_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_pruned = cust.join(
         F.broadcast(nation_c), F.col("c_nationkey") == F.col("_cnk")
     )
+    # SHUFFLE_HASH on the two shuffled joins (r15 tail audit, guide
+    # §3.1 — the q05 rationale applied here): SMJ sorts BOTH shuffled
+    # sides of a one-shot equi-join feeding a <=8-group aggregate; the
+    # hash build skips the sorts. Interleaved A/B, rows identical:
+    # sf0.1 0.345 -> 0.325 s, sf~1 soak 1.046 -> 0.694 s (-34%). The
+    # hinted sides' PROJECTED rows per partition (orders: 16 bytes/row;
+    # customer: nation-pruned to 2/25ths) fit executor memory at any
+    # scale with sane partition counts, and AQE may still override per
+    # its own runtime stats.
     return (
         li.join(F.broadcast(supp_pruned), li.l_suppkey == supp_pruned.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust_pruned, orders.o_custkey == cust_pruned.c_custkey)
+        .join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust_pruned.hint("SHUFFLE_HASH"),
+            orders.o_custkey == cust_pruned.c_custkey,
+        )
         .filter(pair)
         .groupBy(
             "supp_nation",

@@ -665,26 +665,10 @@ DRIVER_WINDOW_R14_STAGED: list[str] = [
     "q188_pq_reranked",
 ]
 
-# ACTIVE window for this round's driver correctness gate (first 50).
-# r14 rotation (VERDICT r13 items 1 and 3). Freshness policy
-# (COVERAGE.md): CHANGED KEYS IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED
-# WITHIN <=6 ROUNDS.
-#   (0) the three never-driver-green keys stay at the head — VERDICT
-#       r13 item 1 (local parity + a full driver-protocol mirror pass;
-#       the divergence is driver-env-specific, so the driver row IS
-#       the experiment);
-#   (1) kernels with the largest r14 plan changes (the spread_scan
-#       rollout, adjudicated by tools/ab_probe.py interleaved A/B) —
-#       changed keys certify immediately; five of the six also carry
-#       r10-era evidence, retiring part of next round's due tier:
-#       q47 (-42% same-session), q61 (-75%), q112 (-28%),
-#       q120 (-46%), q139 (-43%), q151b (-64%);
-#   (2) the full 41-key r9-era tier staged last round
-#       (DRIVER_WINDOW_R14_STAGED, verbatim — due r15, run with
-#       slack). The other r14-changed kernels (q92, q101, q131) are
-#       already inside this tier.
-# Exactly 50 entries — asserted below, no silent [:50] trim.
-DRIVER_WINDOW: list[str] = (
+# Round-14 window (historical): 47/50 green; the three reds were the
+# never-green q210/q213/q215, root-caused and fixed in r15 (HUGEINT
+# oracle outputs — see oracle.py).
+DRIVER_WINDOW_R14: list[str] = (
     [
         # (0) never-green, head of window
         "q210_supplier_pagerank",
@@ -701,10 +685,8 @@ DRIVER_WINDOW: list[str] = (
     # (2) the whole r9-era tier, due r15
     + DRIVER_WINDOW_R14_STAGED
 )
-assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
-    "DRIVER_WINDOW must hold exactly 50 unique keys "
-    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
-)
+assert len(DRIVER_WINDOW_R14) == 50 and len(set(DRIVER_WINDOW_R14)) == 50
+
 
 # Staged r15 rotation: the r10-era keys (latest green row r10, policy
 # ceiling r16) not already re-certified by the r14 window above.
@@ -748,6 +730,102 @@ DRIVER_WINDOW_R15_STAGED: list[str] = [
     "q90_curation_pipeline",
     "q97_quality_audit",
     "q98_bm25",
+]
+
+# ACTIVE window for this round's driver correctness gate (first 50).
+# r15 rotation. Freshness policy (COVERAGE.md): CHANGED KEYS
+# IMMEDIATELY; UNCHANGED KEYS RE-CERTIFIED WITHIN <=6 ROUNDS.
+#   (0) the three ex-never-green keys stay at the head: r15 found and
+#       fixed the root cause (their oracles were the suite's ONLY
+#       HUGEINT outputs — a driver-side typed-hash divergence local
+#       python-int hashing could never see; oracle.py casts them to
+#       BIGINT) — the driver row IS the verification of that fix;
+#   (1) plans changed this round certify immediately: q131/q131c
+#       (V2 PushedAggregation profile base), q211 (SHUFFLE_HASH
+#       joins, sf~1 A/B -34%);
+#   (2) the r15 tail-audit adjudications (before==after plan pairs in
+#       plans/r15/, measured-neutral/negative verdicts in
+#       OPTIMIZATION_r15.md) get fresh driver rows; five of the six
+#       are also r11-era evidence hitting the ceiling at r17, so this
+#       retires part of the next due tier early (the r13 "audit
+#       targets first" precedent);
+#   (3) the full 38-key r10-era tier staged last round
+#       (DRIVER_WINDOW_R15_STAGED, verbatim — due r16).
+# Exactly 50 entries — asserted below, no silent [:50] trim.
+DRIVER_WINDOW: list[str] = (
+    [
+        # (0) ex-never-green: certify the r15 HUGEINT fix
+        "q210_supplier_pagerank",
+        "q213_line_boilerplate",
+        "q215_cluster_balanced_sample",
+        # (1) r15 plan changes
+        "q131_table_profile",
+        "q131c_table_profile_kmv",
+        "q211_volume_shipping",
+        # (2) r15 tail-audit adjudications (q201 is r12-era; the rest
+        #     r11-era, due r17)
+        "q13_tpch_q1",
+        "q125_dsir_sampling",
+        "q131b_table_profile_sketch",
+        "q194_phash_neardup",
+        "q195_ce_rerank",
+        "q201_skew_advisor",
+    ]
+    # (3) the whole r10-era tier, due r16
+    + DRIVER_WINDOW_R15_STAGED
+)
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50, (
+    "DRIVER_WINDOW must hold exactly 50 unique keys "
+    f"(got {len(DRIVER_WINDOW)} entries, {len(set(DRIVER_WINDOW))} unique)"
+)
+
+# Staged r16 rotation: the r11-era keys (latest green row r11, policy
+# ceiling r17) not already re-certified by the r15 window above.
+# Changed/new r16 kernels still jump this queue.
+DRIVER_WINDOW_R16_STAGED: list[str] = [
+    "q01_project_arith",
+    "q10_join_range",
+    "q130_span_decontamination",
+    "q132_countmin_sketch",
+    "q133_bloom_decontamination",
+    "q134_ngram_novelty",
+    "q135_jl_projection",
+    "q136_source_overlap",
+    "q137_distribution_drift",
+    "q138_heaps_law",
+    "q140_weighted_sample",
+    "q142_interval_join",
+    "q143_repetition_runs",
+    "q15_rollup",
+    "q178_stratified_eval_sample",
+    "q18_window_rank",
+    "q191_eval_split_regen",
+    "q196_scene_cuts",
+    "q197_audio_vad",
+    "q198_embedding_dispersion",
+    "q20_window_running_sum",
+    "q22_topk",
+    "q24_intersect_except",
+    "q26a_string_funcs",
+    "q26b_datetime_funcs",
+    "q26c_math_funcs",
+    "q26d_array_funcs",
+    "q35_median_segment",
+    "q35b_median_native",
+    "q37_zscore",
+    "q37b_zscore_window",
+    "q38_price_histogram",
+    "q39_mode_per_group",
+    "q41_token_stats",
+    "q45_fingerprint",
+    "q45b_fingerprint_agg",
+    "q48_ann_ivf",
+    "q86_unpivot",
+    "q88_date_spine",
+    "q93_domain_mix",
+    "q94_pack_sequences",
+    "q96_stratified_sample",
+    "q99_centroid_outliers",
 ]
 
 

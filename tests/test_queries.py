@@ -114,9 +114,9 @@ def test_staged_window_consistency():
     key exists in the registry, is oracle-backed, none is already in the
     active window, and there are no duplicates — a renamed or retired
     query would otherwise surface only when the rotation lands."""
-    from kinesis_logs_reader_spark.registry import DRIVER_WINDOW_R15_STAGED
+    from kinesis_logs_reader_spark.registry import DRIVER_WINDOW_R16_STAGED
 
-    staged = DRIVER_WINDOW_R15_STAGED
+    staged = DRIVER_WINDOW_R16_STAGED
     assert len(staged) == len(set(staged))
     assert set(staged) <= set(QUERIES)
     assert set(staged) <= set(ORACLES)
