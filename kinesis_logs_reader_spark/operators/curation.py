@@ -2047,7 +2047,15 @@ def q179_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kinesis_logs_reader_spark.functions.text import stopword_count
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    raw = load_table(spark, sf_dir, "documents")
+    # spread_scan (r15): the tokenize + md5(sorted distinct tokens)
+    # chain is per-row-heavy and feeds a (source, bow) aggregate whose
+    # keys are near-unique (no map-side combining to overlap the scan)
+    # — the q112/q92 digest-chain shape where the gated exchange wins
+    # (guide §2.5). Only the heavy branch is spread; the dominant-lang
+    # branch reads the raw scan (its (source, lang) projection is
+    # cheap, the exchange would be pure latency — r14 doctrine).
+    docs = spread_scan(raw).select(
         "source",
         "lang",
         n_tokens().alias("nt"),
@@ -2064,7 +2072,7 @@ def q179_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bow").alias("n_distinct"),
     )
     dom = (
-        docs.groupBy("source", "lang")
+        raw.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("source")
         .agg(

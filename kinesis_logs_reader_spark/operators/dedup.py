@@ -2037,6 +2037,12 @@ def q172_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
+    # spread_scan A/B (r15): OFF wins 0.412 vs 0.451 s (+9%) — unlike
+    # q179's near-unique (source, bow) grain, the groupBy(key) min(dec)
+    # partial aggregate combines the many same-key rows map-side and
+    # overlaps the single-task scan; the exchange is pure latency
+    # (the r14 combining-aggregate doctrine). Measured-negative, plain
+    # scan kept.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(
