@@ -32,12 +32,21 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def slowest_queries(n: int) -> list[str]:
+    from kinesis_logs_reader_spark.registry import all_queries
+
+    declared = set(all_queries())
     with open("/root/repo/SCALE_FULL.json") as f:
         data = json.load(f)
     rows = [
         (rec.get("t1"), name)
         for name, rec in data.items()
-        if not name.startswith("_") and isinstance(rec, dict) and rec.get("t1")
+        # registry keys only: SCALE_FULL also banks forced-regime rows
+        # (e.g. q74_dup_clusters__propagation_forced) that are not
+        # runnable queries
+        if not name.startswith("_")
+        and name in declared
+        and isinstance(rec, dict)
+        and rec.get("t1")
     ]
     rows.sort(reverse=True)
     return [name for _, name in rows[:n]]
